@@ -1,0 +1,88 @@
+"""Aggregations: ReduceByKey / ReducePair / GroupByKey / HyperLogLog.
+
+Thrill implements these with spilling hash tables and partial
+pre-aggregation before the shuffle (thrill/core/reduce_pre_phase.hpp:42-55,
+reduce_probing_hash_table.hpp:77). Spark's HashAggregateExec does
+partial/final aggregation with spill natively, so the mapping is
+``groupBy().agg()``; GroupByKey's iterator-UDF surface
+(thrill/api/group_by_iterator.hpp:39-55) maps to applyInPandas.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def reduce_by_key(
+    df: DataFrame,
+    keys: Sequence[str | Column],
+    aggs: Mapping[str, Column],
+) -> DataFrame:
+    """ReduceByKey (thrill/api/dia.hpp:900-1172): group by key, combine
+    with associative aggregates. Partial (map-side) aggregation + spill
+    are Spark-native."""
+    key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    return df.groupBy(*key_cols).agg(*[expr.alias(name) for name, expr in aggs.items()])
+
+
+def reduce_pair(df: DataFrame, key: str, value: str, combine: Column) -> DataFrame:
+    """ReducePair (dia.hpp:1174-1304): ReduceByKey specialization for
+    (key, value) pairs; combine is an aggregate over `value`."""
+    return df.groupBy(key).agg(combine.alias(value))
+
+
+def group_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    fn: Callable,
+    schema: str,
+) -> DataFrame:
+    """GroupByKey (thrill/api/group_by_key.hpp:47): the user function
+    sees ALL values of a key (GroupByIterator, group_by_iterator.hpp:39-55).
+
+    Maps to grouped-map applyInPandas: fn(pandas.DataFrame) ->
+    pandas.DataFrame per key. Prefer built-in aggregates whenever the
+    semantics allow — this is the slow (but Arrow-batched) path, and a
+    single giant group must fit in one python worker's memory (Thrill
+    has the same constraint per-worker via external sort runs).
+    """
+    return df.groupBy(*keys).applyInPandas(fn, schema=schema)
+
+
+def group_collect(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str | Column,
+    out: str = "values",
+    sort_key: str | Column | None = None,
+) -> DataFrame:
+    """GroupByKey when the user fn just needs the values materialized:
+    collect_list (optionally deterministic order via sort_array over
+    structs)."""
+    val = F.col(value) if isinstance(value, str) else value
+    if sort_key is not None:
+        sk = F.col(sort_key) if isinstance(sort_key, str) else sort_key
+        lst = F.transform(
+            F.sort_array(F.collect_list(F.struct(sk.alias("k"), val.alias("v")))),
+            lambda s: s["v"],
+        )
+    else:
+        lst = F.collect_list(val)
+    return df.groupBy(*keys).agg(lst.alias(out))
+
+
+def median_by_key(df: DataFrame, keys: Sequence[str], value: str, out: str = "median") -> DataFrame:
+    """Exact per-key median (reference workload:
+    examples/percentiles/percentiles.cpp:60-75, GroupByKey median).
+    Spark's percentile() is an exact aggregate (sort-based per group)."""
+    return df.groupBy(*keys).agg(F.percentile(F.col(value), F.lit(0.5)).alias(out))
+
+
+def hyperloglog(df: DataFrame, col: str, rsd: float = 0.02) -> DataFrame:
+    """HyperLogLog approximate distinct count (thrill/api/hyperloglog.hpp:27,
+    core/hyperloglog.hpp:27-39 — sparse/dense registers merged by
+    AllReduce). Spark's approx_count_distinct is HLL++, same role."""
+    return df.agg(F.approx_count_distinct(col, rsd).alias("approx_distinct"))

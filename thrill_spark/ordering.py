@@ -1,0 +1,328 @@
+"""Ordered-array (`_idx`) discipline — the genuinely Thrill-specific part.
+
+Thrill's DIA is an *ordered* distributed array: items have global array
+indices, and Zip / ZipWithIndex / PrefixSum / Window / Sort / Merge /
+ReduceToIndex all depend on that order (thrill/api/dia.hpp:127-141,
+zip_with_index.hpp:30-38, prefix_sum.hpp:28, window.hpp:142).
+
+Spark DataFrames are unordered multisets, so order must be materialized
+as data. This module provides that as a library convention:
+
+- ``with_index(df, order_by)``: global 0-based ``_idx`` via a scalable
+  two-phase pattern (range-partition + per-partition row_number + driver
+  offsets). Never a single-partition global window — that is the classic
+  100 TB bottleneck.
+- ``prefix_sum``: running aggregate via the same two-phase pattern
+  (per-partition running sum + cumulative partition totals), mirroring
+  the structure (not the code) of Thrill's PrefixSum collective
+  (thrill/net/flow_control_channel.hpp PrefixSum semantics).
+- ``zip_dfs``: positional Zip of K DataFrames (cut / pad variants,
+  thrill/api/zip.hpp:426-652) as an ``_idx`` equi-join.
+- ``sliding_window`` / ``disjoint_window``: k-consecutive-item windows
+  (thrill/api/window.hpp:142,389) via rowsBetween / idx-div-k grouping.
+- ``reduce_to_index`` / ``group_to_index``: dense-array aggregation with
+  neutral-element holes (thrill/api/dia.hpp:1306-1311) via agg + range
+  fill join.
+- ``merge_sorted`` / ``concat``: order-preserving union
+  (thrill/api/merge.hpp:44-76, concat.hpp:35).
+
+Scale notes: the two-phase pattern costs one extra pass to count rows
+per range partition (Spark's own RangePartitioner sampling + an extra
+count job — the same shape as RDD.zipWithIndex). The partition count
+follows spark.sql.shuffle.partitions, so the per-partition window state
+stays bounded at any data size.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+IDX = "_idx"
+_PID = "_ts_pid"
+
+
+def _cols(order_by: Sequence[str | Column]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_by]
+
+
+def _range_partitioned(df: DataFrame, order_by: Sequence[str | Column], persist: bool):
+    """Range-partition + locally sort df by order_by; return (df+_pid, offsets).
+
+    offsets is a small driver-side dict {pid: rows_before_pid}. The df is
+    persisted so the count job and downstream jobs see identical
+    partitioning (range boundaries come from sampling).
+    """
+    cols = _cols(order_by)
+    part = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    part = part.withColumn(_PID, F.spark_partition_id())
+    if persist:
+        part = part.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = {r[_PID]: r["cnt"] for r in part.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()}
+    offsets: dict[int, int] = {}
+    running = 0
+    for pid in sorted(counts):
+        offsets[pid] = running
+        running += counts[pid]
+    return part, offsets
+
+
+def _offset_col(offsets: dict[int, int]) -> Column:
+    # Partition count is O(shuffle partitions) — a literal map is fine
+    # (on a real cluster this is a broadcast-sized structure).
+    if not offsets:
+        return F.lit(0)
+    mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    return F.coalesce(mapping[F.col(_PID)], F.lit(0))
+
+
+def with_index(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    name: str = IDX,
+    persist: bool = True,
+) -> DataFrame:
+    """Materialize a global 0-based row index following order_by.
+
+    Equivalent of Thrill ZipWithIndex (thrill/api/zip_with_index.hpp:30-38).
+    order_by should be a total order (add a unique tiebreaker) for a
+    deterministic result.
+    """
+    part, offsets = _range_partitioned(df, order_by, persist)
+    w = Window.partitionBy(_PID).orderBy(*_cols(order_by))
+    out = part.withColumn(name, F.row_number().over(w) - 1 + _offset_col(offsets))
+    return out.drop(_PID)
+
+
+def sort_by(df: DataFrame, order_by: Sequence[str | Column], index: bool = False) -> DataFrame:
+    """Global sort (Thrill Sort, thrill/api/sort.hpp:64 — sample sort ==
+    Spark's RangePartitioner orderBy). With index=True also materializes
+    the post-sort ``_idx``."""
+    if index:
+        return with_index(df, order_by)
+    return df.orderBy(*_cols(order_by))
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    value,
+    name: str = "prefix_sum",
+    exclusive: bool = False,
+    initial=None,
+    persist: bool = True,
+) -> DataFrame:
+    """Global running sum over order_by (Thrill PrefixSum/ExPrefixSum,
+    thrill/api/prefix_sum.hpp:28, ex_prefix_sum.hpp).
+
+    Two-phase: per-range-partition running sum, plus a driver-side
+    cumulative of the O(#partitions) partition totals — no global
+    single-partition window.
+    """
+    val = F.col(value) if isinstance(value, str) else value
+    cols = _cols(order_by)
+    part = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    part = part.withColumn(_PID, F.spark_partition_id())
+    if persist:
+        part = part.persist(StorageLevel.MEMORY_AND_DISK)
+    totals = {
+        r[_PID]: r["tot"]
+        for r in part.groupBy(_PID).agg(F.sum(val).alias("tot")).collect()
+    }
+    offsets: dict[int, object] = {}
+    running = None
+    for pid in sorted(totals):
+        offsets[pid] = running  # None -> zero
+        t = totals[pid]
+        running = t if running is None else running + t
+    w = Window.partitionBy(_PID).orderBy(*cols)
+    frame = w.rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
+    local = F.sum(val).over(frame)
+    if exclusive:
+        local = F.coalesce(local, F.lit(0))
+    if offsets:
+        nonnull = {k: v for k, v in offsets.items() if v is not None}
+        if nonnull:
+            mapping = F.create_map(*[F.lit(x) for kv in nonnull.items() for x in kv])
+            local = local + F.coalesce(mapping[F.col(_PID)], F.lit(0))
+    out = local
+    if initial is not None:
+        out = out + F.lit(initial)
+    return part.withColumn(name, out).drop(_PID)
+
+
+def zip_dfs(
+    dfs: Sequence[DataFrame],
+    order_bys: Sequence[Sequence[str | Column]],
+    how: str = "cut",
+    pad_defaults: Sequence[dict] | None = None,
+    keep_index: bool = True,
+) -> DataFrame:
+    """Positional Zip of K DataFrames (thrill/api/zip.hpp:426-652).
+
+    how='cut'  -> stop at the shortest input (CutTag) = inner _idx join.
+    how='pad'  -> pad shorter inputs with defaults (PadTag) = full-outer
+                  _idx join + coalesce(col, default).
+    how='strict' -> inputs must be equal length (checked).
+    """
+    assert len(dfs) == len(order_bys) >= 2
+    indexed = [with_index(d, ob) for d, ob in zip(dfs, order_bys)]
+    if how == "strict":
+        sizes = [d.count() for d in indexed]
+        if len(set(sizes)) != 1:
+            raise ValueError(f"strict Zip requires equal sizes, got {sizes}")
+    join_how = "inner" if how in ("cut", "strict") else "full_outer"
+    out = indexed[0]
+    for i, right in enumerate(indexed[1:], start=1):
+        out = out.join(right, on=IDX, how=join_how)
+    if how == "pad" and pad_defaults:
+        for d, defaults in zip(indexed, pad_defaults or []):
+            if not defaults:
+                continue
+            for colname, default in defaults.items():
+                out = out.withColumn(colname, F.coalesce(F.col(colname), F.lit(default)))
+    return out if keep_index else out.drop(IDX)
+
+
+def sliding_window(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    size: int,
+    aggs: dict[str, Column],
+    partial_tail: bool = False,
+) -> DataFrame:
+    """Overlapping window over k consecutive items, step 1
+    (thrill/api/window.hpp:142 OverlapWindowNode).
+
+    aggs maps output name -> aggregate Column evaluated over the window
+    frame [current-(k-1), current]. Rows with _idx < k-1 are incomplete
+    windows; Thrill only calls the window fn for complete windows unless
+    a partial-window fn is given — partial_tail=True keeps them.
+    """
+    idf = with_index(df, order_by)
+    w = (
+        Window.partitionBy()  # replaced below by two-phase pattern when needed
+        .orderBy(IDX)
+        .rowsBetween(-(size - 1), 0)
+    )
+    # NOTE: a frame of fixed small k only needs k-1 rows of cross-partition
+    # context. Implemented with a bounded self-join to stay scalable:
+    # each row joins its k-1 predecessors via an _idx band join would be
+    # O(n*k); instead use partition-local windows with a k-1 row halo.
+    return _halo_window(idf, size, aggs, partial_tail)
+
+
+def _halo_window(idf: DataFrame, size: int, aggs: dict[str, Column], partial_tail: bool) -> DataFrame:
+    """Partition-parallel sliding window with a (k-1)-row halo.
+
+    Rows are bucketed by ``_idx div B`` (B >> k); each bucket also
+    receives copies of the last k-1 rows of the previous bucket, so a
+    partition-local window over the bucket computes exact global
+    results. This keeps the plan shuffle-bounded and skew-free at any
+    scale, unlike a global Window.orderBy with no partitionBy.
+    """
+    bucket_rows = max(size * 64, 65536)
+    b = F.floor(F.col(IDX) / F.lit(bucket_rows))
+    own = idf.withColumn("_bkt", b).withColumn("_halo", F.lit(False))
+    halo = (
+        idf.withColumn("_bkt", b + 1)
+        .filter((F.col(IDX) % bucket_rows) >= bucket_rows - (size - 1))
+        .withColumn("_halo", F.lit(True))
+    )
+    both = own.unionByName(halo)
+    w = Window.partitionBy("_bkt").orderBy(IDX).rowsBetween(-(size - 1), 0)
+    out = both.select(
+        "*", *[expr.over(w).alias(name) for name, expr in aggs.items()]
+    ).filter(~F.col("_halo"))
+    if not partial_tail:
+        out = out.filter(F.col(IDX) >= size - 1)
+    return out.drop("_bkt", "_halo")
+
+
+def disjoint_window(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    size: int,
+    aggs: dict[str, Column],
+    window_col: str = "window_id",
+) -> DataFrame:
+    """Tumbling window over disjoint blocks of k items
+    (thrill/api/window.hpp:389 DisjointWindowNode): groupBy _idx div k."""
+    idf = with_index(df, order_by)
+    return (
+        idf.withColumn(window_col, F.floor(F.col(IDX) / F.lit(size)))
+        .groupBy(window_col)
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+    )
+
+
+def reduce_to_index(
+    df: DataFrame,
+    index_col: str,
+    size: int,
+    aggs: dict[str, Column],
+    neutral: dict[str, object],
+) -> DataFrame:
+    """Dense-array aggregation: key is an array index in [0, size); holes
+    are filled with the neutral element (thrill/api/dia.hpp:1306-1311,
+    reduce_to_index.hpp:60).
+
+    agg + right join against spark.range(size) + coalesce(neutral).
+    """
+    spark = df.sparkSession
+    dense = spark.range(size).withColumnRenamed("id", index_col)
+    agged = df.groupBy(F.col(index_col).cast("long").alias(index_col)).agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )
+    out = dense.join(agged, on=index_col, how="left")
+    for name in aggs:
+        out = out.withColumn(name, F.coalesce(F.col(name), F.lit(neutral.get(name))))
+    return out
+
+
+def group_to_index(
+    df: DataFrame,
+    index_col: str,
+    size: int,
+    collect: dict[str, Column],
+    neutral: dict[str, object] | None = None,
+) -> DataFrame:
+    """GroupToIndex (thrill/api/group_to_index.hpp:42): like
+    reduce_to_index but the per-key aggregate sees all values (here:
+    collect_list / arbitrary agg columns); holes become empty arrays."""
+    neutral = neutral or {}
+    out = reduce_to_index(df, index_col, size, collect, {})
+    for name in collect:
+        default = neutral.get(name)
+        fill = F.lit(default) if default is not None else F.array()
+        out = out.withColumn(name, F.coalesce(F.col(name), fill))
+    return out
+
+
+def merge_sorted(dfs: Sequence[DataFrame], order_by: Sequence[str | Column]) -> DataFrame:
+    """Merge K sorted DIAs into one globally sorted DIA
+    (thrill/api/merge.hpp:44-76). Spark has no merge-preserving physical
+    op; union + range-partitioned sort yields the same result (the sort
+    benefits from the inputs' near-sortedness at the run level)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out.orderBy(*_cols(order_by))
+
+
+def concat(dfs: Sequence[DataFrame], order_bys: Sequence[Sequence[str | Column]]) -> DataFrame:
+    """Order-preserving concatenation (thrill/api/concat.hpp:35):
+    indexes each input, offsets by cumulative sizes, keeps global _idx."""
+    sizes = [d.count() for d in dfs]
+    offset = 0
+    parts = []
+    for d, ob, n in zip(dfs, order_bys, sizes):
+        parts.append(with_index(d, ob).withColumn(IDX, F.col(IDX) + F.lit(offset)))
+        offset += n
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

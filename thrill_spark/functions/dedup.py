@@ -1,0 +1,182 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all shuffle-bounded and expressible without Python UDFs:
+
+- exact: hash-groupBy on a normalized fingerprint (md5).
+- minhash + LSH: shingle -> 60-bit md5 hash -> k permutation mins ->
+  band buckets -> candidate pairs within buckets -> exact Jaccard
+  verify. The band join only shuffles (band_id, bucket) keys, so the
+  candidate generation is linear in corpus size, not quadratic.
+- simhash: per-token hash bit-votes -> b-bit signature; near-dups share
+  signatures (or differ in few bits).
+- n-gram Jaccard: exact pairwise similarity via shingle self-join —
+  quadratic in colliding docs, used as the verify step / small-corpus
+  baseline.
+
+Hashing is md5-derived everywhere so the DuckDB oracle reproduces every
+value bit-for-bit (engine-native hashes differ across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from thrill_spark.functions.text import char_ngrams, fingerprint, md5_long, tokens, word_ngrams
+
+# Fixed affine-permutation constants for minhash: h_i(x) = (a_i*x + b_i) mod P.
+# P = 2^31-1 (Mersenne prime). The 60-bit md5 base hash is first reduced
+# mod P so every product stays < 2^61: BOTH engines then compute the
+# identical exact int64 arithmetic (DuckDB errors on overflow rather
+# than wrapping, so staying in range is mandatory for oracle parity).
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs, a_i odd, both < 2^30 — derived
+    from a fixed linear congruence (no RNG: the oracle SQL must inline
+    the very same constants)."""
+    params = []
+    a, b = 1103515245, 12345
+    for i in range(k):
+        params.append((((a * (i + 1) + b) % (1 << 30)) | 1, (b * (i + 1) + a) % (1 << 30)))
+    return params
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one representative (min id) per normalized-content
+    fingerprint. Scales as a single hash aggregation."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+def shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, shingle_words: int = 3
+) -> DataFrame:
+    """Explode distinct word-shingles and hash each to a 60-bit int."""
+    sh = df.select(F.col(id_col), F.explode(word_ngrams(text_col, shingle_words)).alias("sh"))
+    return sh.select(id_col, md5_long(F.col("sh")).alias("h"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Per-doc minhash signature as num_hashes columns mh0..mh{k-1}.
+
+    One explode + one groupBy: shuffle volume = total distinct shingles.
+    """
+    hashed = shingle_hashes(df, text_col, id_col, shingle_words).withColumn(
+        "h", F.col("h") % MINHASH_P
+    )
+    aggs = [
+        F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature (rows = num_hashes/bands) and bucket-join:
+    docs sharing any band bucket become candidate pairs (id_a < id_b).
+
+    The join key is (band_id, band_hash) — candidate generation never
+    compares non-colliding docs, which is what makes minhash-LSH viable
+    at 100 TB while pairwise Jaccard is not.
+    """
+    rows_per_band = num_hashes // bands
+    pieces = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_hash = F.md5(F.concat_ws("_", *[c.cast("string") for c in cols]))
+        pieces.append(
+            signatures.select(
+                F.col(id_col), F.lit(b).alias("band"), band_hash.alias("bh")
+            )
+        )
+    banded = pieces[0]
+    for p in pieces[1:]:
+        banded = banded.unionByName(p)
+    left = banded.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_a"))
+    right = banded.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_b"))
+    return (
+        left.join(right, on=["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+    char_n: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for doc pairs sharing >=1 shingle.
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) over distinct shingles. The
+    shingle self-join is the quadratic baseline / LSH verify step.
+    """
+    shingled = df.select(
+        F.col(id_col),
+        (
+            char_ngrams(text_col, char_n) if char_n else word_ngrams(text_col, shingle_words)
+        ).alias("shingles"),
+    )
+    sizes = shingled.select(id_col, F.size("shingles").alias("n_sh"))
+    ex = shingled.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("sh"))
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("sh"))
+    common = (
+        a.join(b, on="sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_common", "jaccard")
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """SimHash signature: per-token 60-bit md5 hash votes +1/-1 on each
+    of `bits` signature bits; the signature bit is 1 iff the vote sum is
+    positive. One explode + one groupBy (shuffle = token count)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    hashed = toks.select(id_col, md5_long(F.col("t")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agged = hashed.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return agged.select(F.col(id_col), sig.cast("long").alias("simhash"))

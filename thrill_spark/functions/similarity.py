@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a single pass, JVM-side
+F.aggregate/zip_with fold (no Python UDF). Scale path: LSH bucketing by
+random-hyperplane signs (signature equi-join) so candidate generation
+is linear; IVF-style coarse quantization against sampled centroids.
+
+The dot-product fold is a *sequential left fold* (F.aggregate), which
+DuckDB's list_reduce reproduces exactly — that makes brute-force cosine
+oracle-checkable bit-for-bit despite floating point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Sequential left-fold sum of an array<double> (deterministic FP)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(_fold_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk_for_query(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force top-k by cosine vs a literal query vector.
+
+    One scan + TakeOrdered(k); ties broken by id for determinism.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def cosine_self_join_topk(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_ids: list[int] | None = None,
+) -> DataFrame:
+    """Top-k neighbors for each probe row (or all rows) by brute-force
+    cosine: broadcast the probe set, score against the full table, rank
+    per probe. Cost O(|probes| * n) — the exact baseline ANN variants
+    are judged against."""
+    from pyspark.sql import Window
+
+    probes = df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    if probe_ids is not None:
+        probes = probes.filter(F.col("query_id").isin(probe_ids))
+    scored = df.join(F.broadcast(probes), on=F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed LCG, no RNG state)
+    for sign-LSH. Values in [-1, 1)."""
+    planes = []
+    state = 88172645463325252
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            # xorshift64
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            row.append((state % (1 << 20)) / float(1 << 19) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH bucket id: bit b = 1 iff dot(vec, plane_b) > 0. Vectors
+    in the same bucket are ANN candidates; bucket join is an equi-join."""
+    sig = None
+    for b, plane in enumerate(hyperplanes(dim, n_planes)):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(F.col(vec_col), p) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return df.withColumn("lsh_bucket", sig.cast("long"))
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN via sign-LSH: candidates = same-bucket pairs, ranked by exact
+    cosine within bucket. Recall < 1 by construction; the scale path
+    when brute force is too expensive (candidates shrink by ~2^planes)."""
+    from pyspark.sql import Window
+
+    sig = lsh_signature(df, dim, n_planes, vec_col)
+    a = sig.select(
+        F.col("lsh_bucket"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    b = sig.select(F.col("lsh_bucket"), F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    scored = (
+        a.join(b, on="lsh_bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,118 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All hot-path expressions are JVM-side built-ins (no Python UDFs):
+tokenization via split/regexp, hashing via md5 (chosen because the
+DuckDB oracle computes the identical digest), scoring via arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Deliberately tiny + deterministic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "a"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "y", "es", "los"),
+}
+
+
+def tokens(col: str | Column, lowercase: bool = True) -> Column:
+    """Whitespace tokenization -> array<string> with empties removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_ngrams(col: str | Column, n: int) -> Column:
+    """Character n-gram shingles (distinct) of a lowercased string."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+
+
+def word_ngrams(col: str | Column, n: int) -> Column:
+    """Word n-gram shingles (distinct), space-joined."""
+    toks = tokens(col)
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), count - 1)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def md5_long(col: Column, offset: int = 1) -> Column:
+    """Stable 60-bit integer hash from md5 hex digits [offset, offset+15).
+
+    md5 (not xxhash64/murmur) so the DuckDB oracle reproduces it:
+    CAST('0x' || substr(md5(x), offset, 15) AS BIGINT).
+    """
+    return F.conv(F.substring(F.md5(col), offset, 15), 16, 10).cast("long")
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text — the exact-dedup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.concat_ws(" ", tokens(c)))
+
+
+def quality_features(text_col: str = "text") -> dict[str, Column]:
+    """Deterministic quality-scoring features (length / punctuation /
+    word-shape ratios), all SQL-replicable arithmetic."""
+    c = F.col(text_col)
+    n_chars = F.length(c).cast("double")
+    toks = tokens(c)
+    n_words = F.size(toks).cast("double")
+    n_punct = (F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))).cast("double")
+    n_spaces = (F.length(c) - F.length(F.regexp_replace(c, r" ", ""))).cast("double")
+    avg_word_len = F.when(n_words > 0, (n_chars - n_spaces) / n_words).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "avg_word_len": avg_word_len,
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+        "space_ratio": F.when(n_chars > 0, n_spaces / n_chars).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite [0,1] quality score: rewards mid-length documents with
+    word-like tokens; pure arithmetic so the oracle can reproduce it."""
+    f = quality_features(text_col)
+    length_term = F.least(f["n_words"] / F.lit(100.0), F.lit(1.0))
+    shape_term = F.when(
+        (f["avg_word_len"] >= 2.0) & (f["avg_word_len"] <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    punct_term = F.when(f["punct_ratio"] <= 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
+    return length_term * shape_term * punct_term
+
+
+def stopword_hits(text_col: str | Column, lang: str) -> Column:
+    """Count of tokens that are marker stopwords for `lang`."""
+    toks = tokens(text_col)
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+
+def lang_id(text_col: str | Column) -> Column:
+    """Heuristic language ID: argmax of marker-stopword hit counts,
+    'und' (undetermined) when no marker hits. Deterministic tie-break:
+    alphabetically-last language code wins ties (fr > es > en > de)."""
+    pairs = [(lang, stopword_hits(text_col, lang)) for lang in sorted(LANG_MARKERS)]
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    # iterate in reverse-sorted order so earlier codes win ties
+    for lang, hits in reversed(pairs):
+        take = hits > best_hits
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    return best_lang

@@ -582,3 +582,8 @@ def q_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") * F.col("id")).alias("sq"),
         (F.col("id") % 7).alias("bucket"),
     )
+
+
+# Register extension batches (import side effects populate QUERIES/ORACLES).
+from thrill_spark.plans import queries_ordered  # noqa: E402,F401
+from thrill_spark.plans import queries_llm  # noqa: E402,F401

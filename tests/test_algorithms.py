@@ -1,0 +1,59 @@
+"""Iterative algorithm tests with closed-form / known-graph expectations
+(mirrors tests/examples/ in the reference)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from thrill_spark.plans import algorithms as A
+
+
+def test_pagerank_cycle_uniform(spark):
+    # directed cycle: stationary distribution is uniform
+    n = 10
+    edges = spark.createDataFrame([(i, (i + 1) % n) for i in range(n)], ["src", "dst"])
+    ranks = A.pagerank(edges, iterations=20).collect()
+    for r in ranks:
+        assert abs(r["rank"] - 1.0 / n) < 1e-6
+
+
+def test_pagerank_star_center_dominates(spark):
+    edges = spark.createDataFrame([(i, 0) for i in range(1, 6)], ["src", "dst"])
+    ranks = {r["node"]: r["rank"] for r in A.pagerank(edges, iterations=15).collect()}
+    assert ranks[0] > max(v for k, v in ranks.items() if k != 0)
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+
+def test_triangle_count_known_graphs(spark):
+    # K4 has 4 triangles
+    k4 = [(i, j) for i in range(4) for j in range(4) if i < j]
+    edges = spark.createDataFrame(k4, ["a", "b"])
+    assert A.triangle_count(edges) == 4
+    # square (no diagonal) has none
+    sq = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0)], ["a", "b"])
+    assert A.triangle_count(sq) == 0
+    # duplicate/reversed edges must not double-count
+    dup = spark.createDataFrame([(0, 1), (1, 0), (1, 2), (2, 0), (0, 2)], ["a", "b"])
+    assert A.triangle_count(dup) == 1
+
+
+def test_kmeans_separable(spark):
+    rows = []
+    for i in range(20):
+        rows.append((i, [0.0 + i * 0.001, 0.0]))
+        rows.append((100 + i, [10.0 + i * 0.001, 10.0]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = A.kmeans(df, k=2, iterations=5)
+    clusters = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    low = {clusters[i] for i in range(20)}
+    high = {clusters[100 + i] for i in range(20)}
+    assert len(low) == 1 and len(high) == 1 and low != high
+
+
+def test_kth_statistic(spark):
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.randint(0, 10_000) for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    for k in (0, 10, 499):
+        assert A.kth_statistic(df, "v", k) == sorted(vals)[k]

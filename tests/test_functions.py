@@ -1,0 +1,125 @@
+"""Dedup / similarity / text / multimodal function tests with planted
+ground truth."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from thrill_spark.functions import dedup as D
+from thrill_spark.functions import multimodal as MM
+from thrill_spark.functions import similarity as S
+from thrill_spark.functions import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("today", "tonight")  # near-dup of 0
+    other = "completely different content about spark engines and distributed query processing"
+    rows = [(0, base), (1, near), (2, other), (3, base)]  # 3 = exact dup of 0
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_finds_planted_dup(docs):
+    out = D.exact_dedup(docs).collect()
+    groups = {r["doc_id"]: r["n_copies"] for r in out}
+    assert groups[0] == 2  # docs 0 and 3 collapse
+    assert len(out) == 3
+
+
+def test_jaccard_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs and 0.5 < pairs[(0, 1)] < 1.0
+    assert (0, 2) not in pairs
+
+
+def test_minhash_lsh_candidates_contain_dups(docs):
+    sig = D.minhash_signatures(docs, num_hashes=16)
+    cands = {(r["id_a"], r["id_b"]) for r in D.lsh_candidate_pairs(sig, num_hashes=16, bands=8).collect()}
+    assert (0, 3) in cands  # exact dup always collides
+    assert (0, 1) in cands  # near dup collides in some band w.h.p.
+
+
+def test_simhash_similarity_structure(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, bits=32).collect()}
+    assert sigs[0] == sigs[3]
+    ham_near = bin(sigs[0] ^ sigs[1]).count("1")
+    ham_far = bin(sigs[0] ^ sigs[2]).count("1")
+    assert ham_near < ham_far
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.cosine_topk_for_query(df, [1.0, 0, 0, 0, 0, 0, 0, 0.0], k=1).collect()
+    assert out[0]["vec_id"] == 0 and abs(out[0]["cos_sim"] - 1.0) < 1e-12
+
+
+def test_ann_lsh_recall_on_clusters(spark):
+    # two tight clusters; ANN should retrieve same-cluster neighbors
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0 + 0.01 * i] * 4 + [0.0] * 4))
+        rows.append((100 + i, [0.0] * 4 + [1.0 + 0.01 * i] * 4))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.ann_lsh_topk(df, dim=8, k=3, n_planes=4).collect()
+    for r in out:
+        same = (r["query_id"] < 100) == (r["neighbor_id"] < 100)
+        assert same, f"cross-cluster neighbor {r}"
+
+
+def test_cosine_self_join_topk(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.cosine_self_join_topk(df, k=2, probe_ids=[0]).collect()
+    assert len(out) == 2 and all(r["query_id"] == 0 for r in out)
+
+
+def test_text_tokens_and_fingerprint(spark):
+    df = spark.createDataFrame([(0, "  Hello   WORLD  "), (1, "hello world")], ["doc_id", "text"])
+    out = df.select("doc_id", TX.token_count("text").alias("n"), TX.fingerprint("text").alias("fp")).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["n"] == 2
+    assert by_id[0]["fp"] == by_id[1]["fp"]  # normalization collapses case+ws
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        (0, "the cat and the dog is a friend of mine"),
+        (1, "der hund und die katze ist das beste"),
+        (2, "le chat et la souris est les amis"),
+        (3, "xyz qqq zzz"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["lang"] for r in df.select("doc_id", TX.lang_id("text").alias("lang")).collect()}
+    assert out[0] == "en" and out[1] == "de" and out[2] == "fr" and out[3] == "und"
+
+
+def test_quality_score_range(spark):
+    df = spark.createDataFrame([(0, "good text " * 60), (1, "!!!...")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["q"] for r in df.select("doc_id", TX.quality_score("text").alias("q")).collect()}
+    assert out[0] == 1.0
+    assert out[1] < 0.2
+
+
+def test_multimodal_feature_extraction(spark):
+    df = MM.attach_fake_media(spark.range(20).withColumnRenamed("id", "id"), "id")
+    feats = MM.extract_features(df).collect()
+    assert len(feats) == 20
+    r = next(x for x in feats if x["id"] == 7)
+    assert r["format"] == "png" and r["n_bytes"] == len(b"png:7")
+
+
+def test_multimodal_real_decoder_is_stubbed(spark):
+    df = MM.attach_fake_media(spark.range(1), "id")
+    with pytest.raises(Exception):  # NotImplementedError inside executor
+        MM.extract_features(df, use_real_decoder=True).collect()
+
+
+def test_multimodal_resize_and_framesample(spark):
+    df = MM.attach_fake_media(spark.range(5), "id")
+    rs = MM.resize_images(df, 64, 48).collect()
+    assert all(r["media_meta"]["width"] == 64 for r in rs)
+    fs = MM.frame_sample(df, every_n=2).collect()
+    n7 = [r for r in fs if r["id"] == 3]  # id 3 -> 4 frames -> sampled 0,2
+    assert [r["frame_idx"] for r in n7] == [0, 2]

@@ -1,0 +1,130 @@
+"""Operator tests mirroring the reference's per-op suites
+(tests/api/reduce_node_test.cpp, join_test.cpp etc. — computed
+expectations, duplicate-key cross products, type mixes)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from thrill_spark.operators import actions as ACT
+from thrill_spark.operators import basic as B
+from thrill_spark.operators import join as J
+from thrill_spark.operators import reduce as R
+
+
+def test_reduce_by_key_closed_form(spark):
+    # mirrors reduce_node_test.cpp: keys i % m, sum check via closed form
+    n, m = 1000, 7
+    df = spark.range(n).select((F.col("id") % m).alias("k"), F.col("id").alias("v"))
+    out = {r["k"]: r["s"] for r in R.reduce_by_key(df, ["k"], {"s": F.sum("v")}).collect()}
+    for k in range(m):
+        assert out[k] == sum(i for i in range(n) if i % m == k)
+
+
+def test_inner_join_duplicate_keys_cross_product(spark):
+    # mirrors join_test.cpp same-key case: n x m matches per key
+    a = spark.createDataFrame([(1, "a1"), (1, "a2"), (2, "a3")], ["k", "l"])
+    b = spark.createDataFrame([(1, "b1"), (1, "b2"), (1, "b3"), (3, "b4")], ["k", "r"])
+    out = J.inner_join(a, b, on=["k"]).collect()
+    assert len(out) == 2 * 3  # key 1: 2x3, key 2/3: no match
+
+
+def test_join_family(spark):
+    a = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    b = spark.createDataFrame([(2,), (3,), (4,)], ["k"])
+    assert J.join_dfs(a, b, ["k"], "left_semi").count() == 2
+    assert J.join_dfs(a, b, ["k"], "left_anti").count() == 1
+    assert J.join_dfs(a, b, ["k"], "full_outer").count() == 4
+    assert J.join_dfs(a, b, ["k"], "left").count() == 3
+
+
+def test_asof_join_matches_pandas(spark):
+    trades = [(1, 10.0), (1, 25.0), (2, 7.0), (2, 100.0)]
+    quotes = [(1, 5.0, 100), (1, 20.0, 110), (2, 8.0, 200), (2, 50.0, 210)]
+    left = spark.createDataFrame(trades, ["sym", "t"])
+    right = spark.createDataFrame(quotes, ["sym", "t", "px"])
+    out = J.asof_join(left, right, "t", "t", by=["sym"]).orderBy("sym", "t").collect()
+    lp = pd.DataFrame(trades, columns=["sym", "t"]).sort_values("t")
+    rp = pd.DataFrame(quotes, columns=["sym", "t", "px"]).sort_values("t")
+    exp = pd.merge_asof(lp, rp, on="t", by="sym", direction="backward").sort_values(
+        ["sym", "t"]
+    )
+    got = [(r["sym"], r["t"], r["px_r"]) for r in out]
+    want = [
+        (int(r.sym), float(r.t), None if pd.isna(r.px) else int(r.px))
+        for r in exp.itertuples()
+    ]
+    assert got == want
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([(1, 10.0)], ["sym", "t"])
+    right = spark.createDataFrame([(1, 5.0, 1), (1, 12.0, 2), (1, 30.0, 3)], ["sym", "t", "px"])
+    out = J.asof_join(left, right, "t", "t", by=["sym"], direction="forward").collect()
+    assert out[0]["px_r"] == 2  # first quote at t>=10
+
+
+def test_range_join_bucketized_equals_naive(spark):
+    points = spark.createDataFrame([(float(i),) for i in range(50)], ["p"])
+    ivals = spark.createDataFrame(
+        [(0.0, 10.0, "a"), (5.0, 7.0, "b"), (40.0, 55.0, "c")], ["lo", "hi", "tag"]
+    )
+    naive = J.range_join(points, ivals, "p", "lo", "hi")
+    bucket = J.range_join(points, ivals, "p", "lo", "hi", bucket_width=8.0)
+    ns = sorted((r["p"], r["tag"]) for r in naive.collect())
+    bs = sorted((r["p"], r["tag"]) for r in bucket.collect())
+    assert ns == bs and len(ns) == 10 + 2 + 10
+
+
+def test_union_bag_keeps_duplicates(spark):
+    a = spark.createDataFrame([(1,), (1,)], ["v"])
+    b = spark.createDataFrame([(1,)], ["v"])
+    assert B.union_bag([a, b]).count() == 3
+
+
+def test_flat_map_empty_arrays(spark):
+    df = spark.createDataFrame([("a b",), ("",)], ["s"])
+    words = B.flat_map(df, F.split(F.col("s"), " "), "w")
+    assert words.filter(F.col("w") != "").count() == 2
+
+
+def test_samples(spark):
+    df = spark.range(10000)
+    n = B.bernoulli_sample(df, 0.1, seed=1).count()
+    assert 800 < n < 1200
+    assert B.exact_sample(df, 17).count() == 17
+    sys = B.systematic_sample(df.withColumnRenamed("id", "v"), ["v"], 100)
+    assert sys.count() == 100
+
+
+def test_actions(spark):
+    df = spark.range(100).withColumnRenamed("id", "v")
+    assert ACT.size(df) == 100
+    assert ACT.sum_action(df, "v") == 4950
+    assert ACT.min_action(df, "v") == 0
+    assert ACT.max_action(df, "v") == 99
+    assert ACT.all_reduce(df, F.sum(F.col("v") * 2)) == 9900
+    g = ACT.gather(df.filter(F.col("v") < 3), order_by=["v"])
+    assert [r["v"] for r in g] == [0, 1, 2]
+
+
+def test_group_by_key_apply_in_pandas(spark):
+    df = spark.createDataFrame([(1, 5.0), (1, 7.0), (2, 1.0)], ["k", "v"])
+
+    def spread(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [pdf["k"].iloc[0]], "spread": [pdf["v"].max() - pdf["v"].min()]})
+
+    out = {r["k"]: r["spread"] for r in R.group_by_key(df, ["k"], spread, "k long, spread double").collect()}
+    assert out == {1: 2.0, 2: 0.0}
+
+
+def test_median_by_key(spark):
+    df = spark.createDataFrame([(1, 1.0), (1, 2.0), (1, 10.0), (2, 4.0), (2, 6.0)], ["k", "v"])
+    out = {r["k"]: r["median"] for r in R.median_by_key(df, ["k"], "v").collect()}
+    assert out == {1: 2.0, 2: 5.0}
+
+
+def test_hyperloglog_close(spark):
+    df = spark.range(50000).select((F.col("id") % 10000).alias("v"))
+    est = R.hyperloglog(df, "v", rsd=0.02).first()["approx_distinct"]
+    assert abs(est - 10000) / 10000 < 0.1

@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The decode/feature kernels are STUBS (the media libraries are not in
+this container) — clearly marked below — but the Spark-side machinery
+is real and tested: schema convention, Arrow-batched mapInPandas
+signatures, partition sizing for large blobs, and a deterministic fake
+decoder so pipelines are end-to-end runnable.
+
+Schema convention for a media column `m`:
+    m          binary        raw bytes (or NULL if externalized)
+    m_meta     struct<format string, width int, height int,
+                      n_frames int, sample_rate int>
+
+At 100 TB scale the binary payload dominates: keep blobs in their own
+parquet files (or external object store with a uri column), set
+spark.sql.files.maxPartitionBytes so a partition holds a bounded number
+of blobs, and never groupBy/shuffle the binary column itself — shuffle
+the (id, feature) projections instead.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, id_col: str, fmt: str = "png") -> DataFrame:
+    """Deterministic fake media: payload bytes derived from the id (so
+    tests are reproducible without media libs)."""
+    payload = F.encode(
+        F.concat(F.lit(fmt + ":"), F.col(id_col).cast("string")), "utf-8"
+    ).cast("binary")
+    meta = F.struct(
+        F.lit(fmt).alias("format"),
+        (F.col(id_col) % 640 + 1).cast("int").alias("width"),
+        (F.col(id_col) % 480 + 1).cast("int").alias("height"),
+        F.lit(1).cast("int").alias("n_frames"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    )
+    return df.withColumn("media", payload).withColumn("media_meta", meta)
+
+
+def _decode_image_real(raw: bytes):  # pragma: no cover - stub
+    """STUB: real decode requires PIL/opencv (not in this container).
+
+    Replace the body with e.g. PIL.Image.open(io.BytesIO(raw)) in a
+    deployment image. The mapInPandas plumbing around it is unchanged.
+    """
+    raise NotImplementedError("image decode requires PIL/opencv; not available here")
+
+
+def decode_fake(raw: bytes) -> tuple[str, int]:
+    """Deterministic fake 'decode': parses the attach_fake_media payload
+    -> (format, id). Stands in for _decode_image_real in tests."""
+    s = raw.decode("utf-8")
+    fmt, _, ident = s.partition(":")
+    return fmt, int(ident)
+
+
+FEATURE_SCHEMA = "id long, format string, n_bytes int, feat_checksum long"
+
+
+def extract_features(df: DataFrame, id_col: str = "id", use_real_decoder: bool = False) -> DataFrame:
+    """Feature extraction over media blobs via Arrow-batched mapInPandas.
+
+    The batch iterator shape is the production pattern: per-batch decode
+    keeps peak memory at (batch rows x blob size), and the output drops
+    the binary payload so downstream shuffles move only features.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ident, raw in zip(pdf[id_col], pdf["media"]):
+                if use_real_decoder:
+                    _decode_image_real(bytes(raw))  # pragma: no cover
+                fmt, parsed = decode_fake(bytes(raw))
+                checksum = sum(bytes(raw)) * 31 + parsed
+                rows.append((ident, fmt, len(raw), checksum))
+            yield pd.DataFrame(rows, columns=["id", "format", "n_bytes", "feat_checksum"])
+
+    return df.select(F.col(id_col).alias(id_col), "media").mapInPandas(op, FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int, id_col: str = "id") -> DataFrame:
+    """Resize plumbing: passes blobs through mapInPandas and rewrites
+    metadata; the pixel kernel is the stubbed decoder. Output schema
+    keeps the binary column (resized payload in production)."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                {"format": decode_fake(bytes(r))[0], "width": width, "height": height,
+                 "n_frames": 1, "sample_rate": None}
+                for r in pdf["media"]
+            ]
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "media": pdf["media"], "media_meta": metas}
+            )
+
+    return df.select(F.col(id_col).alias(id_col), "media").mapInPandas(op, out_schema)
+
+
+def frame_sample(df: DataFrame, every_n: int, id_col: str = "id") -> DataFrame:
+    """Video frame-sampling plumbing: emits 0..n rows per input row
+    (frame index modulo), the FlatMap-shaped mapInPandas pattern."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames = [], []
+            for ident in pdf[id_col]:
+                n_frames = int(ident) % 10 + 1  # fake: derived frame count
+                for fr in range(0, n_frames, every_n):
+                    ids.append(ident)
+                    frames.append(fr)
+            yield pd.DataFrame({"id": ids, "frame_idx": frames})
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(op, "id long, frame_idx int")

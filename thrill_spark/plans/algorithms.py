@@ -1,0 +1,137 @@
+"""Iterative algorithms mirroring the reference's example workloads
+(SURVEY §2.13): PageRank, k-means, triangle counting, k-th statistic.
+
+These exercise the loop/Collapse/Cache discipline: Spark DataFrame
+lineage grows per iteration, so each loop localCheckpoints (the
+Collapse analogue, thrill/api/collapse.hpp:29 — fold the pending DAG
+into a concrete node) to keep planning cost bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """PageRank (examples/page_rank/page_rank.hpp:70-: iterative
+    Zip+FlatMap+ReduceToIndex loop; here: join+groupBy loop).
+
+    Returns (node, rank). Dangling mass is redistributed uniformly.
+    Scale: ranks are hash-partitioned by node on each groupBy; the edge
+    table is re-used unshuffled (co-partitioned join would use
+    bucketing in a persisted deployment).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    ).cache()
+    n = nodes.count()
+    out_deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    edges_deg = edges.join(out_deg, on=src).select(
+        F.col(src).alias("node"), F.col(dst).alias("to"), "deg"
+    ).cache()
+    for i in range(iterations):
+        contribs = (
+            edges_deg.join(ranks, on="node")
+            .select(F.col("to").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        total_linked = ranks.join(out_deg, ranks.node == out_deg[src], "inner").agg(
+            F.sum("rank")
+        ).first()[0] or 0.0
+        dangling = 1.0 - total_linked
+        ranks = (
+            nodes.join(contribs, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()  # Collapse: cut iterative lineage
+    return ranks
+
+
+def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> int:
+    """Triangle counting (examples/triangles/triangles.hpp:49-60: double
+    InnerJoin). Edges are canonicalized a<b; count closed triples via
+    two joins — Catalyst picks sort-merge and reuses the shuffle."""
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"), F.greatest(F.col(a), F.col(b)).alias("v")
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .cache()
+    )
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    wedges = e1.join(e2, on="y")
+    e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    return wedges.join(e3, on=["x", "z"]).count()
+
+
+def kmeans(
+    points: DataFrame,
+    k: int = 4,
+    iterations: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """k-means (examples/k-means/k-means.hpp: iterative
+    Map+ReduceToIndex+Collapse loop).
+
+    Centroids are driver-side (k x dim is tiny) and re-broadcast each
+    iteration as literal arrays — the classify step stays wholly
+    JVM-side (zip_with fold distance, no Python UDF). Returns
+    (id, cluster) assignments.
+    """
+    init = points.orderBy(id_col).limit(k).select(F.col(vec_col).alias("c")).collect()
+    centroids = [[float(x) for x in r["c"]] for r in init]
+
+    def dist_to(c: list[float]):
+        arr = F.array(*[F.lit(x) for x in c])
+        d = F.zip_with(F.col(vec_col), arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y))
+        return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+    assigned = None
+    for _ in range(iterations):
+        best = None
+        for ci in range(len(centroids)):
+            cand = F.struct(dist_to(centroids[ci]).alias("d"), F.lit(ci).alias("c"))
+            best = cand if best is None else F.least(best, cand)
+        assigned = points.select(F.col(id_col), F.col(vec_col), best["c"].alias("cluster"))
+        dim = len(centroids[0])
+        sums = assigned.groupBy("cluster").agg(
+            *[F.sum(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"s{i}") for i in range(dim)],
+            F.count("*").alias("n"),
+        )
+        rows = {r["cluster"]: r for r in sums.collect()}
+        centroids = [
+            [rows[ci][f"s{i}"] / rows[ci]["n"] for i in range(dim)] if ci in rows else centroids[ci]
+            for ci in range(len(centroids))
+        ]
+    return assigned.select(id_col, "cluster")
+
+
+def kth_statistic(df: DataFrame, col: str, kth: int):
+    """k-th order statistic (examples/select/select.hpp:44-127 — sampled
+    pivot recursion). Spark expression: exact via sort-limit on the
+    k-prefix; for large k use approx quantile refinement instead."""
+    return (
+        df.select(F.col(col)).orderBy(col).limit(kth + 1).orderBy(F.col(col).desc()).limit(1).first()[0]
+    )

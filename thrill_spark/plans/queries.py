@@ -587,3 +587,4 @@ def q_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Register extension batches (import side effects populate QUERIES/ORACLES).
 from thrill_spark.plans import queries_ordered  # noqa: E402,F401
 from thrill_spark.plans import queries_llm  # noqa: E402,F401
+from thrill_spark.plans import queries_algo  # noqa: E402,F401

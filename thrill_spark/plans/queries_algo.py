@@ -1,0 +1,93 @@
+"""Algorithm + I/O queries, batch 4: the reference's example workloads
+(PageRank / k-means / triangles / selection) and source/sink
+round-trips, as driver-checkable queries."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from thrill_spark.catalog import load_table
+from thrill_spark.plans import algorithms as A
+from thrill_spark.plans.queries import query
+from thrill_spark.sources import io as IO
+
+
+def _edges(spark: SparkSession, sf_dir: str, mod: int = 200) -> DataFrame:
+    """Deterministic graph derived from lineitem: part/supplier keys
+    folded into one node space (mirrors the reference's synthetic
+    zipf graphs, examples/page_rank/zipf_graph_gen.hpp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_partkey") % mod).alias("a"), (F.col("l_suppkey") % mod).alias("b")
+    )
+
+
+@query(
+    "triangle_count",
+    """
+    WITH e AS (
+      SELECT DISTINCT least(l_partkey % 200, l_suppkey % 200) AS u,
+                      greatest(l_partkey % 200, l_suppkey % 200) AS v
+      FROM lineitem
+      WHERE least(l_partkey % 200, l_suppkey % 200)
+            < greatest(l_partkey % 200, l_suppkey % 200))
+    SELECT COUNT(*) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = A.triangle_count(_edges(spark, sf_dir))
+    return spark.createDataFrame([(n,)], "n_triangles long")
+
+
+@query("pagerank")  # iterative float sums: order-dependent FP -> rows-only
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return A.pagerank(edges, iterations=3)
+
+
+@query("kmeans_clusters")  # iterative float means -> rows-only
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = A.kmeans(emb, k=4, iterations=3)
+    return assigned.groupBy("cluster").agg(F.count("*").alias("n"))
+
+
+@query(
+    "kth_statistic",
+    """
+    SELECT o_totalprice AS kth_value FROM orders
+    ORDER BY o_totalprice LIMIT 1 OFFSET 99
+    """,
+)
+def q_kth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v = A.kth_statistic(orders, "o_totalprice", 99)
+    return spark.createDataFrame([(float(v),)], "kth_value double")
+
+
+# ---------------------------------------------------------------------------
+# Source/sink round-trips (ReadLines/WriteLines, ReadBinary/WriteBinary)
+# ---------------------------------------------------------------------------
+@query("io_lines_roundtrip")  # writes tmp files -> rows-only
+def q_io_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(F.col("text").alias("line"))
+    out = os.path.join(tempfile.gettempdir(), "thrill_spark_lines")
+    IO.write_lines(docs, out)
+    back = IO.read_lines(spark, out)
+    return back.agg(F.count("*").alias("n_lines"))
+
+
+@query("io_binary_roundtrip")  # writes tmp files -> rows-only
+def q_io_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.gettempdir(), "thrill_spark_binary")
+    IO.write_binary(orders, out)
+    back = IO.read_binary(spark, out)
+    return back.agg(
+        F.count("*").alias("n_rows"), F.sum(F.col("o_orderkey")).alias("key_sum")
+    )

@@ -1,0 +1,68 @@
+"""File sources/sinks with Thrill operator parity.
+
+Reference behaviors being matched (not ported):
+- ReadLines (thrill/api/read_lines.hpp:41-67): text glob -> DIA<string>,
+  byte-range split per worker, gz/bz2 whole-file fallback. Spark's text
+  source does identical split planning (splittable formats by range,
+  compressed whole-file), so `spark.read.text(glob)` is the operator.
+- WriteLines (thrill/api/write_lines.hpp:33): many files per worker with
+  target size; WriteLinesOne (write_lines_one.hpp:31) sequences one
+  file. Spark: df.write.text(dir) / coalesce(1) variant.
+- ReadBinary/WriteBinary (read_binary.hpp:45, write_binary.hpp:36):
+  round-trippable binary items. Parquet is the Spark-native equivalent
+  (schema'd, splittable, compressed — strictly better than raw structs).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_lines(spark: SparkSession, path: str, name: str = "line") -> DataFrame:
+    """ReadLines: text file(s)/glob -> one string column. Compression
+    (.gz/.bz2/...) auto-detected by the Hadoop codec factory, matching
+    the reference's vfs filter layer (thrill/vfs/gzip_filter.hpp)."""
+    return spark.read.text(path).withColumnRenamed("value", name)
+
+
+def write_lines(df: DataFrame, path: str, col: str = "line", mode: str = "overwrite") -> None:
+    """WriteLines: one text file per partition under `path` (the Spark
+    analogue of per-worker `$$$$$` path templating)."""
+    df.select(F.col(col).cast("string").alias("value")).write.mode(mode).text(path)
+
+
+def write_lines_one(df: DataFrame, path: str, col: str = "line", mode: str = "overwrite") -> None:
+    """WriteLinesOne: single output file (coalesce(1) — driver-side
+    sequencing, only for small outputs, same caveat as the reference's
+    one-file sink)."""
+    df.select(F.col(col).cast("string").alias("value")).coalesce(1).write.mode(mode).text(path)
+
+
+def read_binary(spark: SparkSession, path: str) -> DataFrame:
+    """ReadBinary: re-read WriteBinary output with schema preserved."""
+    return spark.read.parquet(path)
+
+
+def write_binary(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """WriteBinary: schema'd, splittable, round-trips with read_binary."""
+    df.write.mode(mode).parquet(path)
+
+
+def generate(spark: SparkSession, size: int, exprs: dict[str, Column] | None = None) -> DataFrame:
+    """Generate (thrill/api/generate.hpp:37): DIA from f(i), i in [0,size).
+    spark.range plans one partition per core slice — the same
+    CalculateLocalRange split (generate.hpp:55-61) without custom code."""
+    df = spark.range(size).withColumnRenamed("id", "i")
+    if exprs:
+        df = df.select("i", *[e.alias(n) for n, e in exprs.items()])
+    return df
+
+
+def from_vector(spark: SparkSession, rows: Sequence, schema) -> DataFrame:
+    """EqualToDIA / ConcatToDIA / Distribute (thrill/api/equal_to_dia.hpp:30,
+    distribute.hpp:33): driver-side vector scattered across workers.
+    Spark's createDataFrame parallelizes the local collection."""
+    return spark.createDataFrame(rows, schema=schema)

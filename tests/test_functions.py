@@ -123,3 +123,41 @@ def test_multimodal_resize_and_framesample(spark):
     fs = MM.frame_sample(df, every_n=2).collect()
     n7 = [r for r in fs if r["id"] == 3]  # id 3 -> 4 frames -> sampled 0,2
     assert [r["frame_idx"] for r in n7] == [0, 2]
+
+
+def test_winnow_fingerprint_shared_run(spark):
+    # docs sharing a long run must share at least one winnow fingerprint
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "PREFIX " + a  # shifted copy: shared 10-word run
+    c = "totally unrelated words here none in common with others at all"
+    df = spark.createDataFrame([(0, a), (1, b), (2, c)], ["doc_id", "text"])
+    fp = D.winnow_fingerprint("text", shingle_words=3, window=4)
+    rows = df.select("doc_id", fp.alias("fp")).collect()
+    assert all(sorted(r["fp"]) == list(r["fp"]) for r in rows)  # sorted-set output
+    out = {r["doc_id"]: set(r["fp"]) for r in rows}
+    assert out[0] & out[1], "shifted copy must share a fingerprint"
+    assert not (out[0] & out[2]), "unrelated docs should not collide"
+
+
+def test_cosine_near_dup_pairs_planted(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r["a_id"], r["b_id"]) for r in S.cosine_near_dup_pairs(df, tau=0.95).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_ann_ivf_recall_vs_brute(spark):
+    rows = []
+    for i in range(12):
+        rows.append((i, [1.0 + 0.01 * i] * 4 + [0.0] * 4))
+        rows.append((100 + i, [0.0] * 4 + [1.0 + 0.01 * i] * 4))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.ann_ivf_topk(df, k=3, n_cells=4).collect()
+    assert len(out) > 0
+    for r in out:
+        same = (r["query_id"] < 100) == (r["neighbor_id"] < 100)
+        assert same, f"cross-cluster neighbor {r}"

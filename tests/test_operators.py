@@ -128,3 +128,33 @@ def test_hyperloglog_close(spark):
     df = spark.range(50000).select((F.col("id") % 10000).alias("v"))
     est = R.hyperloglog(df, "v", rsd=0.02).first()["approx_distinct"]
     assert abs(est - 10000) / 10000 < 0.1
+
+
+def test_asof_join_backward(spark):
+    from thrill_spark.operators.join import asof_join
+
+    quotes = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c")], ["k", "t", "val"]
+    )
+    trades = spark.createDataFrame(
+        [(1, 5), (1, 12), (1, 25), (2, 15), (2, 14)], ["k", "t"]
+    )
+    out = asof_join(trades, quotes, "t", "t", by=("k",)).collect()
+    got = {(r["k"], r["t"]): r["val_r"] for r in out}
+    assert got == {(1, 5): None, (1, 12): "a", (1, 25): "b", (2, 15): "c", (2, 14): None}
+
+
+def test_range_join_bucketized_matches_naive(spark):
+    from thrill_spark.operators.join import range_join
+
+    pts = spark.createDataFrame([(i, float(i)) for i in range(20)], ["pid", "x"])
+    ivs = spark.createDataFrame(
+        [(0, 0.0, 5.0), (1, 3.0, 12.0), (2, 17.0, 100.0)], ["iid", "lo", "hi"]
+    )
+    naive = {(r["pid"], r["iid"]) for r in range_join(pts, ivs, "x", "lo", "hi").collect()}
+    bucket = {
+        (r["pid"], r["iid"])
+        for r in range_join(pts, ivs, "x", "lo", "hi", bucket_width=4.0).collect()
+    }
+    assert naive == bucket
+    assert (3, 0) in naive and (3, 1) in naive and (19, 2) in naive

@@ -61,6 +61,31 @@ def shingle_hashes(
     return sh.select(id_col, md5_long(F.col("sh")).alias("h"))
 
 
+def winnow_fingerprint(
+    text_col: str | F.Column, shingle_words: int = 3, window: int = 4
+) -> F.Column:
+    """Winnowing document fingerprint (rolling-hash selection, after
+    Schleimer et al. SIGMOD'03): hash each word-shingle, slide a window
+    of `window` consecutive shingle hashes, keep the minimum of each
+    window; the sorted distinct survivors are the fingerprint set.
+
+    Guarantees any shared run of >= window+shingle_words-1 words
+    produces at least one shared fingerprint — positional, unlike
+    minhash's set-sample. Entirely JVM-side array expressions (no
+    shuffle, no UDF): fingerprinting 100 TB is a map-only stage.
+
+    Shingles are kept positional (NOT distinct-ed) — winnowing's window
+    guarantee depends on the original shingle sequence."""
+    toks = tokens(text_col)
+    n_sh = F.greatest(F.size(toks) - (shingle_words - 1), F.lit(1))
+    sh_idx = F.sequence(F.lit(0), n_sh - 1)
+    shingles = F.transform(sh_idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_words)))
+    hs = F.transform(shingles, lambda g: md5_long(g))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(hs) - window, F.lit(0)))
+    mins = F.transform(idx, lambda i: F.array_min(F.slice(hs, i + 1, window)))
+    return F.array_sort(F.array_distinct(mins))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

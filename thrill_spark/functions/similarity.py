@@ -109,6 +109,89 @@ def lsh_signature(
     return df.withColumn("lsh_bucket", sig.cast("long"))
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    tau: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b), a<b, with
+    cosine(a, b) >= tau. Brute-force O(n^2) pair generation — the exact
+    baseline. At scale, compose with lsh_signature first (bucket
+    equi-join prunes candidates ~2^planes-fold) and apply this exact
+    filter within buckets only; see ann_lsh_topk for the pruned shape.
+
+    Norms are precomputed once per row (not per pair), so the pair stage
+    is one multiply-free-fold per candidate."""
+    n = df.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_nrm")
+    )
+    a = n.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"), F.col("_nrm").alias("_na")
+    )
+    b = n.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"), F.col("_nrm").alias("_nb")
+    )
+    pairs = a.join(b, on=F.col("a_id") < F.col("b_id")).select(
+        "a_id",
+        "b_id",
+        (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= tau)
+
+
+def ivf_centroids(df: DataFrame, n_cells: int, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Deterministic coarse quantizer: the n_cells vectors with the
+    smallest ids serve as cell centroids (a stand-in for a trained
+    k-means codebook; swap in KMeans.fit centers in production — the
+    assignment/probe plumbing below is unchanged)."""
+    w = df.select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid"))
+    return w.orderBy("cell_id").limit(n_cells)
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid
+    (broadcast the tiny codebook, argmax cosine, tie-break on cell id),
+    then search only within the probe's cell — candidate count drops
+    ~n_cells-fold versus brute force. nprobe=1; raising recall means
+    assigning probes to their top-p cells (union of p copies of the
+    probe side) — same join shape.
+
+    The cell equi-join shuffles both sides by cell_id only; the binary
+    embedding payload never fans out n^2 ways."""
+    from pyspark.sql import Window
+
+    cents = F.broadcast(ivf_centroids(df, n_cells, vec_col, id_col))
+    scored_cells = df.join(cents).select(
+        F.col(id_col), F.col(vec_col), F.col("cell_id"),
+        cosine(F.col(vec_col), F.col("centroid")).alias("_csim"),
+    )
+    wc = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("cell_id").asc())
+    assigned = (
+        scored_cells.withColumn("_r", F.row_number().over(wc))
+        .filter(F.col("_r") == 1)
+        .select(id_col, vec_col, "cell_id")
+    )
+    a = assigned.select(
+        F.col("cell_id"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    b = assigned.select(F.col("cell_id"), F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    scored = (
+        a.join(b, on="cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ann_lsh_topk(
     df: DataFrame,
     dim: int,

@@ -588,3 +588,4 @@ def q_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 from thrill_spark.plans import queries_ordered  # noqa: E402,F401
 from thrill_spark.plans import queries_llm  # noqa: E402,F401
 from thrill_spark.plans import queries_algo  # noqa: E402,F401
+from thrill_spark.plans import queries_extra  # noqa: E402,F401

@@ -1,0 +1,205 @@
+"""Queries batch 5: as-of / range joins, winnowing fingerprints,
+embedding-cosine near-dup, IVF ANN, multimodal feature plumbing.
+
+As-of and range joins have no reference analogue (Thrill is equi-inner
+only, thrill/api/inner_join.hpp:710); they are part of the SQL-surface
+superset this engine provides. The multimodal queries exercise the
+Arrow-batched mapInPandas plumbing from functions/multimodal.py with
+the deterministic fake decoder, so they are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from thrill_spark.catalog import load_table
+from thrill_spark.functions import dedup as D
+from thrill_spark.functions import multimodal as MM
+from thrill_spark.functions import similarity as S
+from thrill_spark.operators.join import asof_join, range_join
+from thrill_spark.plans.queries import query
+
+
+# ---------------------------------------------------------------------------
+# As-of join: for each purchase event, the latest click by the same
+# user at-or-before the purchase. (user_id, ts) is unique in the
+# fixture, so the match is deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_join_purchase_click",
+    """
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           c.event_id AS click_id_r,
+           epoch_us(c.ts) AS click_us_r
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases, clicks, on_time_left="ts", on_time_right="click_ts",
+        by=("user_id",), direction="backward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.col("click_id_r"),
+        F.unix_micros("click_ts_r").alias("click_us_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join: orders priced into literal bands. The band side is tiny
+# -> Spark plans a broadcast nested-loop join (the correct physical
+# strategy; only the fact side streams).
+# ---------------------------------------------------------------------------
+PRICE_BANDS = [  # (band, lo, hi)
+    ("budget", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("high", 150_000.0, 300_000.0),
+    ("lux", 300_000.0, 1e12),
+]
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT '{b}' AS band, {lo} AS lo, {hi} AS hi" for b, lo, hi in PRICE_BANDS
+)
+
+
+@query(
+    "range_join_price_bands",
+    f"""
+    SELECT band, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders JOIN ({_BANDS_SQL}) bands
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    joined = range_join(orders, F.broadcast(bands), "o_totalprice", "lo", "hi")
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (brute-force exact baseline;
+# scale path = LSH-bucket prefilter + this exact filter within buckets)
+# ---------------------------------------------------------------------------
+_COS_TAU = 0.40
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (a,b) -> a+b)) AS nrm
+      FROM embeddings)
+    SELECT * FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                  p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (x,y) -> x+y)
+               / (a.nrm*b.nrm) AS cos_sim
+      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+    WHERE cos_sim >= {_COS_TAU}
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs(emb, tau=_COS_TAU)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+@query(
+    "doc_fingerprint_winnow",
+    """
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '') AS toks
+               FROM documents),
+    s AS (SELECT doc_id,
+                 list_transform(generate_series(0, greatest(len(toks)-2, 1)-1),
+                                i -> array_to_string(toks[i+1:i+3], ' ')) AS sh
+          FROM t),
+    h AS (SELECT doc_id,
+                 list_transform(sh, g -> CAST('0x' || substr(md5(g),1,15) AS BIGINT)) AS hs
+          FROM s)
+    SELECT doc_id,
+           list_sort(list_distinct(list_transform(
+               generate_series(0, greatest(len(hs)-4, 0)),
+               i -> list_min(hs[i+1:i+4])))) AS fp,
+           len(list_sort(list_distinct(list_transform(
+               generate_series(0, greatest(len(hs)-4, 0)),
+               i -> list_min(hs[i+1:i+4]))))) AS n_fp
+    FROM h
+    """,
+)
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = D.winnow_fingerprint("text", shingle_words=3, window=4)
+    return docs.select("doc_id", fp.alias("fp"), F.size(fp).alias("n_fp"))
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (rows-only: recall<1 vs brute force by construction; tests
+# assert recall against the exact baseline instead)
+# ---------------------------------------------------------------------------
+@query("similarity_ann_ivf")
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_ivf_topk(emb, k=5, n_cells=8)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: deterministic fake media -> Arrow-batched feature
+# extraction (mapInPandas). The checksum is reproducible in SQL, so
+# the Python-side plumbing itself is oracle-checked.
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id AS id, 'png' AS format,
+           CAST(length(s) AS INT) AS n_bytes,
+           list_reduce(list_transform(generate_series(1, length(s)),
+                i -> ascii(substr(s, i, 1))), (a,b) -> a+b) * 31 + doc_id
+             AS feat_checksum
+    FROM (SELECT doc_id, 'png:' || CAST(doc_id AS VARCHAR) AS s FROM documents)
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    media = MM.attach_fake_media(docs, "id", fmt="png")
+    return MM.extract_features(media, id_col="id")
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS id, CAST(unnest(generate_series(0, doc_id % 10, 3)) AS INT)
+             AS frame_idx
+    FROM documents
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    return MM.frame_sample(docs, every_n=3, id_col="id")

@@ -158,3 +158,13 @@ def test_range_join_bucketized_matches_naive(spark):
     }
     assert naive == bucket
     assert (3, 0) in naive and (3, 1) in naive and (19, 2) in naive
+
+
+def test_exact_sample_cardinality(spark):
+    from thrill_spark.operators.basic import exact_sample
+
+    df = spark.range(1000)
+    out = exact_sample(df, k=37).collect()
+    ids = {r["id"] for r in out}
+    assert len(out) == 37 and len(ids) == 37
+    assert ids <= set(range(1000))

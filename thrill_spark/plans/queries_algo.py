@@ -73,7 +73,10 @@ def q_kth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Source/sink round-trips (ReadLines/WriteLines, ReadBinary/WriteBinary)
 # ---------------------------------------------------------------------------
-@query("io_lines_roundtrip")  # writes tmp files -> rows-only
+@query(
+    "io_lines_roundtrip",
+    "SELECT count(*) AS n_lines FROM documents",
+)  # fixture text has no embedded newlines, so line count == row count
 def q_io_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(F.col("text").alias("line"))
     out = os.path.join(tempfile.gettempdir(), "thrill_spark_lines")
@@ -82,7 +85,11 @@ def q_io_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(F.count("*").alias("n_lines"))
 
 
-@query("io_binary_roundtrip")  # writes tmp files -> rows-only
+@query(
+    "io_binary_roundtrip",
+    """SELECT count(*) AS n_rows,
+              CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders""",
+)
 def q_io_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     out = os.path.join(tempfile.gettempdir(), "thrill_spark_binary")

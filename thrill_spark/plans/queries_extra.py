@@ -161,6 +161,43 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SortStable (thrill/api/sort.hpp SortStable variant): ties keep the
+# original array order. The original position is the materialized _idx
+# (ZipWithIndex discipline); stability == sorting by (key, _idx).
+# ---------------------------------------------------------------------------
+@query(
+    "sort_stable_priority",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderpriority, o_orderkey) - 1
+                AS BIGINT) AS stable_rank
+    FROM orders
+    """,
+)
+def q_sort_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark import ordering as O
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # original array position: orders arrive keyed by o_orderkey
+    indexed = O.with_index(orders, ["o_orderkey"])
+    stable = O.with_index(
+        indexed, [F.col("o_orderpriority"), F.col(O.IDX)], name="stable_rank"
+    )
+    return stable.select("o_orderkey", "o_orderpriority", "stable_rank")
+
+
+# Sample(k): exactly k items uniformly without replacement
+# (thrill/api/sample.hpp:33-50). Selection is random -> rows-only check;
+# tests assert exact cardinality and distinctness.
+@query("sample_exact_k")
+def q_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.operators.basic import exact_sample
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    return exact_sample(orders, k=100)
+
+
+# ---------------------------------------------------------------------------
 # IVF ANN (rows-only: recall<1 vs brute force by construction; tests
 # assert recall against the exact baseline instead)
 # ---------------------------------------------------------------------------

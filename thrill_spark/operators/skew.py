@@ -1,0 +1,82 @@
+"""Skew mitigation for heavy-hitter keys.
+
+The reference attacks skew with location detection (send each key's
+rows to a computed home worker, core/location_detection.hpp) and
+duplicate detection (skip shuffling single-worker keys,
+core/duplicate_detection.hpp:38-61). On Spark, AQE's skew-join split
+covers joins automatically; for *aggregations* over zipf-like keys the
+standard remedy is salting, provided here as a first-class operator.
+
+Semantics are identical to a plain groupBy-agg: salting only changes
+the physical shuffle (two half-width shuffles instead of one skewed
+one), so results stay oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT = "_salt"
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: dict[str, Column],
+    final_aggs: dict[str, Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation: groupBy(keys + salt) computes partials on
+    ~salt_buckets-way split heavy keys, then groupBy(keys) merges.
+
+    partial_aggs: name -> agg over input columns (e.g. sum, count).
+    final_aggs:   name -> agg over the *partial* columns merging them
+                  (sum of counts, sum of sums, min of mins, ...).
+
+    The heaviest key now bounds a task at |key| / salt_buckets rows —
+    the difference between a straggler and a balanced stage at 100 TB.
+    Associative-only (the same contract as Thrill's ReduceByKey reduce
+    function, thrill/api/dia.hpp:900-912); non-associative aggregates
+    (exact median) need group_by_key instead.
+    """
+    salted = df.withColumn(SALT, (F.rand(seed=0) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*keys, SALT).agg(
+        *[c.alias(n) for n, c in partial_aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(*[c.alias(n) for n, c in final_aggs.items()])
+
+
+def salted_count_sum(
+    df: DataFrame, keys: Sequence[str], value: str, salt_buckets: int = 16
+) -> DataFrame:
+    """Common case: count + sum per key, salt-balanced."""
+    return salted_agg(
+        df,
+        keys,
+        partial_aggs={
+            "_pc": F.count("*"),
+            "_ps": F.sum(F.col(value)),
+        },
+        final_aggs={
+            "n": F.sum("_pc").cast("long"),
+            "total": F.sum("_ps"),
+        },
+        salt_buckets=salt_buckets,
+    )
+
+
+def top_heavy_keys(df: DataFrame, keys: Sequence[str], top: int = 10) -> DataFrame:
+    """Diagnostic: the `top` heaviest keys and their row share — the
+    input you'd use to pick salt_buckets (or to switch a join side to
+    broadcast)."""
+    total = df.count()
+    return (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("n"))
+        .withColumn("share", F.col("n") / F.lit(float(total)))
+        .orderBy(F.col("n").desc())
+        .limit(top)
+    )

@@ -208,6 +208,40 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew-safe aggregation: salting splits heavy keys across salt_buckets
+# partial groups, then merges. Result is identical to a plain
+# groupBy-agg (decimal arithmetic keeps the two-stage sum exact), so it
+# is oracle-checked like any other aggregation.
+# ---------------------------------------------------------------------------
+@query(
+    "salted_agg_events",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        partial_aggs={
+            "_pc": F.count("*"),
+            "_ps": F.sum(F.col("value").cast("decimal(18,6)")),
+        },
+        final_aggs={
+            "n": F.sum("_pc").cast("long"),
+            "total": F.sum("_ps").cast("decimal(18,6)"),
+        },
+        salt_buckets=16,
+    )
+    return out.select("event_type", "n", F.col("total").cast("double").alias("total"))
+
+
+# ---------------------------------------------------------------------------
 # Multimodal: deterministic fake media -> Arrow-batched feature
 # extraction (mapInPandas). The checksum is reproducible in SQL, so
 # the Python-side plumbing itself is oracle-checked.

@@ -57,3 +57,39 @@ def test_kth_statistic(spark):
     df = spark.createDataFrame([(v,) for v in vals], ["v"])
     for k in (0, 10, 499):
         assert A.kth_statistic(df, "v", k) == sorted(vals)[k]
+
+
+def test_bfs_chain_distances(spark):
+    from thrill_spark.plans.algorithms import bfs
+
+    # simple chain 0->1->2->3 plus shortcut 0->2
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2)], ["src", "dst"]
+    )
+    out = {r["node"]: r["d"] for r in bfs(edges, source=0).collect()}
+    assert out == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_suffix_array_known_string(spark):
+    from thrill_spark.plans.algorithms import suffix_array
+    from pyspark.sql import functions as F
+
+    s = "banana"
+    chars = spark.createDataFrame(list(enumerate(s)), ["pos", "ch"])
+    out = {r["pos"]: r["rank"] for r in suffix_array(chars, len(s)).collect()}
+    # suffixes sorted: a(5) ana(3) anana(1) banana(0) na(4) nana(2)
+    expect = {5: 0, 3: 1, 1: 2, 0: 3, 4: 4, 2: 5}
+    assert out == expect
+
+
+def test_logistic_regression_separates(spark):
+    from thrill_spark.plans.algorithms import logistic_regression_sgd
+
+    rows = []
+    for i in range(40):
+        rows.append(([1.0, 1.0 + (i % 5) * 0.1], 1))
+        rows.append(([-1.0, -1.0 - (i % 5) * 0.1], 0))
+    df = spark.createDataFrame(rows, ["x", "y"])
+    w = logistic_regression_sgd(df, dim=2, iterations=15, lr=0.5)
+    # learned weights must put the classes on opposite margin sides
+    assert w[0] + w[1] > 0.5

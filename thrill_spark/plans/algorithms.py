@@ -135,3 +135,106 @@ def kth_statistic(df: DataFrame, col: str, kth: int):
     return (
         df.select(F.col(col)).orderBy(col).limit(kth + 1).orderBy(F.col(col).desc()).limit(1).first()[0]
     )
+
+
+def bfs(edges: DataFrame, source: int, max_iters: int = 25,
+        src: str = "src", dst: str = "dst") -> DataFrame:
+    """BFS shortest hop-distances from `source` (reference example
+    listing, SURVEY §2.13). Iterative frontier expansion: each round
+    joins the frontier to the edge table and anti-joins already-visited
+    nodes; the driver only decides termination (isEmpty on the new
+    frontier), never touches row data.
+
+    Scale: frontier and dist are hash-partitioned by node; each round
+    is one equi-join + one anti-join. localCheckpoint per round is the
+    Collapse analogue keeping lineage flat."""
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], "node long, d int").localCheckpoint()
+    frontier = dist
+    for i in range(1, max_iters + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges[src])
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(dist, on="node", how="left_anti")
+            .withColumn("d", F.lit(i))
+        )
+        nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return dist
+
+
+def suffix_array(chars: DataFrame, n: int, pos: str = "pos") -> DataFrame:
+    """Suffix sorting by prefix doubling (reference example listing,
+    SURVEY §2.13 — DC3/prefix-doubling, a heavy Zip/Sort/Merge user in
+    Thrill; here a heavy with_index/join user).
+
+    chars: (pos, ch) one row per character, pos in [0, n).
+    Returns (pos, rank): rank of suffix starting at pos in the sorted
+    suffix order, dense in [0, n).
+
+    Each doubling round: self-join at offset k (a Zip-with-shift),
+    re-rank pairs via the distributed with_index discipline, stop when
+    all ranks are distinct — O(log n) rounds, every step a
+    shuffle-bounded DataFrame op (no driver-side strings), which is
+    what makes this viable for distributed corpora, not just one doc."""
+    from thrill_spark import ordering as O
+
+    alpha = chars.select("ch").distinct()
+    alpha_ranked = O.with_index(alpha, ["ch"], name="r")
+    ranks = chars.join(alpha_ranked, on="ch").select(pos, "r").localCheckpoint()
+    k = 1
+    while True:
+        shifted = ranks.select((F.col(pos) - k).alias(pos), F.col("r").alias("r2"))
+        paired = ranks.join(shifted, on=pos, how="left").fillna({"r2": -1})
+        idx = O.with_index(paired, [F.col("r"), F.col("r2"), F.col(pos)])
+        grp = idx.groupBy("r", "r2").agg(F.min(O.IDX).alias("nr"))
+        ranks = (
+            idx.join(grp, on=["r", "r2"])
+            .select(pos, F.col("nr").alias("r"))
+            .localCheckpoint()
+        )
+        if grp.count() >= n:
+            break
+        k *= 2
+    return ranks.select(F.col(pos), F.col("r").cast("long").alias("rank"))
+
+
+def logistic_regression_sgd(
+    points: DataFrame,
+    dim: int,
+    iterations: int = 20,
+    lr: float = 0.5,
+    vec_col: str = "x",
+    label_col: str = "y",
+) -> list[float]:
+    """Logistic regression via full-batch gradient descent (reference
+    example listing, SURVEY §2.13). Weights are driver-side (dim
+    floats); the gradient is one distributed aggregation per step —
+    the same AllReduce shape as the reference's examples/logreg.
+
+    FP summation order makes this non-oracle-able; tests assert
+    separation on planted data instead."""
+    w = [0.0] * dim
+    for _ in range(iterations):
+        warr = F.array(*[F.lit(x) for x in w])
+        margin = F.aggregate(
+            F.zip_with(F.col(vec_col), warr, lambda x, wi: x.cast("double") * wi),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        err = p - F.col(label_col).cast("double")
+        grads = points.select(
+            *[
+                F.sum(err * F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"g{i}")
+                for i in range(dim)
+            ],
+            F.count("*").alias("n"),
+        ).first()
+        n = grads["n"]
+        w = [w[i] - lr * grads[f"g{i}"] / n for i in range(dim)]
+    return w

@@ -98,3 +98,57 @@ def q_io_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count("*").alias("n_rows"), F.sum(F.col("o_orderkey")).alias("key_sum")
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS on a deterministic generated graph (i -> 2i+1 mod N, i -> 3i+7
+# mod N). Distances are integers -> exact recursive-CTE oracle.
+# ---------------------------------------------------------------------------
+_BFS_N = 500
+
+
+@query(
+    "bfs_distances",
+    f"""
+    WITH RECURSIVE edges AS (
+      SELECT i AS src, (2*i+1) % {_BFS_N} AS dst FROM range({_BFS_N}) t(i)
+      UNION ALL
+      SELECT i, (3*i+7) % {_BFS_N} FROM range({_BFS_N}) t(i)
+    ),
+    walk(node, d) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION
+      SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 25
+    )
+    SELECT node, CAST(MIN(d) AS INT) AS d FROM walk GROUP BY node
+    """,
+)
+def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = spark.range(_BFS_N).select(F.col("id").alias("src"))
+    edges = ids.select("src", ((F.col("src") * 2 + 1) % _BFS_N).alias("dst")).unionByName(
+        ids.select("src", ((F.col("src") * 3 + 7) % _BFS_N).alias("dst"))
+    )
+    return A.bfs(edges, source=0)
+
+
+# ---------------------------------------------------------------------------
+# Suffix array of document 0 by distributed prefix doubling. Suffixes
+# of one string are pairwise distinct -> exact ORDER BY oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "suffix_array_doc0",
+    """
+    SELECT pos,
+           CAST(ROW_NUMBER() OVER (ORDER BY substr(text, pos+1)) - 1 AS BIGINT) AS rank
+    FROM (SELECT text, unnest(generate_series(0, length(text)-1)) AS pos
+          FROM documents WHERE doc_id = 0)
+    """,
+)
+def q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
+    chars = doc.select(
+        F.posexplode(F.split(F.col("text"), "")).alias("pos", "ch")
+    ).filter(F.col("ch") != "")
+    n = chars.count()
+    return A.suffix_array(chars, n)

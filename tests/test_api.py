@@ -1,0 +1,127 @@
+"""DIA fluent-API tests, mirroring the reference's own API test
+bodies (tests/api/*_test.cpp) — a Thrill user's program should port
+method-for-method."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from thrill_spark.api import DIA, ThrillContext
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    return ThrillContext(spark)
+
+
+def test_generate_map_sum(ctx):
+    # mirrors reduce_node_test closed-form checks
+    total = ctx.Generate(100, lambda i: i * 2).Sum()
+    assert total == 100 * 99  # 2 * sum(0..99)
+
+
+def test_filter_size(ctx):
+    n = ctx.Generate(100).Filter(lambda v: v % 3 == 0).Size()
+    assert n == 34  # 0,3,...,99
+
+
+def test_map_chain_min_max(ctx):
+    d = ctx.Generate(10, lambda i: i - 5).Map(lambda v: v * v)
+    assert d.Min() == 0 and d.Max() == 25
+
+
+def test_distribute_gather_roundtrip(ctx):
+    vals = [5, 3, 9, 1]
+    assert ctx.Distribute(vals).Gather() == vals  # order preserved
+
+
+def test_flatmap_explodes_in_order(ctx):
+    d = ctx.Distribute(["a b", "c"]).FlatMap(lambda v: F.split(v, " "))
+    assert d.Gather() == ["a", "b", "c"]
+
+
+def test_reduce_by_key_wordcount(ctx):
+    d = ctx.Distribute(["a", "b", "a", "a"]).ReduceByKey(lambda v: v, F.count("v"))
+    got = {r["k"]: r["a"] for r in d.Gather()}
+    assert got == {"a": 3, "b": 1}
+
+
+def test_reduce_to_index_dense_with_neutral(ctx):
+    d = ctx.Generate(10, lambda i: i % 3).Filter(lambda v: v != 1)
+    out = d.ReduceToIndex(lambda v: v, F.count("v"), size=4, neutral=0).Gather()
+    assert out == [4, 0, 3, 0]  # key1 filtered out, key3 never occurs
+
+
+def test_sort_is_stable_and_global(ctx):
+    # sort_node_test analogue: known input, pairwise sortedness
+    d = ctx.Distribute([4, 1, 3, 1, 2]).Sort()
+    assert d.Gather() == [1, 1, 2, 3, 4]
+
+
+def test_prefix_sum_inclusive_exclusive(ctx):
+    d = ctx.Generate(6, lambda i: i + 1)  # 1..6
+    assert d.PrefixSum().Gather() == [1, 3, 6, 10, 15, 21]
+    assert d.ExPrefixSum().Gather() == [0, 1, 3, 6, 10, 15]
+
+
+def test_zip_with_index(ctx):
+    out = ctx.Distribute(["x", "y", "z"]).ZipWithIndex().Gather()
+    assert [(r["v"], r["i"]) for r in out] == [("x", 0), ("y", 1), ("z", 2)]
+
+
+def test_zip_cut_semantics(ctx):
+    a = ctx.Generate(5)
+    b = ctx.Generate(3, lambda i: i * 10)
+    out = a.Zip(b, lambda x, y: x + y, how="cut").Gather()
+    assert out == [0, 11, 22]  # stops at shortest (CutTag)
+
+
+def test_window_disjoint_and_sliding(ctx):
+    d = ctx.Generate(10)
+    dis = d.Window(5, F.sum("v"), disjoint=True).Gather()
+    assert dis == [10, 35]
+    sli = d.Window(3, F.sum("v")).Gather()
+    assert sli == [3, 6, 9, 12, 15, 18, 21, 24]  # full windows only
+
+
+def test_concat_preserves_order(ctx):
+    a = ctx.Distribute([1, 2])
+    b = ctx.Distribute([3, 4])
+    assert a.Concat(b).Gather() == [1, 2, 3, 4]
+
+
+def test_union_bag(ctx):
+    a = ctx.Distribute([1, 2])
+    b = ctx.Distribute([2, 3])
+    assert sorted(a.Union(b).Gather()) == [1, 2, 2, 3]
+
+
+def test_group_by_key_iterator_udf(ctx):
+    def med(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [key[0]], "median": [float(pdf["v"].median())]})
+
+    d = ctx.Generate(9, lambda i: i % 3).GroupByKey(
+        lambda v: v, med, "k long, median double"
+    )
+    got = {r["k"]: r["median"] for r in d.Gather()}
+    assert set(got) == {0, 1, 2}
+
+
+def test_sample_and_hll(ctx):
+    d = ctx.Generate(1000)
+    assert d.Sample(25).Size() == 25
+    est = d.HyperLogLog()
+    assert 900 <= est <= 1100
+
+
+def test_cache_collapse_execute_chain(ctx):
+    d = ctx.Generate(50, lambda i: i).Cache().Execute().Collapse()
+    assert d.Size() == 50
+
+
+def test_write_read_lines_roundtrip(ctx, tmp_path):
+    d = ctx.Distribute(["alpha", "beta", "gamma"])
+    out = str(tmp_path / "lines")
+    d.WriteLines(out)
+    back = ctx.ReadLines(out)
+    assert sorted(back.Gather()) == ["alpha", "beta", "gamma"]

@@ -1,0 +1,301 @@
+"""DIA-style fluent API: the reference's user-facing surface
+(thrill/api/dia.hpp) re-expressed over DataFrames, so a Thrill program
+ports method-for-method:
+
+    ctx = ThrillContext(spark)
+    ctx.Generate(100, lambda i: i * i).Filter(lambda v: v % 2 == 0).Sum()
+
+Design:
+- A DIA wraps a DataFrame with a value column ``v`` plus a stable
+  ordering-key column ``_ord`` (array semantics: dia.hpp:127-141). LOps
+  (Map/Filter/FlatMap) are Catalyst projections — fusion is free
+  (whole-stage codegen plays the role of the reference's
+  tlx::FunctionStack template fusion, dia.hpp:384-386).
+- User functions are *column lambdas*: they receive pyspark Columns and
+  return Column expressions, keeping the hot path JVM-side. (A Thrill
+  C++ lambda would become a Python UDF — the slow path — so the port
+  asks users to express row logic as expressions; structs map to
+  struct columns.)
+- Positional ops (Zip/ZipWithIndex/Window/PrefixSum/...) densify
+  ``_ord`` into a 0-based ``_idx`` on demand via the two-phase
+  ordering discipline in thrill_spark.ordering — the order key is
+  data, never a physical partition assumption.
+- Actions (Size/Sum/Min/Max/AllGather/...) trigger execution exactly
+  like the reference's action nodes (dia.hpp:503-580).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from thrill_spark import ordering as O
+
+V = "v"
+ORD = "_ord"
+
+ColFn = Callable[[Column], Column]
+
+
+def _exprify(f: ColFn | Column) -> Column:
+    return f(F.col(V)) if callable(f) else f
+
+
+class ThrillContext:
+    """api::Context analogue (thrill/api/context.hpp:62): the handle
+    sources hang off. One per SparkSession."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    # -- sources (SURVEY §2.1) ------------------------------------------
+    def Generate(self, size: int, f: ColFn | None = None) -> "DIA":
+        """Generate(ctx, size, f) (thrill/api/generate.hpp:37)."""
+        df = self.spark.range(size).select(
+            (F.col("id") if f is None else f(F.col("id"))).alias(V),
+            F.col("id").alias(ORD),
+        )
+        return DIA(df)
+
+    def Distribute(self, values: Sequence[Any]) -> "DIA":
+        """Distribute / EqualToDIA / ConcatToDIA
+        (thrill/api/distribute.hpp:33, equal_to_dia.hpp:30)."""
+        df = self.spark.createDataFrame(
+            [(v, i) for i, v in enumerate(values)], [V, ORD]
+        )
+        return DIA(df)
+
+    EqualToDIA = Distribute
+    ConcatToDIA = Distribute
+
+    def ReadLines(self, path: str) -> "DIA":
+        """ReadLines (thrill/api/read_lines.hpp:41): order = file order."""
+        from pyspark.sql.functions import monotonically_increasing_id
+
+        df = self.spark.read.text(path).select(
+            F.col("value").alias(V), monotonically_increasing_id().alias(ORD)
+        )
+        return DIA(df)
+
+    def ReadBinary(self, path: str, order_col: str | None = None) -> "DIA":
+        """ReadBinary (thrill/api/read_binary.hpp:45) — parquet-backed;
+        rows become struct values. Pass order_col for a defined order."""
+        raw = self.spark.read.parquet(path)
+        ordc = F.col(order_col) if order_col else F.monotonically_increasing_id()
+        df = raw.select(F.struct(*raw.columns).alias(V), ordc.alias(ORD))
+        return DIA(df)
+
+
+class DIA:
+    """DIA<T> analogue (thrill/api/dia.hpp:127-141): immutable, lazy,
+    ordered. Wraps (v, _ord)."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- LOps (§2.3) ----------------------------------------------------
+    def Map(self, f: ColFn) -> "DIA":
+        return DIA(self.df.select(_exprify(f).alias(V), ORD))
+
+    def Filter(self, f: ColFn) -> "DIA":
+        return DIA(self.df.filter(_exprify(f)))
+
+    def FlatMap(self, f: ColFn) -> "DIA":
+        """f returns an array Column; elements keep the parent's order
+        position extended by the in-array offset."""
+        exploded = self.df.select(
+            F.posexplode(_exprify(f)).alias("_off", V), ORD
+        )
+        return DIA(
+            exploded.select(V, F.struct(ORD, "_off").alias(ORD))
+        )
+
+    def BernoulliSample(self, p: float, seed: int | None = None) -> "DIA":
+        return DIA(self.df.sample(fraction=p, seed=seed))
+
+    def Union(self, *others: "DIA") -> "DIA":
+        """Bag union, arbitrary order (thrill/api/union.hpp:53)."""
+        out = self.df
+        for o in others:
+            out = out.unionByName(o.df)
+        return DIA(out)
+
+    # -- aggregations (§2.4) -------------------------------------------
+    def ReduceByKey(self, key: ColFn, agg: Column) -> "DIA":
+        """ReduceByKey (dia.hpp:900-1172). agg is an aggregate over v
+        (e.g. F.sum('v')); output values are (key, agg) structs,
+        unordered (the reference's reduce output order is also
+        unspecified)."""
+        out = (
+            self.df.select(_exprify(key).alias("k"), V)
+            .groupBy("k")
+            .agg(agg.alias("a"))
+            .select(F.struct("k", "a").alias(V), F.col("k").alias(ORD))
+        )
+        return DIA(out)
+
+    def ReduceToIndex(self, key: ColFn, agg: Column, size: int, neutral: Any = None) -> "DIA":
+        """ReduceToIndex (dia.hpp:1306-1450): dense [0,size) result."""
+        agged = (
+            self.df.select(_exprify(key).alias("k"), V).groupBy("k").agg(agg.alias("a"))
+        )
+        dense = (
+            self.df.sparkSession.range(size)
+            .withColumnRenamed("id", "k")
+            .join(agged, on="k", how="left")
+            .select(
+                F.coalesce(F.col("a"), F.lit(neutral)).alias(V), F.col("k").alias(ORD)
+            )
+        )
+        return DIA(dense)
+
+    def GroupByKey(self, key: ColFn, fn, schema: str) -> "DIA":
+        """GroupByKey (dia.hpp:1452-1571): fn sees all values of a key
+        (pandas group iterator == GroupByIterator, applyInPandas)."""
+        grouped = (
+            self.df.select(_exprify(key).alias("k"), V)
+            .groupBy("k")
+            .applyInPandas(fn, schema)
+        )
+        first = grouped.columns[0]
+        return DIA(
+            grouped.select(F.struct(*grouped.columns).alias(V), F.col(first).alias(ORD))
+        )
+
+    def HyperLogLog(self, rsd: float = 0.05) -> int:
+        return self.df.agg(F.approx_count_distinct(V, rsd).alias("c")).first()["c"]
+
+    # -- sorts / order ops (§2.6) --------------------------------------
+    def Sort(self, key: ColFn | None = None) -> "DIA":
+        """Sort (thrill/api/sort.hpp:64). Stable by construction: the
+        previous order key is the tiebreaker (SortStable)."""
+        k = _exprify(key) if key else F.col(V)
+        return DIA(
+            self.df.select(V, F.struct(k.alias("k"), F.col(ORD).alias("t")).alias(ORD))
+        )
+
+    Sort_Stable = Sort
+
+    def Merge(self, *others: "DIA", key: ColFn | None = None) -> "DIA":
+        """Merge sorted DIAs (thrill/api/merge.hpp:44): union keeps the
+        shared sort-key order."""
+        return self.Union(*others) if key is None else self.Union(*others).Sort(key)
+
+    def PrefixSum(self, exclusive: bool = False) -> "DIA":
+        idf = O.prefix_sum(
+            self.df, [ORD], F.col(V), name="_ps", exclusive=exclusive
+        )
+        return DIA(idf.select(F.col("_ps").alias(V), ORD))
+
+    def ExPrefixSum(self) -> "DIA":
+        return self.PrefixSum(exclusive=True)
+
+    def Sample(self, k: int, seed: int = 42) -> "DIA":
+        from thrill_spark.operators.basic import exact_sample
+
+        return DIA(exact_sample(self.df, k, seed))
+
+    def Rebalance(self, partitions: int | None = None) -> "DIA":
+        n = partitions or self.df.sparkSession.sparkContext.defaultParallelism
+        return DIA(self.df.repartition(n))
+
+    def Concat(self, *others: "DIA") -> "DIA":
+        """Order-preserving concat (thrill/api/concat.hpp:35): later
+        inputs order after earlier ones."""
+        out = self.df.select(V, F.struct(F.lit(0).alias("s"), F.col(ORD).alias("o")).alias(ORD))
+        for i, o in enumerate(others, start=1):
+            out = out.unionByName(
+                o.df.select(V, F.struct(F.lit(i).alias("s"), F.col(ORD).alias("o")).alias(ORD))
+            )
+        return DIA(out)
+
+    # -- zips / positional (§2.8) --------------------------------------
+    def _indexed(self) -> DataFrame:
+        return O.with_index(self.df, [ORD])
+
+    def ZipWithIndex(self) -> "DIA":
+        """ZipWithIndex (thrill/api/zip_with_index.hpp:30): v -> (v, i)."""
+        idf = self._indexed()
+        return DIA(
+            idf.select(
+                F.struct(F.col(V), F.col(O.IDX).alias("i")).alias(V),
+                F.col(O.IDX).alias(ORD),
+            )
+        )
+
+    def Zip(self, other: "DIA", f: Callable[[Column, Column], Column], how: str = "cut") -> "DIA":
+        """Zip CutTag/PadTag (thrill/api/zip.hpp:426-652)."""
+        a = self._indexed().select(F.col(O.IDX), F.col(V).alias("_va"))
+        b = other._indexed().select(F.col(O.IDX), F.col(V).alias("_vb"))
+        join_how = "inner" if how == "cut" else "full_outer"
+        joined = a.join(b, on=O.IDX, how=join_how)
+        return DIA(
+            joined.select(
+                f(F.col("_va"), F.col("_vb")).alias(V), F.col(O.IDX).alias(ORD)
+            )
+        )
+
+    def Window(self, size: int, agg: Column, disjoint: bool = False) -> "DIA":
+        """Window overlap/disjoint (thrill/api/window.hpp:142, :389).
+        agg aggregates the struct column over the window frame."""
+        if disjoint:
+            out = O.disjoint_window(self.df, [ORD], size, {"_w": agg})
+            return DIA(out.select(F.col("_w").alias(V), F.col("window_id").alias(ORD)))
+        out = O.sliding_window(self.df, [ORD], size, {"_w": agg})
+        return DIA(out.select(F.col("_w").alias(V), F.col(O.IDX).alias(ORD)))
+
+    # -- actions (§2.10) ------------------------------------------------
+    def Size(self) -> int:
+        return self.df.count()
+
+    def Sum(self, initial: Any = 0):
+        r = self.df.agg(F.sum(V).alias("s")).first()["s"]
+        return initial + (r if r is not None else 0)
+
+    def Min(self):
+        return self.df.agg(F.min(V).alias("m")).first()["m"]
+
+    def Max(self):
+        return self.df.agg(F.max(V).alias("m")).first()["m"]
+
+    def AllReduce(self, agg: Column):
+        return self.df.agg(agg.alias("r")).first()["r"]
+
+    def Gather(self) -> list:
+        return [r[V] for r in self.df.orderBy(ORD).select(V, ORD).collect()]
+
+    AllGather = Gather
+
+    def Execute(self) -> "DIA":
+        self.df.count()
+        return self
+
+    def Print(self, n: int = 20) -> "DIA":
+        self.df.orderBy(ORD).select(V).show(n, truncate=False)
+        return self
+
+    # -- plumbing (§2.11) ----------------------------------------------
+    def Cache(self) -> "DIA":
+        return DIA(self.df.cache())
+
+    def Collapse(self) -> "DIA":
+        """Collapse (thrill/api/collapse.hpp:29): cut lineage."""
+        return DIA(self.df.localCheckpoint())
+
+    def Keep(self) -> "DIA":
+        return self  # consume-counting is Spark's GC concern
+
+    def Dispose(self) -> "DIA":
+        self.df.unpersist()
+        return self
+
+    # -- sinks (§2.2) ---------------------------------------------------
+    def WriteLines(self, path: str) -> None:
+        self.df.select(F.col(V).cast("string").alias("value")).write.mode(
+            "overwrite"
+        ).text(path)
+
+    def WriteBinary(self, path: str) -> None:
+        self.df.select(V, ORD).write.mode("overwrite").parquet(path)

@@ -131,8 +131,7 @@ def test_winnow_fingerprint_shared_run(spark):
     b = "PREFIX " + a  # shifted copy: shared 10-word run
     c = "totally unrelated words here none in common with others at all"
     df = spark.createDataFrame([(0, a), (1, b), (2, c)], ["doc_id", "text"])
-    fp = D.winnow_fingerprint("text", shingle_words=3, window=4)
-    rows = df.select("doc_id", fp.alias("fp")).collect()
+    rows = D.winnow_fingerprints(df, "text", "doc_id", shingle_words=3, window=4).collect()
     assert all(sorted(r["fp"]) == list(r["fp"]) for r in rows)  # sorted-set output
     out = {r["doc_id"]: set(r["fp"]) for r in rows}
     assert out[0] & out[1], "shifted copy must share a fingerprint"

@@ -20,6 +20,7 @@ value bit-for-bit (engine-native hashes differ across engines).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from thrill_spark.functions.text import char_ngrams, fingerprint, md5_long, tokens, word_ngrams
@@ -61,29 +62,54 @@ def shingle_hashes(
     return sh.select(id_col, md5_long(F.col("sh")).alias("h"))
 
 
-def winnow_fingerprint(
-    text_col: str | F.Column, shingle_words: int = 3, window: int = 4
-) -> F.Column:
-    """Winnowing document fingerprint (rolling-hash selection, after
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash selection, after
     Schleimer et al. SIGMOD'03): hash each word-shingle, slide a window
     of `window` consecutive shingle hashes, keep the minimum of each
-    window; the sorted distinct survivors are the fingerprint set.
+    window; the sorted distinct survivors per doc are the fingerprint
+    set. Returns (id_col, fp array<long>).
 
     Guarantees any shared run of >= window+shingle_words-1 words
     produces at least one shared fingerprint — positional, unlike
-    minhash's set-sample. Entirely JVM-side array expressions (no
-    shuffle, no UDF): fingerprinting 100 TB is a map-only stage.
+    minhash's set-sample. Shingles stay positional (NOT distinct-ed);
+    winnowing's guarantee depends on the original sequence.
 
-    Shingles are kept positional (NOT distinct-ed) — winnowing's window
-    guarantee depends on the original shingle sequence."""
-    toks = tokens(text_col)
-    n_sh = F.greatest(F.size(toks) - (shingle_words - 1), F.lit(1))
-    sh_idx = F.sequence(F.lit(0), n_sh - 1)
-    shingles = F.transform(sh_idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_words)))
-    hs = F.transform(shingles, lambda g: md5_long(g))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(hs) - window, F.lit(0)))
-    mins = F.transform(idx, lambda i: F.array_min(F.slice(hs, i + 1, window)))
-    return F.array_sort(F.array_distinct(mins))
+    Shape: fully ROW-based — tokens explode once, shingles come from
+    lead() over per-doc position order, the rolling min is a window
+    frame. One shuffle (by doc id), two window functions over one sort,
+    linear work. (The tempting pure-array form
+    transform(idx, i -> array_min(slice(hs, i, w))) makes Catalyst
+    re-evaluate the nested array expression per element = O(n^2) work
+    per doc — measured >5x slower on 500 short docs, far worse on long
+    ones.) Very long documents would swap the per-doc window for the
+    ordering._halo_window pattern; per-doc state here is one doc's
+    tokens, the same bound the reference's RingBuffer window holds."""
+    toks_ex = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("_i", "_t")
+    )
+    wdoc = W.partitionBy(id_col)
+    worder = wdoc.orderBy("_i")
+    n = F.count("*").over(wdoc)
+    n_sh = F.greatest(n - (shingle_words - 1), F.lit(1))
+    shingle = F.concat_ws(
+        " ", *["_t", *[F.lead("_t", j).over(worder) for j in range(1, shingle_words)]]
+    )
+    sh = toks_ex.select(
+        F.col(id_col), F.col("_i"), n_sh.alias("_nsh"), md5_long(shingle).alias("_h")
+    ).filter(F.col("_i") < F.col("_nsh"))
+    wmin = F.min("_h").over(
+        W.partitionBy(id_col).orderBy("_i").rowsBetween(0, window - 1)
+    )
+    mins = sh.select(
+        F.col(id_col), F.col("_i"), F.col("_nsh"), wmin.alias("_m")
+    ).filter(F.col("_i") <= F.greatest(F.col("_nsh") - window, F.lit(0)))
+    return mins.groupBy(id_col).agg(F.array_sort(F.collect_set("_m")).alias("fp"))
 
 
 def minhash_signatures(

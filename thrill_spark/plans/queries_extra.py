@@ -156,8 +156,8 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    fp = D.winnow_fingerprint("text", shingle_words=3, window=4)
-    return docs.select("doc_id", fp.alias("fp"), F.size(fp).alias("n_fp"))
+    fps = D.winnow_fingerprints(docs, "text", "doc_id", shingle_words=3, window=4)
+    return fps.select("doc_id", "fp", F.size("fp").alias("n_fp"))
 
 
 # ---------------------------------------------------------------------------

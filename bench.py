@@ -60,7 +60,7 @@ def main() -> None:
     spark.catalog.clearCache()
     timings: dict[str, float] = {}
     for name in names:
-        best = min(run_query(spark, name, sf_dir) for _ in range(2))
+        best = min(run_query(spark, name, sf_dir) for _ in range(3))
         timings[name] = round(best, 3)
         spark.catalog.clearCache()  # drop _idx persists between queries
     total = round(sum(timings.values()), 3)

@@ -178,8 +178,10 @@ def q_sort_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thrill_spark import ordering as O
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    # original array position: orders arrive keyed by o_orderkey
-    indexed = O.with_index(orders, ["o_orderkey"])
+    # original array position: orders arrive keyed by o_orderkey.
+    # Persist between the two index passes: the second range partition
+    # samples its input, which would otherwise recompute the first pass.
+    indexed = O.with_index(orders, ["o_orderkey"]).persist()
     stable = O.with_index(
         indexed, [F.col("o_orderpriority"), F.col(O.IDX)], name="stable_rank"
     )

@@ -61,3 +61,62 @@ def test_generate(spark):
 def test_from_vector(spark):
     df = IO.from_vector(spark, [(1, "a"), (2, "b")], "k long, v string")
     assert df.count() == 2
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Bucketing both sides by the join key must eliminate the
+    join-time Exchange (the co-located join scale path)."""
+    from thrill_spark.sources.bucketing import read_table, write_bucketed
+
+    a = spark.range(1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(1000).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed(a, "bkt_a", ["k"], num_buckets=4)
+    write_bucketed(b, "bkt_b", ["k"], num_buckets=4)
+    try:
+        # disable broadcast so the plan would otherwise shuffle
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = read_table(spark, "bkt_a").join(read_table(spark, "bkt_b"), on="k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_salted_agg_on_zipf_skew(spark):
+    """Salting must give byte-identical results to plain groupBy on a
+    zipf-skewed key distribution (the reference motivates skew handling
+    with common/zipf_distribution.hpp)."""
+    import pyspark.sql.functions as F
+
+    from thrill_spark.operators.skew import salted_agg, top_heavy_keys
+
+    # zipf-ish: key k appears ~ N/k times
+    df = (
+        spark.range(1, 30)
+        .selectExpr("id AS k", "CAST(3000 / id AS INT) AS reps")
+        .selectExpr("k", "explode(sequence(1, reps)) AS i")
+        .selectExpr("k", "k * 10 + i AS v")
+    )
+    plain = {
+        (r["k"]): (r["n"], r["total"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["n"], r["total"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            partial_aggs={"_c": F.count("*"), "_s": F.sum("v")},
+            final_aggs={"n": F.sum("_c").cast("long"), "total": F.sum("_s")},
+            salt_buckets=8,
+        ).collect()
+    }
+    assert plain == salted
+    heavy = top_heavy_keys(df, ["k"], top=1).collect()[0]
+    assert heavy["k"] == 1 and heavy["share"] > 0.2  # planted skew detected

@@ -134,3 +134,31 @@ def test_concat_preserves_order(spark, par):
     b = spark.range(100, 103).withColumnRenamed("id", "v")
     out = O.concat([a, b], [["v"], ["v"]]).orderBy("_idx").collect()
     assert [r["v"] for r in out] == [0, 1, 2, 100, 101, 102]
+
+
+def test_prefix_scan_min_max_product(spark):
+    """Generalized prefix scan: running min / max must match a serial
+    fold at any partitioning."""
+    from pyspark.sql import functions as F
+
+    from thrill_spark import ordering as O
+
+    vals = [5, 3, 8, 1, 9, 2, 7, 4, 6, 0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["k", "v"]
+    ).repartition(4)
+    mn = O.prefix_scan(df, ["k"], "v", F.min, F.least, name="rmin").orderBy("k").collect()
+    expect_min, cur = [], None
+    for v in vals:
+        cur = v if cur is None else min(cur, v)
+        expect_min.append(cur)
+    assert [r["rmin"] for r in mn] == expect_min
+    mx = O.prefix_scan(df, ["k"], "v", F.max, F.greatest, name="rmax").orderBy("k").collect()
+    expect_max, cur = [], None
+    for v in vals:
+        cur = v if cur is None else max(cur, v)
+        expect_max.append(cur)
+    assert [r["rmax"] for r in mx] == expect_max
+    sm = O.prefix_scan(df, ["k"], "v", F.sum, lambda a, b: a + b, name="rsum").orderBy("k").collect()
+    import itertools
+    assert [r["rsum"] for r in sm] == list(itertools.accumulate(vals))

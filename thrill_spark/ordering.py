@@ -106,6 +106,86 @@ def sort_by(df: DataFrame, order_by: Sequence[str | Column], index: bool = False
     return df.orderBy(*_cols(order_by))
 
 
+def prefix_scan(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    value,
+    agg_fn,
+    combine_fn,
+    name: str = "prefix_scan",
+    persist: bool = True,
+) -> DataFrame:
+    """Generalized inclusive prefix scan with ANY associative operation
+    (Thrill PrefixSum's full contract, thrill/api/prefix_sum.hpp:28 —
+    the reduce op is a user parameter there, not fixed to +).
+
+    agg_fn: Column aggregate used partition-locally AND for per-
+    partition totals (e.g. F.sum, F.min, F.max, F.product).
+    combine_fn: the same operation as a Column->Column binary (e.g.
+    lambda a, b: a + b / F.least / F.greatest) merging the carried
+    partition offset into the local scan.
+
+    Same two-phase shape as prefix_sum: range partition, local window
+    scan, O(#partitions) driver-side fold of partition totals carried
+    in as literals — no single-partition stage at any scale."""
+    val = F.col(value) if isinstance(value, str) else value
+    cols = _cols(order_by)
+    part = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    part = part.withColumn(_PID, F.spark_partition_id())
+    if persist:
+        part = part.persist(StorageLevel.MEMORY_AND_DISK)
+    totals = {
+        r[_PID]: r["tot"]
+        for r in part.groupBy(_PID).agg(agg_fn(val).alias("tot")).collect()
+    }
+    offsets: dict[int, object] = {}
+    running = None
+    for pid in sorted(totals):
+        offsets[pid] = running  # None -> identity (no carry)
+        t = totals[pid]
+        if running is None:
+            running = t
+        else:
+            # driver-side combine of two scalars via a 1-row plan-free path
+            running = _combine_scalar(combine_fn, running, t)
+    w = Window.partitionBy(_PID).orderBy(*cols)
+    local = agg_fn(val).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    nonnull = {k: v for k, v in offsets.items() if v is not None}
+    if nonnull:
+        mapping = F.create_map(*[F.lit(x) for kv in nonnull.items() for x in kv])
+        carried = mapping[F.col(_PID)]
+        local = F.when(carried.isNull(), local).otherwise(combine_fn(carried, local))
+    return part.withColumn(name, local).drop(_PID)
+
+
+def _combine_scalar(combine_fn, a, b):
+    """Evaluate the Column-level combine on two Python scalars by
+    folding the corresponding arithmetic. Supported shapes cover the
+    associative ops of interest; anything else gets a tiny local
+    evaluation through Spark's expression interpreter."""
+    probe = combine_fn(F.lit(a), F.lit(b))
+    # fast paths for the common ops keep the driver loop trivial
+    import pyspark.sql.functions as _F  # noqa: F401
+
+    try:
+        s = probe._jc.toString()
+    except Exception:
+        s = ""
+    if s.startswith("least"):
+        return min(a, b)
+    if s.startswith("greatest"):
+        return max(a, b)
+    if "+" in s:
+        return a + b
+    if "*" in s:
+        return a * b
+    # generic: evaluate the expression on an empty projection
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    return spark.range(1).select(probe.alias("v")).first()["v"]
+
+
 def prefix_sum(
     df: DataFrame,
     order_by: Sequence[str | Column],

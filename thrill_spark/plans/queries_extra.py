@@ -188,6 +188,30 @@ def q_sort_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stable.select("o_orderkey", "o_orderpriority", "stable_rank")
 
 
+# PrefixScan with a non-sum associative op (Thrill PrefixSum takes any
+# op, thrill/api/prefix_sum.hpp:28): running minimum over the order
+# stream — same two-phase shape, driver folds partition minima.
+@query(
+    "prefix_scan_running_min",
+    """
+    SELECT o_orderkey,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_min
+    FROM orders
+    """,
+)
+def q_prefix_scan_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark import ordering as O
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("_p")
+    )
+    out = O.prefix_scan(orders, ["o_orderkey"], "_p", F.min, F.least, name="_rm")
+    return out.select("o_orderkey", F.col("_rm").cast("double").alias("running_min"))
+
+
 # Sample(k): exactly k items uniformly without replacement
 # (thrill/api/sample.hpp:33-50). Selection is random -> rows-only check;
 # tests assert exact cardinality and distinctness.

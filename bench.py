@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "reduce_to_index_nation",
     "merge_sorted_halves",
     "left_join_customer_orders",
+    "tpch_q1_pricing_summary",
+    "tpch_q18_large_volume_customers",
 ]
 
 

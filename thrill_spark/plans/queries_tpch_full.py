@@ -1,0 +1,769 @@
+"""Queries batch: the remaining TPC-H query suite, adapted to the
+fixture schema subset.
+
+The reference ships only a TPC-H join micro-benchmark
+(examples/tpch/tpch_run.cpp:248-277); a user replacing it with this
+engine gets the full declarative query suite. The fixture schema lacks
+partsupp, l_commitdate/l_receiptdate/l_shipmode, c_phone — queries that
+reference those are *adapted* (same plan shape: the same join tree,
+subquery structure, and aggregation pattern) with the substitutions
+noted per query. Q2/Q11 are partsupp-only and have no meaningful
+adaptation; their plan shapes (scalar subquery + top-k, group-having
+over a fraction-of-total) are covered by q15/q17/q22 here.
+
+Determinism discipline matches plans/queries.py: decimal-exact
+aggregation, DOUBLE casts only at the end, identical expression shapes
+(association order) on the Spark and DuckDB sides.
+
+Scale notes (100 TB stance):
+- Every query keeps lineitem⋈orders as the one big shuffle, on the
+  natural key of both sides; nation/region/part-subsets broadcast.
+- EXISTS / NOT EXISTS become LEFT SEMI / LEFT ANTI joins (shuffle on
+  the semi-join key; no row multiplication, Bloom-filter pushdown
+  eligible under AQE).
+- Scalar thresholds (q15 max, q17 per-part avg, q22 global avg) are
+  computed as tiny aggregate DataFrames and broadcast-joined — never a
+  single-partition window over the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from thrill_spark.catalog import load_table
+from thrill_spark.plans.queries import _dec, query
+from thrill_spark.plans.queries_tpch import _REV, _revenue
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Q1 — full pricing summary report (superset of reduce_by_key_pricing:
+# adds charge with tax, avg price/disc). Single scan, partial+final agg.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({_REV}) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+                    * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))), 4) AS DOUBLE)
+               AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("date")
+    )
+    cnt = F.count(F.lit(1)).cast("double")
+    # Tight precisions keep the triple product exact at (28,10) in both
+    # engines (Spark's (18,_) chain would overflow 38 digits and round).
+    one4 = F.lit(1).cast("decimal(6,4)")
+    charge = (
+        _dec("l_extendedprice", 12, 2)
+        * (one4 - _dec("l_discount", 6, 4))
+        * (one4 + _dec("l_tax", 6, 4))
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_revenue()).cast("double").alias("sum_disc_price"),
+            # Round to scale 4 before the double cast: at scale 10 the
+            # sum's integer mantissa exceeds 2^53 and DuckDB's two-step
+            # decimal->double conversion double-rounds (off-by-1-ulp).
+            F.round(F.sum(charge), 4).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+            (F.sum(_dec("l_discount", 18, 4)).cast("double") / cnt).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order priority checking. EXISTS → LEFT SEMI join.
+# Adapted: "late line" = l_shipdate > o_orderdate + 60 days (fixture has
+# no l_commitdate/l_receiptdate).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecasting revenue change. Pure selective scan + scalar agg;
+# the filters must reach the parquet scan as PushedFilters.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount", 18, 4))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between nation pairs: the double-nation join
+# (supplier nation × customer nation) with per-year rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(YEAR FROM l_shipdate) AS l_year,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND n1.n_name IN ('NATION_1', 'NATION_2') AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+      AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    ).select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    ).select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share: conditional-share aggregation over a
+# 6-table join tree (region→nation→customer→orders→lineitem→supplier).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q8_market_share",
+    f"""
+    SELECT o_year,
+           100.0 * CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             {_REV} AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+        AND p_type = 'PROMO'
+    ) AS all_nations
+    GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    all_nations = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            _revenue().alias("volume"),
+            "nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return all_nations.groupBy("o_year").agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(zero))
+            .cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year. Adapted: supply cost =
+# p_retailprice * quantity / 2 (fixture has no partsupp.ps_supplycost).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q9_product_profit",
+    f"""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             {_REV} - CAST(p_retailprice AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(0.5 AS DECIMAL(18,2)) AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%gear%'
+    ) AS profit
+    GROUP BY nation, o_year
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    amount = _revenue() - (
+        _dec("p_retailprice") * _dec("l_quantity") * F.lit(0.5).cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-delay classification. Adapted: l_shipmode buckets →
+# LATE/ONTIME by shipdate lag vs o_orderdate (no l_shipmode/commitdate);
+# the conditional-count aggregation pattern is unchanged.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q12_late_shipments",
+    """
+    SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY ship_bucket
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn(
+            "ship_bucket",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                F.lit("LATE"),
+            ).otherwise(F.lit("ONTIME")),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution: LEFT OUTER join + two-level
+# aggregation (count per customer, then histogram of counts).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    ) AS c_orders
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion-effect percentage: conditional share of revenue.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q14_promo_effect",
+    f"""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV}
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(SUM({_REV}) AS DOUBLE) AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= DATE '1997-03-01' AND l_shipdate < DATE '1997-04-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    part = _t(spark, sf_dir, "part")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(zero)
+                ).cast("double")
+                / F.sum(_revenue()).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier by quarterly revenue. The scalar MAX is a tiny
+# aggregate broadcast-joined back (never a global single-partition
+# window over the supplier aggregate).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM({_REV}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue()).cast("double").alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier diversity per part group. Adapted: the part→supplier
+# relationship comes from lineitem (no partsupp); the NOT-IN brand
+# exclusion and COUNT(DISTINCT) shape are unchanged.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q16_part_supplier_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part, lineitem
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#5'
+      AND p_type NOT IN ('ECONOMY', 'LARGE')
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").isin("ECONOMY", "LARGE"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue: correlated per-part AVG subquery
+# → per-part aggregate joined back on partkey (shuffle on partkey only).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem, part,
+         (SELECT l_partkey AS agg_partkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avg_quantity
+          FROM lineitem GROUP BY l_partkey) AS part_agg
+    WHERE p_partkey = l_partkey AND agg_partkey = l_partkey
+      AND p_brand = 'Brand#3'
+      AND l_quantity < 0.2 * avg_quantity
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    part_agg = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        (
+            F.sum(_dec("l_quantity")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part_agg, F.col("l_partkey") == F.col("agg_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_quantity"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers: HAVING over a fact-table aggregate,
+# joined back to orders/customer.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q18_large_volume_customers",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_sq"))
+        .filter(F.col("_sq") > F.lit(300).cast("decimal(18,2)"))
+        .select(F.col("l_orderkey").alias("_big_orderkey"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(big, li.l_orderkey == F.col("_big_orderkey"), "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"), "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue over an OR-of-conjunctions predicate
+# (brand × size-range × quantity-range disjuncts; p_container →
+# p_size in the fixture schema).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q19_discounted_revenue",
+    f"""
+    SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+            AND l_quantity >= 1 AND l_quantity <= 11)
+        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+            AND l_quantity >= 10 AND l_quantity <= 20)
+        OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+            AND l_quantity >= 20 AND l_quantity <= 30))
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    disjunct = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 15) & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 25) & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#3") & sz.between(1, 35) & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(disjunct)
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — suppliers with excess stock of a part family. Adapted: the
+# partsupp availability subquery becomes a shipped-quantity aggregate
+# from lineitem; the nested IN-chain (part → qualifying (supp, part)
+# pairs → suppliers) is preserved as semi-join nesting.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q20_excess_stock_suppliers",
+    """
+    SELECT s_suppkey, s_name, s_nationkey
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        AND l_shipdate >= DATE '2000-01-01' AND l_shipdate < DATE '2001-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01").cast("date"))
+    )
+    qualifying = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_sq"))
+        .filter(F.col("_sq") > F.lit(50).cast("decimal(18,2)"))
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return supp.join(
+        qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name", "s_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting: EXISTS (another supplier on
+# the order) AND NOT EXISTS (another *late* supplier) → one LEFT SEMI +
+# one LEFT ANTI join on the same derived late-lines set. Adapted: late =
+# l_shipdate > o_orderdate + 60 days (no commit/receipt dates).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q21_waiting_orders",
+    """
+    WITH late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem, orders
+      WHERE l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    ),
+    all_lines AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM all_lines l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_lines = li.select("l_orderkey", "l_suppkey").distinct()
+    l2 = all_lines.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    only_late = (
+        late.join(
+            l2,
+            (late.l_orderkey == F.col("o2")) & (late.l_suppkey != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        only_late.join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global-sales opportunity: customers above the average positive
+# balance with no recent orders. Adapted: country code = c_nationkey
+# mod 10 (no c_phone); the scalar-AVG subquery + NOT EXISTS anti-join
+# shape is unchanged.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q22_global_sales_opportunity",
+    """
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT CAST(c_nationkey % 10 AS VARCHAR) AS cntrycode, c_acctbal
+      FROM customer
+      WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
+        AND c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE)
+          FROM customer
+          WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (1, 3, 5, 7, 9))
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2000-01-01')
+    ) AS custsale
+    GROUP BY cntrycode
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(
+        (F.col("c_nationkey") % 10).isin(1, 3, 5, 7, 9)
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(_dec("c_acctbal")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_avg_bal")
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, F.col("c_custkey") == recent.o_custkey, "left_anti")
+        .select(
+            (F.col("c_nationkey") % 10).cast("string").alias("cntrycode"),
+            "c_acctbal",
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )

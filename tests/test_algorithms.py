@@ -93,3 +93,20 @@ def test_logistic_regression_separates(spark):
     w = logistic_regression_sgd(df, dim=2, iterations=15, lr=0.5)
     # learned weights must put the classes on opposite margin sides
     assert w[0] + w[1] > 0.5
+
+
+def test_connected_components_path_and_cliques(spark):
+    # Path graph 0-1-2-...-9: worst case for min-label propagation
+    # (label 0 must travel the full diameter), single component.
+    path = spark.createDataFrame([(i, i + 1) for i in range(9)], ["a", "b"])
+    comp = {r["node"]: r["component"] for r in A.connected_components(path).collect()}
+    assert comp == {i: 0 for i in range(10)}
+    # Two cliques + an isolated edge, reversed/duplicate edges mixed in.
+    edges = [(10, 11), (11, 12), (12, 10), (21, 20), (20, 22), (30, 31), (31, 30)]
+    comp = {
+        r["node"]: r["component"]
+        for r in A.connected_components(
+            spark.createDataFrame(edges, ["a", "b"])
+        ).collect()
+    }
+    assert comp == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 22: 20, 30: 30, 31: 30}

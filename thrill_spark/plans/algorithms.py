@@ -167,6 +167,64 @@ def bfs(edges: DataFrame, source: int, max_iters: int = 25,
     return dist
 
 
+def connected_components(
+    edges: DataFrame, a: str = "a", b: str = "b", max_iters: int = 25
+) -> DataFrame:
+    """Connected components by alternating min-label propagation
+    (reference example listing, SURVEY §2.13 graph family; the dedup
+    pipeline's cluster step: LSH candidate pairs -> duplicate groups).
+
+    edges: undirected edge list (a, b). Returns (node, component) where
+    component = MIN(node id) over the node's component, for every node
+    incident to an edge.
+
+    Each round: labels join both edge directions, each node takes the
+    min of its own and all neighbor labels; stop when no label changed.
+    Near-duplicate graphs are unions of near-cliques, so this converges
+    in 2-3 rounds; for adversarial long-path graphs at 100 TB swap in
+    the large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce", SoCC'14) which converges in O(log^2 n)
+    rounds — same per-round join shape, so the partitioning story is
+    identical (hash on node id, no broadcast, no driver data).
+    localCheckpoint per round is the Collapse analogue keeping lineage
+    flat across iterations (thrill/api/collapse.hpp:29 use-case)."""
+    und = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .unionByName(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            und.join(labels, und["v"] == labels["node"])
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        nxt = (
+            labels.join(nbr_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+                (F.coalesce("nbr_component", "component") < F.col("component")).alias(
+                    "_chg"
+                ),
+            )
+        ).localCheckpoint()
+        changed = nxt.filter(F.col("_chg")).isEmpty() is False
+        labels = nxt.drop("_chg")
+        if not changed:
+            break
+    return labels
+
+
 def suffix_array(chars: DataFrame, n: int, pos: str = "pos") -> DataFrame:
     """Suffix sorting by prefix doubling (reference example listing,
     SURVEY §2.13 — DC3/prefix-doubling, a heavy Zip/Sort/Merge user in

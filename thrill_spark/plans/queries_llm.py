@@ -364,3 +364,34 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup: cluster assignment — the end-to-end near-dup pipeline step
+# (minhash -> LSH bands -> candidate pairs -> connected components ->
+# cluster id = MIN doc_id). Oracle: recursive-CTE reachability closure
+# over the same pair graph.
+# ---------------------------------------------------------------------------
+from thrill_spark.plans import algorithms as ALG  # noqa: E402
+
+
+@query(
+    "dedup_cluster_assign",
+    f"""
+    WITH RECURSIVE pairs AS (SELECT * FROM ({_sql_lsh_pairs()})),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(src, n) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.n = e.u)
+    SELECT src AS node, MIN(n) AS component FROM reach GROUP BY src
+    """,
+)
+def q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, num_hashes=_MH_K)
+    pairs = D.lsh_candidate_pairs(sig, num_hashes=_MH_K, bands=_MH_BANDS)
+    return ALG.connected_components(pairs, a="id_a", b="id_b")

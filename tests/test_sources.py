@@ -120,3 +120,34 @@ def test_salted_agg_on_zipf_skew(spark):
     assert plain == salted
     heavy = top_heavy_keys(df, ["k"], top=1).collect()[0]
     assert heavy["k"] == 1 and heavy["share"] > 0.2  # planted skew detected
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    from thrill_spark.sources import io as IO
+
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 else "B") for i in range(100)], ["k", "flag"]
+    )
+    out = str(tmp_path / "part")
+    IO.write_partitioned(df, out, ["flag"])
+    back = spark.read.parquet(out).filter(F.col("flag") == "A")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "flag" in plan.split("PartitionFilters")[1][:120]
+    assert back.count() == 50
+    # pruned scan must not read the other partition's files
+    assert "PushedFilters" in plan or "PartitionCount: 1" in plan
+
+
+def test_csv_json_roundtrip_types(spark, tmp_path):
+    import datetime as dt
+    from thrill_spark.sources import io as IO
+
+    rows = [(1, 0.1 + 0.2, dt.datetime(2024, 1, 2, 3, 4, 5), "x,y\ttab")]
+    sch = "a long, b double, c timestamp, d string"
+    df = spark.createDataFrame(rows, sch)
+    p_csv, p_json = str(tmp_path / "c"), str(tmp_path / "j")
+    IO.write_csv(df, p_csv)
+    IO.write_json(df, p_json)
+    for back in (IO.read_csv(spark, p_csv, df.schema), IO.read_json(spark, p_json, df.schema)):
+        r = back.collect()[0]
+        assert (r["a"], r["b"], r["c"], r["d"]) == rows[0]

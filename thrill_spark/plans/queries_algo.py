@@ -152,3 +152,68 @@ def q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("ch") != "")
     n = chars.count()
     return A.suffix_array(chars, n)
+
+
+@query(
+    "io_csv_roundtrip",
+    """SELECT o_orderstatus, COUNT(*) AS n_rows,
+              CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+              MAX(o_orderdate) AS max_date
+       FROM orders GROUP BY o_orderstatus""",
+)
+def q_io_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip must preserve longs, doubles (shortest-repr),
+    timestamps, and strings exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.gettempdir(), "thrill_spark_csv")
+    IO.write_csv(orders, out)
+    back = IO.read_csv(spark, out, orders.schema)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("price_sum"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
+@query(
+    "io_json_roundtrip",
+    """SELECT event_type, COUNT(*) AS n_rows,
+              CAST(SUM(event_id) AS BIGINT) AS id_sum,
+              MIN(ts) AS min_ts, MAX(ts) AS max_ts
+       FROM events GROUP BY event_type""",
+)
+def q_io_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    out = os.path.join(tempfile.gettempdir(), "thrill_spark_json")
+    IO.write_json(ev, out)
+    back = IO.read_json(spark, out, ev.schema)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("event_id").alias("id_sum"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+@query(
+    "io_partitioned_pruned_scan",
+    """SELECT l_linestatus, COUNT(*) AS n_rows,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus""",
+)
+def q_io_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem hive-partitioned by l_returnflag, read back with a
+    partition filter: the scan lists only the matching directory
+    (PartitionFilters — asserted in tests/test_sources.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = os.path.join(tempfile.gettempdir(), "thrill_spark_part")
+    IO.write_partitioned(li, out, ["l_returnflag"])
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )

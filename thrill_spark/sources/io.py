@@ -66,3 +66,48 @@ def from_vector(spark: SparkSession, rows: Sequence, schema) -> DataFrame:
     distribute.hpp:33): driver-side vector scattered across workers.
     Spark's createDataFrame parallelizes the local collection."""
     return spark.createDataFrame(rows, schema=schema)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink (beyond-reference connector; the reference's only text
+    sink is WriteLines). Header on; doubles/timestamps use Spark's
+    round-trippable defaults (shortest-repr, ISO-8601)."""
+    df.write.option("header", True).mode(mode).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """CSV source with explicit schema (schema inference is a full extra
+    pass over 100 TB — callers must supply one)."""
+    return spark.read.option("header", True).schema(schema).csv(path)
+
+
+# Spark's default JSON timestampFormat truncates to milliseconds;
+# micros keep the round-trip lossless.
+_JSON_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (splittable at line granularity, so scans
+    parallelize like text)."""
+    df.write.option("timestampFormat", _JSON_TS_FMT).mode(mode).json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source; pass a schema for the same
+    no-inference-pass-at-scale reason as read_csv."""
+    r = spark.read.option("timestampFormat", _JSON_TS_FMT)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: Sequence[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet layout: one directory per
+    partition value. At 100 TB this is the difference between scanning
+    everything and scanning one partition — a filter on a partition
+    column prunes at *file listing* time (PartitionFilters in the scan
+    node), before any I/O. Keep partition cardinality moderate (<=10k
+    dirs) and pair with in-file sorting for row-group pruning."""
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)

@@ -168,3 +168,21 @@ def test_exact_sample_cardinality(spark):
     ids = {r["id"] for r in out}
     assert len(out) == 37 and len(ids) == 37
     assert ids <= set(range(1000))
+
+
+def test_exact_sample_distributed(spark):
+    from thrill_spark.operators.basic import exact_sample_distributed
+
+    df = spark.range(0, 10_000, 1, 16).withColumn("v", F.col("id") * 2)
+    out = exact_sample_distributed(df, 137, seed=7)
+    rows = out.collect()
+    assert len(rows) == 137
+    ids = [r["id"] for r in rows]
+    assert len(set(ids)) == 137                      # without replacement
+    assert all(r["v"] == r["id"] * 2 for r in rows)  # row integrity
+    # k >= n returns everything
+    assert exact_sample_distributed(spark.range(5), 10).count() == 5
+    # spread: a uniform 137-of-10k draw across 16 partitions of 625
+    # should touch most partitions (each partition gets ~8.6 expected)
+    touched = {i // 625 for i in ids}
+    assert len(touched) >= 12

@@ -75,3 +75,56 @@ def exact_sample(df: DataFrame, k: int, seed: int = 42) -> DataFrame:
     acceptable because limit(k) only materializes k rows per partition
     then k overall (TakeOrderedAndProject)."""
     return df.orderBy(F.rand(seed)).limit(k)
+
+
+def exact_sample_distributed(df: DataFrame, k: int, seed: int = 42) -> DataFrame:
+    """Sample(k) the way the reference does it at scale
+    (thrill/api/sample.hpp:33-50, Sanders et al. TOMS 2017): split k
+    across partitions by a multivariate hypergeometric draw over the
+    partition sizes, then each partition independently picks its quota
+    of local row indices without replacement. Two passes over the data,
+    no global sort, no shuffle; the driver sees only the per-partition
+    counts (one int per partition), so this holds at 1000 executors ×
+    100 TB where orderBy(rand()).limit(k)'s range-partitioned sort (or
+    its TakeOrdered heap over k per partition) would dominate.
+
+    The draw is exactly uniform: P(pick this k-subset) factorizes into
+    the hypergeometric split × within-partition uniform choices."""
+    import numpy as np
+
+    pid_col = "__ts_pid"
+    with_pid = df.withColumn(pid_col, F.spark_partition_id())
+    sizes = {
+        r["pid"]: r["n"]
+        for r in with_pid.groupBy(F.col(pid_col).alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    pids = sorted(sizes)
+    counts = [sizes[p] for p in pids]
+    total = sum(counts)
+    if k >= total:
+        return df
+    rng = np.random.default_rng(seed)
+    quota = dict(zip(pids, rng.multivariate_hypergeometric(counts, k)))
+    out_schema = df.schema
+
+    def pick(batches):
+        import pandas as pd
+
+        offset, chosen = 0, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if chosen is None:
+                pid = int(pdf[pid_col].iloc[0])
+                q, n = int(quota.get(pid, 0)), sizes[pid]
+                local = np.random.default_rng((seed, pid))
+                chosen = set(local.choice(n, q, replace=False).tolist()) if q else set()
+            if chosen:
+                idx = [i for i in range(len(pdf)) if offset + i in chosen]
+                if idx:
+                    yield pdf.iloc[idx].drop(columns=[pid_col])
+            offset += len(pdf)
+
+    return with_pid.mapInPandas(pick, schema=out_schema)

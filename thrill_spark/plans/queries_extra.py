@@ -223,6 +223,16 @@ def q_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_sample(orders, k=100)
 
 
+# The scale path: hypergeometric split across partitions, no global
+# sort (thrill/api/sample.hpp:33-50). Random -> rows-only check.
+@query("sample_exact_k_hypergeometric")
+def q_sample_exact_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.operators.basic import exact_sample_distributed
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    return exact_sample_distributed(orders, k=100)
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN (rows-only: recall<1 vs brute force by construction; tests
 # assert recall against the exact baseline instead)

@@ -186,3 +186,48 @@ def test_exact_sample_distributed(spark):
     # should touch most partitions (each partition gets ~8.6 expected)
     touched = {i // 625 for i in ids}
     assert len(touched) >= 12
+
+
+def test_group_by_key_fold_huge_group_chunked(spark):
+    """A single hot key spanning many Arrow batches must fold chunk by
+    chunk (bounded state), and chunks must arrive in order_by order."""
+    from thrill_spark.operators.reduce import group_by_key_fold
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        df = spark.range(0, 1000).select(
+            (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+        )
+
+        def init(key):
+            return {"n": 0, "s": 0, "chunks": 0, "last": -1, "ordered": True}
+
+        def fold(st, chunk):
+            st["n"] += len(chunk)
+            st["s"] += int(chunk["v"].sum())
+            st["chunks"] += 1
+            if len(chunk):
+                if int(chunk["v"].iloc[0]) < st["last"]:
+                    st["ordered"] = False
+                st["last"] = int(chunk["v"].iloc[-1])
+            return st
+
+        def finish(key, st):
+            assert st["ordered"], "chunks arrived out of order"
+            return {"k": key[0], "n": st["n"], "s": st["s"], "chunks": st["chunks"]}
+
+        out = group_by_key_fold(
+            df, ["k"], init, fold, finish,
+            schema="k long, n long, s long, chunks long", order_by=["v"],
+        ).collect()
+        got = {r["k"]: (r["n"], r["s"]) for r in out}
+        for k in range(3):
+            vals = [i for i in range(1000) if i % 3 == k]
+            assert got[k] == (len(vals), sum(vals))
+        assert all(r["chunks"] > 1 for r in out)  # chunking actually happened
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

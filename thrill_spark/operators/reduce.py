@@ -86,3 +86,59 @@ def hyperloglog(df: DataFrame, col: str, rsd: float = 0.02) -> DataFrame:
     core/hyperloglog.hpp:27-39 — sparse/dense registers merged by
     AllReduce). Spark's approx_count_distinct is HLL++, same role."""
     return df.agg(F.approx_count_distinct(col, rsd).alias("approx_distinct"))
+
+
+def group_by_key_fold(
+    df: DataFrame,
+    keys: Sequence[str],
+    init: Callable,
+    fold: Callable,
+    finish: Callable,
+    schema,
+    order_by: Sequence[str] = (),
+) -> DataFrame:
+    """GroupByKey for HUGE groups: the secondary-sort pattern the
+    reference's implementation actually uses (group_by_key.hpp:205-216 —
+    shuffle by key-hash, write key-sorted runs, multiway-merge so the
+    user iterator streams each group instead of holding it in RAM).
+
+    repartition(keys) + sortWithinPartitions(keys, order_by) makes each
+    group contiguous inside its partition; mapInPandas then streams
+    Arrow batches and feeds each group to the caller chunk by chunk:
+
+      state = init(key_tuple)
+      state = fold(state, chunk_pdf)   # chunks arrive in order_by order
+      row_dict_or_pdf = finish(key_tuple, state)
+
+    Peak memory is O(one Arrow batch + user state), not O(group) —
+    applyInPandas (group_by_key above) materializes every group whole,
+    which a zipf-hot key at 100 TB will not survive. Anything
+    expressible as a bounded-state fold over an ordered group (running
+    stats, gap analysis, top-k per key, sessionization) fits; a
+    hold-everything fn (exact median) genuinely needs the materializing
+    path, same as the reference's external-sorted runs."""
+    import pandas as pd
+
+    key_list = list(keys)
+
+    def stream(batches):
+        cur_key, state = None, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for kt, grp in pdf.groupby(key_list, sort=False):
+                kt = kt if isinstance(kt, tuple) else (kt,)
+                if kt != cur_key:
+                    if cur_key is not None:
+                        out = finish(cur_key, state)
+                        if out is not None and len(out):
+                            yield out if isinstance(out, pd.DataFrame) else pd.DataFrame([out])
+                    cur_key, state = kt, init(kt)
+                state = fold(state, grp)
+        if cur_key is not None:
+            out = finish(cur_key, state)
+            if out is not None and len(out):
+                yield out if isinstance(out, pd.DataFrame) else pd.DataFrame([out])
+
+    arranged = df.repartition(*key_list).sortWithinPartitions(*key_list, *order_by)
+    return arranged.mapInPandas(stream, schema=schema)

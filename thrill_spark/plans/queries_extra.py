@@ -310,3 +310,65 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     return MM.frame_sample(docs, every_n=3, id_col="id")
+
+
+# ---------------------------------------------------------------------------
+# GroupByKey huge-group scale path: secondary-sort + chunk-fold
+# (group_by_key_fold — reference group_by_key.hpp:205-216 streamed
+# iterator). Per-customer ordered fold: order count + max gap in days
+# between consecutive orders. Oracle: lag() window + group agg.
+# ---------------------------------------------------------------------------
+@query(
+    "group_fold_order_gaps",
+    """
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap
+      FROM orders)
+    SELECT o_custkey AS c_custkey,
+           COUNT(*) AS n_orders,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_days
+    FROM g GROUP BY o_custkey
+    """,
+)
+def q_group_fold_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.operators.reduce import group_by_key_fold
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+
+    def init(key):
+        return {"prev": None, "n": 0, "max_gap": 0}
+
+    def fold(state, chunk):
+        ts = chunk["o_orderdate"]
+        gaps = ts.diff().dt.days
+        if state["prev"] is not None and len(ts):
+            first_gap = (ts.iloc[0] - state["prev"]).days
+            state["max_gap"] = max(state["max_gap"], first_gap)
+        if len(gaps.dropna()):
+            state["max_gap"] = max(state["max_gap"], int(gaps.max()))
+        state["n"] += len(chunk)
+        state["prev"] = ts.iloc[-1]
+        return state
+
+    def finish(key, state):
+        return {
+            "c_custkey": key[0],
+            "n_orders": state["n"],
+            "max_gap_days": state["max_gap"],
+        }
+
+    return group_by_key_fold(
+        orders,
+        keys=["o_custkey"],
+        init=init,
+        fold=fold,
+        finish=finish,
+        schema="c_custkey long, n_orders long, max_gap_days long",
+        order_by=["o_orderdate", "o_orderkey"],
+    )

@@ -84,3 +84,33 @@ def test_zip_cut_and_pad_at_any_parallelism(spark, shuffle_partitions):
     assert len(cut) == 7 and all(r["y"] == 10 * r["x"] for r in cut)
     pad = O.zip_dfs([a, b], [["x"], ["y"]], how="pad").orderBy(O.IDX).collect()
     assert len(pad) == 10 and pad[9]["y"] is None
+
+
+def test_salted_join_equivalence_on_zipf(spark):
+    """salted_join must produce exactly the rows of the plain join on a
+    zipf-skewed fact table (hot key = ~half the rows), inner and left."""
+    import random
+
+    from thrill_spark.operators.skew import salted_join
+
+    rnd = random.Random(7)
+    # zipf-ish: key 0 huge, tail sparse; some fact keys missing from dim
+    fact_rows = [(0 if rnd.random() < 0.5 else rnd.randint(1, 50), i) for i in range(20_000)]
+    fact = spark.createDataFrame(fact_rows, ["k", "payload"])
+    dim = spark.createDataFrame(
+        [(k, f"dim_{k}") for k in range(0, 40)], ["dk", "attr"]
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            (r["k"], r["payload"], r["attr"])
+            for r in fact.join(dim, fact["k"] == dim["dk"], how).select(
+                "k", "payload", "attr"
+            ).collect()
+        )
+        salted = sorted(
+            (r["k"], r["payload"], r["attr"])
+            for r in salted_join(fact, dim, "k", "dk", salt_buckets=8, how=how)
+            .select("k", "payload", "attr")
+            .collect()
+        )
+        assert salted == plain, f"{how}: salted join diverges from plain join"

@@ -80,3 +80,47 @@ def top_heavy_keys(df: DataFrame, keys: Sequence[str], top: int = 10) -> DataFra
         .orderBy(F.col("n").desc())
         .limit(top)
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join when the FACT side has heavy-hitter keys and
+    the other side is too large to broadcast outright: salt the fact
+    rows into salt_buckets sub-keys and replicate each dim row once per
+    bucket, joining on (key, salt). The heaviest fact key's rows now
+    spread over salt_buckets tasks instead of one straggler; the cost
+    is a salt_buckets× blow-up of the dim side's shuffle (choose
+    buckets ≈ heaviest-key-share × parallelism, see top_heavy_keys).
+
+    Semantics are identical to fact.join(dim, key): every fact row
+    still meets every dim row of its key exactly once (dim replication
+    is keyed, not sampled), so results stay oracle-checkable. AQE's
+    skew-join split does this automatically for sort-merge joins when
+    it can see the skew at runtime; the explicit operator covers plans
+    AQE can't rewrite (e.g. under bucketed-table SMJ or when stats
+    mislead) and mirrors the reference's location-detection motivation
+    (inner_join.hpp:150-164).
+
+    how: 'inner' or 'left' (left = keep unmatched fact rows; outer
+    on the dim side would need unsalted semantics — not supported).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    salted_fact = fact.withColumn(SALT, (F.rand(seed=0) * salt_buckets).cast("int"))
+    buckets = F.explode(
+        F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+    ).alias(SALT)
+    replicated_dim = dim.select("*", buckets)
+    joined = salted_fact.join(
+        replicated_dim,
+        (salted_fact[fact_key] == replicated_dim[dim_key])
+        & (salted_fact[SALT] == replicated_dim[SALT]),
+        how,
+    )
+    return joined.drop(SALT)

@@ -372,3 +372,28 @@ def q_group_fold_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="c_custkey long, n_orders long, max_gap_days long",
         order_by=["o_orderdate", "o_orderkey"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew-safe join: identical semantics to the plain equi-join
+# (dim replicated per salt bucket), so the oracle is the plain join.
+# ---------------------------------------------------------------------------
+@query(
+    "salted_join_lineitem_supplier",
+    """
+    SELECT s_nationkey, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(li, supp, "l_suppkey", "s_suppkey", salt_buckets=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )

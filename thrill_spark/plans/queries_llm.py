@@ -395,3 +395,51 @@ def q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.minhash_signatures(docs, num_hashes=_MH_K)
     pairs = D.lsh_candidate_pairs(sig, num_hashes=_MH_K, bands=_MH_BANDS)
     return ALG.connected_components(pairs, a="id_a", b="id_b")
+
+
+# ---------------------------------------------------------------------------
+# Event funnel: users progressing view -> later click -> later purchase.
+# Each stage is an agg + self-join on (user, after-prior-stage) — all
+# shuffles on user_id; stage counts combine via tiny broadcast
+# cross-join (3 one-row aggregates).
+# ---------------------------------------------------------------------------
+@query(
+    "events_funnel_view_click_purchase",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+          JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+          JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage(prior: DataFrame, etype: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype).alias("e")
+        pr = prior.alias("pr")
+        return (
+            e.join(pr, (F.col("e.user_id") == F.col("pr.user_id"))
+                   & (F.col("e.ts") > F.col("pr.t")))
+            .groupBy(F.col("e.user_id").alias("user_id"))
+            .agg(F.min("e.ts").alias("t"))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    c = stage(v, "click")
+    p = stage(c, "purchase")
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+    return nv.join(F.broadcast(nc)).join(F.broadcast(np_))

@@ -125,3 +125,43 @@ def test_write_read_lines_roundtrip(ctx, tmp_path):
     d.WriteLines(out)
     back = ctx.ReadLines(out)
     assert sorted(back.Gather()) == ["alpha", "beta", "gamma"]
+
+
+def test_inner_join_method_and_free_function(ctx):
+    import thrill_spark.api as api
+
+    a = ctx.Distribute([1, 2, 3, 4])
+    b = ctx.Distribute([2, 4, 6])
+    # join on parity, output (va, vb) pairs — same-key cross product
+    out = sorted(
+        a.InnerJoin(b, lambda v: v % 2, lambda v: v % 2, lambda x, y: F.struct(x, y)).Gather(),
+        key=lambda r: (r[0], r[1]),
+    )
+    # parity 0: a={2,4} x b={2,4,6}; parity 1: a={1,3} x b={}
+    assert [(r[0], r[1]) for r in out] == [
+        (2, 2), (2, 4), (2, 6), (4, 2), (4, 4), (4, 6)
+    ]
+    free = api.InnerJoin(
+        a, b, lambda v: v % 2, lambda v: v % 2, lambda x, y: x + y
+    )
+    assert sorted(free.Gather()) == sorted([4, 6, 8, 6, 8, 10])
+
+
+def test_zip_window_blocks(ctx):
+    a = ctx.Distribute([0, 1, 2, 3, 4, 5])
+    b = ctx.Distribute([10, 20, 30, 40])
+    # blocks of 3 from a zip blocks of 2 from b -> 2 full block pairs
+    out = a.ZipWindow(b, 3, 2, lambda wa, wb: F.struct(wa, wb)).Gather()
+    assert [(list(r[0]), list(r[1])) for r in out] == [
+        ([0, 1, 2], [10, 20]),
+        ([3, 4, 5], [30, 40]),
+    ]
+
+
+def test_flat_window_emits_multiple(ctx):
+    d = ctx.Distribute([1, 2, 3, 4])
+    # disjoint windows of 2, each emitting its values doubled
+    out = d.FlatWindow(
+        2, F.transform(F.collect_list("v"), lambda x: x * 2), disjoint=True
+    ).Gather()
+    assert out == [2, 4, 6, 8]

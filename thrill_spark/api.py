@@ -246,6 +246,70 @@ class DIA:
         out = O.sliding_window(self.df, [ORD], size, {"_w": agg})
         return DIA(out.select(F.col("_w").alias(V), F.col(O.IDX).alias(ORD)))
 
+    def ZipWindow(
+        self,
+        other: "DIA",
+        w_self: int,
+        w_other: int,
+        f: Callable[[Column, Column], Column],
+    ) -> "DIA":
+        """ZipWindow (thrill/api/zip_window.hpp:175,621-714): zip the
+        i-th block of w_self consecutive items with the i-th block of
+        w_other items from the other DIA. Blocks materialize as ordered
+        arrays (idx div w bucketing + collect over in-block position)."""
+
+        def blocks(d: "DIA", w: int, out: str) -> DataFrame:
+            idf = d._indexed()
+            return (
+                idf.select(
+                    (F.col(O.IDX) / w).cast("long").alias("_blk"),
+                    F.struct(F.col(O.IDX).alias("p"), F.col(V).alias("x")).alias("_pv"),
+                )
+                .groupBy("_blk")
+                .agg(F.array_sort(F.collect_list("_pv")).alias("_s"))
+                .select("_blk", F.transform("_s", lambda s: s["x"]).alias(out))
+            )
+
+        a = blocks(self, w_self, "_wa")
+        b = blocks(other, w_other, "_wb")
+        joined = a.join(b, on="_blk", how="inner")  # CutTag semantics
+        return DIA(
+            joined.select(
+                f(F.col("_wa"), F.col("_wb")).alias(V), F.col("_blk").alias(ORD)
+            )
+        )
+
+    def FlatWindow(self, size: int, emit: Column, disjoint: bool = False) -> "DIA":
+        """FlatWindow (dia.hpp:1925-1980): the window function emits
+        0..n outputs — `emit` aggregates the frame into an ARRAY column
+        which is exploded, ordered by (window position, offset)."""
+        win = self.Window(size, emit, disjoint=disjoint)
+        exploded = win.df.select(
+            F.posexplode(F.col(V)).alias("_off", V), ORD
+        )
+        return DIA(exploded.select(V, F.struct(ORD, "_off").alias(ORD)))
+
+    # -- joins (§2.5) ----------------------------------------------------
+    def InnerJoin(
+        self,
+        other: "DIA",
+        key_self: ColFn,
+        key_other: ColFn,
+        f: Callable[[Column, Column], Column],
+    ) -> "DIA":
+        """InnerJoin free function (thrill/api/inner_join.hpp:710,806):
+        equi-join on extracted keys, join fn builds the output value.
+        Output order is unspecified, matching the reference."""
+        a = self.df.select(key_self(F.col(V)).alias("_k"), F.col(V).alias("_va"))
+        b = other.df.select(key_other(F.col(V)).alias("_k"), F.col(V).alias("_vb"))
+        joined = a.join(b, on="_k", how="inner")
+        return DIA(
+            joined.select(
+                f(F.col("_va"), F.col("_vb")).alias(V),
+                F.monotonically_increasing_id().alias(ORD),
+            )
+        )
+
     # -- actions (§2.10) ------------------------------------------------
     def Size(self) -> int:
         return self.df.count()
@@ -299,3 +363,16 @@ class DIA:
 
     def WriteBinary(self, path: str) -> None:
         self.df.select(V, ORD).write.mode("overwrite").parquet(path)
+
+
+def InnerJoin(
+    a: DIA,
+    b: DIA,
+    key_a: ColFn,
+    key_b: ColFn,
+    f: Callable[[Column, Column], Column],
+) -> DIA:
+    """Module-level form matching the reference's free function
+    api::InnerJoin(dia_a, dia_b, key_a, key_b, join_fn)
+    (thrill/api/inner_join.hpp:710)."""
+    return a.InnerJoin(b, key_a, key_b, f)

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Empirical scaling check: replicate the sf0.1 fixtures K× with
+shifted keys (a poor man's sf0.8), run the headline queries at both
+scales, and report the runtime ratio. A plan that survives 100 TB
+should scale ~linearly here (ratio ≈ K on a fixed-core machine);
+super-linear ratios flag a single-partition funnel, a driver
+bottleneck, or a quadratic join.
+
+Usage: python tools/scale_check.py [K] (default 8). Writes scratch
+data under /tmp/thrill_spark_scale_<K>x.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from thrill_spark.plans.queries import QUERIES  # noqa: E402
+from thrill_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+QUERY_SET = [
+    "reduce_by_key_pricing",
+    "inner_join_lineitem_orders",
+    "zip_with_index_orders",
+    "prefix_sum_totalprice",
+    "window_sliding_sum",
+    "group_by_key_median",
+    "tpch_q1_pricing_summary",
+    "tpch_q18_large_volume_customers",
+    "flatmap_wordcount",
+    "dedup_minhash_signatures",
+]
+KEY_SHIFT = 1_000_000_000
+
+
+def build_scaled(spark, k: int, out: str) -> None:
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    # fact tables: replicate with shifted join keys so join fan-out and
+    # group cardinality scale with the data (not just row count)
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    li_k = None
+    or_k = None
+    dc_k = None
+    for i in range(k):
+        off = F.lit(i * KEY_SHIFT)
+        li_i = li.withColumn("l_orderkey", F.col("l_orderkey") + off)
+        or_i = orders.withColumn("o_orderkey", F.col("o_orderkey") + off)
+        dc_i = docs.withColumn("doc_id", F.col("doc_id") + off)
+        li_k = li_i if li_k is None else li_k.unionByName(li_i)
+        or_k = or_i if or_k is None else or_k.unionByName(or_i)
+        dc_k = dc_i if dc_k is None else dc_k.unionByName(dc_i)
+    li_k.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    or_k.write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    dc_k.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    # dimension tables: unchanged (realistic — dims grow slower than facts)
+    for t in ("customer", "supplier", "part", "nation", "region", "events",
+              "embeddings"):
+        shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+    open(os.path.join(out, "_DONE"), "w").write("ok")
+
+
+def run(spark, sf_dir: str, names) -> dict[str, float]:
+    res = {}
+    for n in names:
+        t0 = time.perf_counter()
+        QUERIES[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        res[n] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+    return res
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    out = f"/tmp/thrill_spark_scale_{k}x"
+    spark = get_spark("scale_check")
+    build_scaled(spark, k, out)
+    # warmup both shapes
+    run(spark, "/root/testdata/sf0.001", QUERY_SET)
+    base = run(spark, BASE, QUERY_SET)
+    scaled = run(spark, out, QUERY_SET)
+    report = {
+        n: {
+            "sf0.1_s": base[n],
+            f"{k}x_s": scaled[n],
+            "ratio": round(scaled[n] / base[n], 2) if base[n] > 0 else None,
+        }
+        for n in QUERY_SET
+    }
+    print(json.dumps({"k": k, "queries": report}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -160,3 +160,64 @@ def test_ann_ivf_recall_vs_brute(spark):
     for r in out:
         same = (r["query_id"] < 100) == (r["neighbor_id"] < 100)
         assert same, f"cross-cluster neighbor {r}"
+
+
+def test_cosine_block_matches_allpairs(spark):
+    """The distributed block matmul (default) must produce exactly the
+    same pair set + bit-identical cos_sim as the pure-JVM all-pairs
+    fold, including with a block grid forced to many blocks."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in S.cosine_near_dup_pairs(df, tau=0.3, method="allpairs").collect()
+    }
+    block = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in S.cosine_near_dup_pairs(df, tau=0.3, method="block", block_rows=8).collect()
+    }
+    assert block == exact  # bit-identical values (shared confirm fold)
+
+
+def test_lsh_hot_bucket_bounded(spark):
+    """Adversarial corpus: hundreds of identical docs collapse into one
+    LSH bucket in every band. bounded_self_join must still produce the
+    full candidate set while splitting the bucket into capped tasks."""
+    n = 300
+    docs = [(i, "the same boilerplate text repeated again and again for all") for i in range(n)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sigs = D.minhash_signatures(df, num_hashes=8, shingle_words=3)
+    pairs = D.lsh_candidate_pairs(sigs, num_hashes=8, bands=2, bucket_cap=50)
+    assert pairs.count() == n * (n - 1) // 2
+
+
+def test_bounded_self_join_matches_plain(spark):
+    """bounded_self_join == plain bucket self-join, pair for pair."""
+    from thrill_spark.operators.skew import bounded_self_join
+
+    rows = [(i, i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, ["id", "bkt"])
+    plain = (
+        df.selectExpr("bkt", "id AS id_a")
+        .join(df.selectExpr("bkt", "id AS id_b"), on="bkt")
+        .select("id_a", "id_b")
+    )
+    bounded = bounded_self_join(
+        df, ["bkt"], salt_on="id",
+        left_cols={"id_a": "id"}, right_cols={"id_b": "id"}, cap=4,
+    ).select("id_a", "id_b")
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, bounded.collect()))
+    assert a == b
+
+
+def test_ann_lsh_cap_invariant(spark):
+    """ann_lsh_topk results are identical whatever the bucket cap."""
+    rows = [(i, [1.0, float(i % 5) / 10, 0.5]) for i in range(25)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    big = sorted(map(tuple, S.ann_lsh_topk(df, dim=3, k=3, bucket_cap=10_000).collect()))
+    small = sorted(map(tuple, S.ann_lsh_topk(df, dim=3, k=3, bucket_cap=5).collect()))
+    assert big == small

@@ -138,6 +138,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    bucket_cap: int = 10_000,
 ) -> DataFrame:
     """Band the signature (rows = num_hashes/bands) and bucket-join:
     docs sharing any band bucket become candidate pairs (id_a < id_b).
@@ -145,7 +146,14 @@ def lsh_candidate_pairs(
     The join key is (band_id, band_hash) — candidate generation never
     compares non-colliding docs, which is what makes minhash-LSH viable
     at 100 TB while pairwise Jaccard is not.
+
+    The bucket join goes through bounded_self_join so one degenerate
+    bucket (mass-duplicated boilerplate — the common case in web
+    corpora) is decomposed into <=bucket_cap^2-pair tasks instead of a
+    single quadratic straggler; the candidate SET is unchanged.
     """
+    from thrill_spark.operators.skew import bounded_self_join
+
     rows_per_band = num_hashes // bands
     pieces = []
     for b in range(bands):
@@ -159,11 +167,16 @@ def lsh_candidate_pairs(
     banded = pieces[0]
     for p in pieces[1:]:
         banded = banded.unionByName(p)
-    left = banded.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_a"))
-    right = banded.select(F.col("band"), F.col("bh"), F.col(id_col).alias("id_b"))
+    pairs = bounded_self_join(
+        banded,
+        ["band", "bh"],
+        salt_on=id_col,
+        left_cols={"id_a": id_col},
+        right_cols={"id_b": id_col},
+        cap=bucket_cap,
+    )
     return (
-        left.join(right, on=["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )

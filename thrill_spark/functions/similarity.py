@@ -109,35 +109,67 @@ def lsh_signature(
     return df.withColumn("lsh_bucket", sig.cast("long"))
 
 
+def _exact_confirm(cands: DataFrame, n: DataFrame, vec_col: str, id_col: str, tau: float) -> DataFrame:
+    """Phase 2 of near-dup search: candidate (a_id, b_id) pairs join back
+    to the vectors and the deterministic sequential left-fold recomputes
+    cos_sim, so output VALUES are bit-identical to the DuckDB oracle's
+    list_reduce and the final >= tau filter is exact."""
+    a = n.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"), F.col("_nrm").alias("_na"))
+    b = n.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"), F.col("_nrm").alias("_nb"))
+    exact = (
+        cands.join(a, on="a_id")
+        .join(b, on="b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cos_sim"),
+        )
+    )
+    return exact.filter(F.col("cos_sim") >= tau)
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     tau: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    prefilter: bool = True,
+    method: str = "block",
+    block_rows: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b), a<b, with
-    cosine(a, b) >= tau.
+    cosine(a, b) >= tau. EXACT (recall 1) under every method — the
+    approximate scale paths are ann_lsh_topk / ann_ivf_topk.
 
     Two phases:
-    1. PREFILTER (prefilter=True): a vectorized numpy matmul inside
-       Arrow-batched mapInPandas — each partition's row-block multiplies
-       against the broadcast normalized matrix and emits candidate id
-       pairs with cos >= tau - 1e-9 (the epsilon absorbs summation-order
-       FP drift). ~BLAS speed; measured ~10x over per-pair JVM folds.
-    2. EXACT CONFIRM: candidates join back to the vectors and the
-       deterministic sequential left-fold recomputes cos_sim, so output
-       VALUES are bit-identical to the DuckDB oracle's list_reduce and
-       the final >= tau filter is exact.
+    1. CANDIDATES: a vectorized numpy matmul emits id pairs with
+       cos >= tau - 1e-9 (the epsilon absorbs summation-order FP drift).
+    2. EXACT CONFIRM (_exact_confirm): the deterministic JVM fold
+       recomputes cos_sim so values are bit-identical to the oracle.
 
-    Scale: the broadcast matrix bounds this exact variant to dimension
-    tables that fit an executor (n*d*8 bytes). Past that, compose the
-    LSH bucket join (lsh_signature) or IVF cells (ann_ivf_topk) as the
-    candidate generator and keep phase 2 unchanged."""
+    method:
+    - 'block' (default): distributed block matmul. Rows are bucketed
+      into ceil(n/block_rows) blocks; every block pair (i <= j) is a
+      cogroup whose task multiplies a (<=block_rows, d) matrix against
+      another — BLAS speed, per-task memory O(block_rows*d), NO
+      driver-side materialization of the table and no broadcast of it.
+      Shuffle volume is n*(n/block_rows) vector rows — the exact
+      all-pairs search is inherently quadratic in compute; this spreads
+      it evenly across the cluster instead of funnelling through one
+      node. This is the 100 TB-safe exact strategy.
+    - 'broadcast': the whole normalized matrix is collect()ed and
+      broadcast; each partition matmuls against it. Fastest when the
+      table fits comfortably in executor+driver memory (n*d*8 bytes) —
+      an explicit small-table opt-in, never the default.
+    - 'allpairs': pure-JVM theta-join fold, no Python. O(n^2) pair
+      folds; the tiny-data reference baseline.
+    """
     n = df.select(
         F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_nrm")
     )
-    if not prefilter:
+    eps = 1e-9
+    import numpy as np
+
+    if method == "allpairs":
         a = n.select(
             F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"), F.col("_nrm").alias("_na")
         )
@@ -151,44 +183,82 @@ def cosine_near_dup_pairs(
         )
         return pairs.filter(F.col("cos_sim") >= tau)
 
-    import numpy as np
+    if method == "broadcast":
+        spark = df.sparkSession
+        rows = n.select(id_col, vec_col, "_nrm").collect()
+        ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+        mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+        mat /= np.array([r["_nrm"] for r in rows], dtype=np.float64)[:, None]
+        b_ids = spark.sparkContext.broadcast(ids)
+        b_mat = spark.sparkContext.broadcast(mat)
 
+        def gen(batches):
+            import pandas as pd
+
+            M, I = b_mat.value, b_ids.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                block = np.stack(pdf[vec_col].apply(lambda v: np.asarray(v, dtype=np.float64)))
+                block /= np.linalg.norm(block, axis=1)[:, None]
+                sims = block @ M.T  # (rows_in_block, n)
+                bi = pdf[id_col].to_numpy()
+                r, c = np.nonzero((sims >= tau - eps) & (bi[:, None] < I[None, :]))
+                yield pd.DataFrame({"a_id": bi[r], "b_id": I[c]})
+
+        cands = df.select(id_col, vec_col).mapInPandas(gen, "a_id long, b_id long")
+        return _exact_confirm(cands, n, vec_col, id_col, tau)
+
+    if method != "block":
+        raise ValueError(f"unknown method {method!r}")
+
+    # --- distributed block matmul -------------------------------------
+    # One scalar count job sizes the block grid; the data itself never
+    # leaves the executors.
+    total = df.count()
+    n_blocks = max(1, -(-total // block_rows))
     spark = df.sparkSession
-    rows = n.select(id_col, vec_col, "_nrm").collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    mat /= np.array([r["_nrm"] for r in rows], dtype=np.float64)[:, None]
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    eps = 1e-9
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    tagged = df.select(F.col(id_col), F.col(vec_col)).withColumn("_blk", blk)
+    grid = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    # Two independent copies of the tiny grid avoid the ambiguous-self-
+    # join trap when the cogroup recombines the two replicated sides.
+    bpairs_a = spark.createDataFrame(grid, "ba int, bb int")
+    bpairs_b = spark.createDataFrame(grid, "ba int, bb int")
+    # a-side: rows of block ba in every pair (ba, bb); b-side: rows of bb.
+    a_rep = tagged.join(F.broadcast(bpairs_a), tagged["_blk"] == bpairs_a["ba"]).select(
+        "ba", "bb", F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    b_rep = tagged.join(F.broadcast(bpairs_b), tagged["_blk"] == bpairs_b["bb"]).select(
+        "ba", "bb", F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
 
-    def gen(batches):
+    def block_pairs(key, left, right):
         import pandas as pd
 
-        M, I = b_mat.value, b_ids.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            block = np.stack(pdf[vec_col].apply(lambda v: np.asarray(v, dtype=np.float64)))
-            block /= np.linalg.norm(block, axis=1)[:, None]
-            sims = block @ M.T  # (rows_in_block, n)
-            bi = pdf[id_col].to_numpy()
-            r, c = np.nonzero((sims >= tau - eps) & (bi[:, None] < I[None, :]))
-            yield pd.DataFrame({"a_id": bi[r], "b_id": I[c]})
+        if not len(left) or not len(right):
+            return pd.DataFrame({"a_id": [], "b_id": []})
+        L = np.stack(left["_v"].apply(lambda v: np.asarray(v, dtype=np.float64)))
+        R = np.stack(right["_v"].apply(lambda v: np.asarray(v, dtype=np.float64)))
+        L /= np.linalg.norm(L, axis=1)[:, None]
+        R /= np.linalg.norm(R, axis=1)[:, None]
+        sims = L @ R.T
+        li = left["_id"].to_numpy()
+        ri = right["_id"].to_numpy()
+        r, c = np.nonzero((sims >= tau - eps) & (li[:, None] != ri[None, :]))
+        lo = np.minimum(li[r], ri[c])
+        hi = np.maximum(li[r], ri[c])
+        out = pd.DataFrame({"a_id": lo, "b_id": hi})
+        if key[0] == key[1]:  # same-block group sees both orientations
+            out = out.drop_duplicates()
+        return out
 
-    cands = df.select(id_col, vec_col).mapInPandas(gen, "a_id long, b_id long")
-    a = n.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"), F.col("_nrm").alias("_na"))
-    b = n.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"), F.col("_nrm").alias("_nb"))
-    exact = (
-        cands.join(a, on="a_id")
-        .join(b, on="b_id")
-        .select(
-            "a_id",
-            "b_id",
-            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cos_sim"),
-        )
+    cands = (
+        a_rep.groupBy("ba", "bb")
+        .cogroup(b_rep.groupBy("ba", "bb"))
+        .applyInPandas(block_pairs, "a_id long, b_id long")
     )
-    return exact.filter(F.col("cos_sim") >= tau)
+    return _exact_confirm(cands, n, vec_col, id_col, tau)
 
 
 def ivf_centroids(df: DataFrame, n_cells: int, vec_col: str = "embedding",
@@ -250,21 +320,31 @@ def ann_lsh_topk(
     n_planes: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    bucket_cap: int = 10_000,
 ) -> DataFrame:
     """ANN via sign-LSH: candidates = same-bucket pairs, ranked by exact
     cosine within bucket. Recall < 1 by construction; the scale path
-    when brute force is too expensive (candidates shrink by ~2^planes)."""
+    when brute force is too expensive (candidates shrink by ~2^planes).
+
+    The bucket join goes through bounded_self_join so a hot bucket
+    (many near-identical vectors) is decomposed into bounded tasks
+    instead of one quadratic straggler; the candidate set is unchanged.
+    """
     from pyspark.sql import Window
 
+    from thrill_spark.operators.skew import bounded_self_join
+
     sig = lsh_signature(df, dim, n_planes, vec_col)
-    a = sig.select(
-        F.col("lsh_bucket"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    pairs = bounded_self_join(
+        sig,
+        ["lsh_bucket"],
+        salt_on=id_col,
+        left_cols={"query_id": id_col, "_qvec": vec_col},
+        right_cols={"neighbor_id": id_col, "_nvec": vec_col},
+        cap=bucket_cap,
     )
-    b = sig.select(F.col("lsh_bucket"), F.col(id_col).alias("neighbor_id"), F.col(vec_col))
-    scored = (
-        a.join(b, on="lsh_bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"))
+    scored = pairs.filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", cosine(F.col("_nvec"), F.col("_qvec")).alias("cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

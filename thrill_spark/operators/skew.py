@@ -82,6 +82,61 @@ def top_heavy_keys(df: DataFrame, keys: Sequence[str], top: int = 10) -> DataFra
     )
 
 
+def bounded_self_join(
+    df: DataFrame,
+    bucket_cols: Sequence[str],
+    salt_on: str,
+    left_cols: dict[str, str],
+    right_cols: dict[str, str],
+    cap: int = 10_000,
+) -> DataFrame:
+    """Bucket self-join with bounded per-task work: every ordered pair
+    of rows sharing a bucket appears exactly once, but no single task
+    ever materializes more than ~cap^2 pairs, no matter how degenerate
+    the bucket distribution is.
+
+    A plain self-equi-join on the bucket key sends an s-row bucket to
+    ONE reducer that emits s^2 pairs — for web-corpus LSH dedup, where
+    mass-duplicated boilerplate routinely lands 10^5+ docs in one band
+    bucket, that single task is the job killer. Here each bucket is
+    decomposed into g = ceil(s/cap) sub-groups by hashing `salt_on`;
+    the left side is replicated once per target sub-group and the right
+    side once per source sub-group, and the join key becomes
+    (bucket, sub_left, sub_right) — g^2 tasks of <=cap^2 pairs each.
+    Total pair count (the quadratic part) is unchanged — it is the
+    candidate-set semantics — only its placement is load-balanced.
+
+    Semantics: identical to
+    df.alias(L).join(df.alias(R), bucket_cols) — each ordered pair
+    exactly once — so callers' (id_a < id_b) / (a != b) filters and any
+    oracle stay valid. With small buckets g == 1 and the plan degrades
+    to the plain bucket join plus one count aggregation.
+
+    left_cols / right_cols: output name -> input column carried for
+    each side.
+    """
+    counts = df.groupBy(*bucket_cols).agg(F.count("*").alias("_bsz"))
+    m = df.join(counts, on=list(bucket_cols)).withColumn(
+        "_g", F.greatest(F.ceil(F.col("_bsz") / F.lit(cap)), F.lit(1)).cast("int")
+    )
+    sub = F.pmod(F.xxhash64(F.col(salt_on)), F.col("_g")).cast("int")
+    seq = F.sequence(F.lit(0), F.col("_g") - 1)
+    left = m.select(
+        *bucket_cols,
+        sub.alias("_sa"),
+        F.explode(seq).alias("_sb"),
+        *[F.col(src).alias(name) for name, src in left_cols.items()],
+    )
+    right = m.select(
+        *bucket_cols,
+        F.explode(seq).alias("_sa"),
+        sub.alias("_sb"),
+        *[F.col(src).alias(name) for name, src in right_cols.items()],
+    )
+    joined = left.join(right, on=[*bucket_cols, "_sa", "_sb"])
+    return joined.select(*bucket_cols, *left_cols, *right_cols)
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -54,11 +54,10 @@ def main() -> None:
     names = [n for n in BENCH_QUERIES if n in QUERIES]
     # JVM/codegen warmup: run every query shape on the smallest fixture
     # so measured times are steady-state query times, not JIT noise.
+    # Warmup failures must surface: a query broken at sf0.001 must not
+    # be silently timed at sf0.1.
     for name in names:
-        try:
-            run_query(spark, name, "/root/testdata/sf0.001")
-        except Exception:
-            pass
+        run_query(spark, name, "/root/testdata/sf0.001")
     spark.catalog.clearCache()
     timings: dict[str, float] = {}
     for name in names:

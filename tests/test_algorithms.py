@@ -110,3 +110,43 @@ def test_connected_components_path_and_cliques(spark):
         ).collect()
     }
     assert comp == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
+def test_cc_star_matches_propagation_random(spark):
+    """Differential: large-star/small-star CC must produce identical
+    labels to min-label propagation on a random multi-component graph."""
+    import random
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    star = {
+        r["node"]: r["component"]
+        for r in A.connected_components(df, algorithm="star").collect()
+    }
+    prop = {
+        r["node"]: r["component"]
+        for r in A.connected_components(df, algorithm="propagation").collect()
+    }
+    assert star == prop
+
+
+def test_cc_star_long_chain_logarithmic_rounds(spark):
+    """A 256-node path has diameter 255: propagation needs ~255 rounds,
+    large-star/small-star must finish within O(log^2 n) — give it 12."""
+    n = 256
+    path = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["a", "b"])
+    comp = {
+        r["node"]: r["component"]
+        for r in A.connected_components(path, algorithm="star", max_iters=12).collect()
+    }
+    assert comp == {i: 0 for i in range(n)}
+
+
+def test_cc_propagation_raises_on_nonconvergence(spark):
+    import pytest
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(40)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="diameter"):
+        A.connected_components(path, algorithm="propagation", max_iters=3)

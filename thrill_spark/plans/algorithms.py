@@ -164,30 +164,48 @@ def bfs(edges: DataFrame, source: int, max_iters: int = 25,
             break
         dist = dist.unionByName(nxt).localCheckpoint()
         frontier = nxt
+    else:
+        raise RuntimeError(
+            f"bfs: frontier still non-empty after max_iters={max_iters} "
+            "rounds (graph eccentricity exceeds the bound); distances "
+            "would be incomplete. Raise max_iters."
+        )
     return dist
 
 
 def connected_components(
-    edges: DataFrame, a: str = "a", b: str = "b", max_iters: int = 25
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iters: int = 25,
+    algorithm: str = "star",
 ) -> DataFrame:
-    """Connected components by alternating min-label propagation
-    (reference example listing, SURVEY §2.13 graph family; the dedup
-    pipeline's cluster step: LSH candidate pairs -> duplicate groups).
+    """Connected components (reference example listing, SURVEY §2.13
+    graph family; the dedup pipeline's cluster step: LSH candidate
+    pairs -> duplicate groups).
 
     edges: undirected edge list (a, b). Returns (node, component) where
     component = MIN(node id) over the node's component, for every node
-    incident to an edge.
+    incident to an edge. Output is identical under both algorithms.
 
-    Each round: labels join both edge directions, each node takes the
-    min of its own and all neighbor labels; stop when no label changed.
-    Near-duplicate graphs are unions of near-cliques, so this converges
-    in 2-3 rounds; for adversarial long-path graphs at 100 TB swap in
-    the large-star/small-star variant (Kiveris et al., "Connected
-    Components in MapReduce", SoCC'14) which converges in O(log^2 n)
-    rounds — same per-round join shape, so the partitioning story is
-    identical (hash on node id, no broadcast, no driver data).
-    localCheckpoint per round is the Collapse analogue keeping lineage
-    flat across iterations (thrill/api/collapse.hpp:29 use-case)."""
+    algorithm='star' (default, the 100 TB path): alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14), O(log^2 n) rounds on ANY graph
+    shape including long chains. Each round is two groupBy-join passes
+    hash-partitioned on node id — no broadcast, no driver data.
+
+    algorithm='propagation': min-label propagation, O(diameter) rounds.
+    Near-duplicate graphs are unions of near-cliques (diameter 2-3), so
+    it is competitive there; kept as the differential check for 'star'.
+
+    Both raise RuntimeError instead of silently returning wrong labels
+    when max_iters is exhausted without convergence. localCheckpoint
+    per round is the Collapse analogue keeping lineage flat across
+    iterations (thrill/api/collapse.hpp:29 use-case)."""
+    if algorithm == "star":
+        return _cc_star(edges, a, b, max_iters)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     und = (
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .unionByName(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
@@ -222,7 +240,97 @@ def connected_components(
         labels = nxt.drop("_chg")
         if not changed:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components(propagation): labels still changing "
+            f"after max_iters={max_iters} rounds (graph diameter exceeds "
+            "the bound); duplicate groups would be wrong. Raise max_iters "
+            "or use algorithm='star'."
+        )
     return labels
+
+
+def _cc_star(edges: DataFrame, a: str, b: str, max_iters: int) -> DataFrame:
+    """Alternating large-star/small-star CC (Kiveris et al. SoCC'14).
+
+    Invariant: the evolving edge set links every node to ever-smaller
+    members of its component without ever disconnecting anything; the
+    fixed point is a forest of depth-1 stars centered at each
+    component's minimum id.
+
+    large-star: for each node u (over symmetrized neighborhoods), link
+    every STRICTLY LARGER neighbor v to m = min(N(u) + {u}).
+    small-star: orient edges large->small; link every smaller neighbor
+    and u itself to m = min of that in-neighborhood.
+
+    Convergence test: the (count, bit_xor(xxhash64)) signature of the
+    edge set is compared between rounds — one scalar aggregation, no
+    edge-set diff shuffle (xor is overflow-free and order-independent;
+    edges are distinct so self-cancellation cannot occur). A signature
+    collision on inequal sets is ~2^-64; acceptable for a termination
+    check whose false-positive merely stops one round early on an
+    already-star-shaped graph."""
+    e = (
+        edges.select(F.col(a).cast("long").alias("u"), F.col(b).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )  # orient large -> small
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(df: DataFrame):
+        row = df.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).first()
+        return (row["n"], row["h"])
+
+    prev_sig = signature(e)
+    for _ in range(max_iters):
+        # -- large-star: symmetrize, group by u, link larger neighbors to min
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mn = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least(F.col("_mv"), F.col("u")).alias("m"))
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mn, on="u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))  # v > u >= m
+            .distinct()
+        )
+        # -- small-star: edges already large->small; link u and all its
+        # smaller neighbors to the minimum of that in-neighborhood
+        mn2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mn2, on="u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mn2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        e = small
+        sig = signature(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components(star): edge set still changing after "
+            f"max_iters={max_iters} rounds; raise max_iters."
+        )
+    # Fixed point is depth-1 stars (child -> component min). Labels:
+    # children take their center, centers take themselves.
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .unionByName(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
 
 
 def suffix_array(chars: DataFrame, n: int, pos: str = "pos") -> DataFrame:

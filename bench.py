@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from thrill_spark.plans.queries import QUERIES  # noqa: E402
 from thrill_spark.session import get_spark  # noqa: E402
+from thrill_spark import ordering as _ordering  # noqa: E402
 
 BENCH_QUERIES = [
     "reduce_by_key_pricing",
@@ -58,12 +59,14 @@ def main() -> None:
     # be silently timed at sf0.1.
     for name in names:
         run_query(spark, name, "/root/testdata/sf0.001")
+    _ordering.release_persisted()
     spark.catalog.clearCache()
     timings: dict[str, float] = {}
     for name in names:
         best = min(run_query(spark, name, sf_dir) for _ in range(3))
         timings[name] = round(best, 3)
-        spark.catalog.clearCache()  # drop _idx persists between queries
+        _ordering.release_persisted()
+        spark.catalog.clearCache()  # drop remaining persists between queries
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

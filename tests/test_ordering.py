@@ -162,3 +162,70 @@ def test_prefix_scan_min_max_product(spark):
     sm = O.prefix_scan(df, ["k"], "v", F.sum, lambda a, b: a + b, name="rsum").orderBy("k").collect()
     import itertools
     assert [r["rsum"] for r in sm] == list(itertools.accumulate(vals))
+
+
+def test_prefix_scan_generic_fold_no_sniffing(spark):
+    """Composite combines must fold correctly via the one-job
+    F.aggregate path (the old _jc string-sniff would have matched '+'
+    in least(a,b)+0 and silently summed)."""
+    from pyspark.sql import functions as F
+
+    from thrill_spark import ordering as O
+
+    vals = [5, 3, 8, 1, 9, 2, 7, 4, 6, 0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["k", "v"]
+    ).repartition(4)
+    out = (
+        O.prefix_scan(df, ["k"], "v", F.min, lambda a, b: F.least(a, b) + F.lit(0), name="rmin")
+        .orderBy("k")
+        .collect()
+    )
+    expect, cur = [], None
+    for v in vals:
+        cur = v if cur is None else min(cur, v)
+        expect.append(cur)
+    assert [r["rmin"] for r in out] == expect
+    # explicit python combiner path
+    out2 = (
+        O.prefix_scan(df, ["k"], "v", F.max, F.greatest, name="rmax", combine_scalar=max)
+        .orderBy("k")
+        .collect()
+    )
+    expect2, cur = [], None
+    for v in vals:
+        cur = v if cur is None else max(cur, v)
+        expect2.append(cur)
+    assert [r["rmax"] for r in out2] == expect2
+
+
+def test_with_index_broadcast_offsets_above_threshold(spark):
+    """Past OFFSET_LITERAL_MAX partitions the pid->offset carry must
+    ride in as a broadcast join, not an inline literal map, so plan
+    size stays O(1) in partition count — and values stay identical."""
+    from thrill_spark import ordering as O
+
+    df = spark.range(500).withColumnRenamed("id", "v")
+    base = {r["v"]: r["_idx"] for r in O.with_index(df, ["v"]).collect()}
+    old = O.OFFSET_LITERAL_MAX
+    O.OFFSET_LITERAL_MAX = 1
+    try:
+        idf = O.with_index(df, ["v"])
+        plan = idf._jdf.queryExecution().executedPlan().toString()
+        assert "map_from" not in plan and "keys: [" not in plan
+        assert "Broadcast" in plan
+        joined = {r["v"]: r["_idx"] for r in idf.collect()}
+    finally:
+        O.OFFSET_LITERAL_MAX = old
+    assert joined == base
+
+
+def test_release_persisted_clears_cache(spark):
+    from thrill_spark import ordering as O
+
+    O.release_persisted()
+    df = spark.range(100).withColumnRenamed("id", "v")
+    O.with_index(df, ["v"]).count()
+    assert len(O._live_persists) >= 1
+    O.release_persisted()
+    assert not O._live_persists

@@ -43,6 +43,36 @@ from pyspark.storagelevel import StorageLevel
 
 IDX = "_idx"
 _PID = "_ts_pid"
+_CARRY = "_ts_carry"
+
+# Above this partition count, per-partition carries are attached via a
+# broadcast-joined offsets DataFrame instead of an inline create_map of
+# literals — at 10k-100k shuffle partitions the literal map bloats every
+# plan that touches _idx (analysis time grows with partition count).
+OFFSET_LITERAL_MAX = 256
+
+# Registry of intermediates persisted by the positional ops. They must
+# stay cached until the jobs that consume the returned DataFrame run
+# (partitioning comes from range sampling, so recomputation could split
+# differently); call release_persisted() between queries — bench.py and
+# long-lived sessions should do so — or spark.catalog.clearCache().
+_live_persists: list[DataFrame] = []
+
+
+def release_persisted() -> None:
+    """Unpersist every intermediate cached by with_index/prefix_sum/
+    prefix_scan so far. Safe to call once downstream jobs completed."""
+    while _live_persists:
+        try:
+            _live_persists.pop().unpersist()
+        except Exception:
+            pass
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _live_persists.append(df)
+    return df
 
 
 def _cols(order_by: Sequence[str | Column]) -> list[Column]:
@@ -60,7 +90,7 @@ def _range_partitioned(df: DataFrame, order_by: Sequence[str | Column], persist:
     part = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
     part = part.withColumn(_PID, F.spark_partition_id())
     if persist:
-        part = part.persist(StorageLevel.MEMORY_AND_DISK)
+        part = _persist(part)
     counts = {r[_PID]: r["cnt"] for r in part.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()}
     offsets: dict[int, int] = {}
     running = 0
@@ -70,13 +100,23 @@ def _range_partitioned(df: DataFrame, order_by: Sequence[str | Column], persist:
     return part, offsets
 
 
-def _offset_col(offsets: dict[int, int]) -> Column:
-    # Partition count is O(shuffle partitions) — a literal map is fine
-    # (on a real cluster this is a broadcast-sized structure).
-    if not offsets:
-        return F.lit(0)
-    mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    return F.coalesce(mapping[F.col(_PID)], F.lit(0))
+def _with_carry(part: DataFrame, mapping: dict[int, object], name: str = _CARRY) -> DataFrame:
+    """Attach mapping[pid] as column `name` (null where pid absent).
+
+    Small maps inline as a create_map of literals (cheapest to analyze);
+    past OFFSET_LITERAL_MAX partitions the map rides in as a
+    broadcast-joined offsets DataFrame so plan size stays O(1) in the
+    partition count."""
+    if not mapping:
+        return part.withColumn(name, F.lit(None))
+    if len(mapping) <= OFFSET_LITERAL_MAX:
+        m = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+        return part.withColumn(name, m[F.col(_PID)])
+    spark = part.sparkSession
+    odf = spark.createDataFrame(
+        [(int(k), v) for k, v in mapping.items()], [_PID, name]
+    )
+    return part.join(F.broadcast(odf), on=_PID, how="left")
 
 
 def with_index(
@@ -92,9 +132,12 @@ def with_index(
     deterministic result.
     """
     part, offsets = _range_partitioned(df, order_by, persist)
+    part = _with_carry(part, offsets)
     w = Window.partitionBy(_PID).orderBy(*_cols(order_by))
-    out = part.withColumn(name, F.row_number().over(w) - 1 + _offset_col(offsets))
-    return out.drop(_PID)
+    out = part.withColumn(
+        name, F.row_number().over(w) - 1 + F.coalesce(F.col(_CARRY), F.lit(0))
+    )
+    return out.drop(_PID, _CARRY)
 
 
 def sort_by(df: DataFrame, order_by: Sequence[str | Column], index: bool = False) -> DataFrame:
@@ -114,6 +157,7 @@ def prefix_scan(
     combine_fn,
     name: str = "prefix_scan",
     persist: bool = True,
+    combine_scalar=None,
 ) -> DataFrame:
     """Generalized inclusive prefix scan with ANY associative operation
     (Thrill PrefixSum's full contract, thrill/api/prefix_sum.hpp:28 —
@@ -124,66 +168,76 @@ def prefix_scan(
     combine_fn: the same operation as a Column->Column binary (e.g.
     lambda a, b: a + b / F.least / F.greatest) merging the carried
     partition offset into the local scan.
+    combine_scalar: optional Python-level (a, b) -> scalar of the same
+    operation. When given, the O(#partitions) carry fold runs as a plain
+    driver loop; when omitted, ALL exclusive prefix folds of the
+    partition totals are evaluated in ONE tiny local Spark job using
+    combine_fn itself (F.aggregate over literal-array slices) — no
+    expression-tree sniffing, correct for any associative combine.
 
     Same two-phase shape as prefix_sum: range partition, local window
-    scan, O(#partitions) driver-side fold of partition totals carried
-    in as literals — no single-partition stage at any scale."""
+    scan, O(#partitions) carry — no single-partition stage at any
+    scale."""
     val = F.col(value) if isinstance(value, str) else value
     cols = _cols(order_by)
     part = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
     part = part.withColumn(_PID, F.spark_partition_id())
     if persist:
-        part = part.persist(StorageLevel.MEMORY_AND_DISK)
+        part = _persist(part)
     totals = {
         r[_PID]: r["tot"]
         for r in part.groupBy(_PID).agg(agg_fn(val).alias("tot")).collect()
     }
-    offsets: dict[int, object] = {}
-    running = None
-    for pid in sorted(totals):
-        offsets[pid] = running  # None -> identity (no carry)
-        t = totals[pid]
-        if running is None:
-            running = t
-        else:
-            # driver-side combine of two scalars via a 1-row plan-free path
-            running = _combine_scalar(combine_fn, running, t)
+    pids = sorted(totals)
+    if combine_scalar is not None:
+        offsets: dict[int, object] = {}
+        running = None
+        for pid in pids:
+            offsets[pid] = running  # None -> identity (no carry)
+            t = totals[pid]
+            running = t if running is None else combine_scalar(running, t)
+    else:
+        folds = _fold_prefixes(
+            df.sparkSession, [totals[p] for p in pids], combine_fn
+        )
+        offsets = dict(zip(pids, folds))
     w = Window.partitionBy(_PID).orderBy(*cols)
     local = agg_fn(val).over(w.rowsBetween(Window.unboundedPreceding, 0))
     nonnull = {k: v for k, v in offsets.items() if v is not None}
     if nonnull:
-        mapping = F.create_map(*[F.lit(x) for kv in nonnull.items() for x in kv])
-        carried = mapping[F.col(_PID)]
+        carried = F.col(_CARRY)
         local = F.when(carried.isNull(), local).otherwise(combine_fn(carried, local))
+        return (
+            _with_carry(part, nonnull).withColumn(name, local).drop(_PID, _CARRY)
+        )
     return part.withColumn(name, local).drop(_PID)
 
 
-def _combine_scalar(combine_fn, a, b):
-    """Evaluate the Column-level combine on two Python scalars by
-    folding the corresponding arithmetic. Supported shapes cover the
-    associative ops of interest; anything else gets a tiny local
-    evaluation through Spark's expression interpreter."""
-    probe = combine_fn(F.lit(a), F.lit(b))
-    # fast paths for the common ops keep the driver loop trivial
-    import pyspark.sql.functions as _F  # noqa: F401
-
-    try:
-        s = probe._jc.toString()
-    except Exception:
-        s = ""
-    if s.startswith("least"):
-        return min(a, b)
-    if s.startswith("greatest"):
-        return max(a, b)
-    if "+" in s:
-        return a + b
-    if "*" in s:
-        return a * b
-    # generic: evaluate the expression on an empty projection
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
-    return spark.range(1).select(probe.alias("v")).first()["v"]
+def _fold_prefixes(spark, totals: list, combine_fn) -> list:
+    """Exclusive prefix folds of the partition totals ([None,
+    t0, t0⊕t1, ...]) evaluated in ONE local single-partition Spark job
+    with the caller's own Column combine (ADVICE: no _jc string
+    sniffing). Work is O(P^2) scalar combines in a single JVM task — at
+    P = shuffle partitions this is microseconds; for extreme partition
+    counts pass combine_scalar instead."""
+    if not totals:
+        return []
+    arr = F.array(*[F.lit(t) for t in totals])
+    out = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(totals))),
+            lambda j: F.when(j == 1, F.lit(None)).otherwise(
+                F.aggregate(
+                    F.slice(arr, F.lit(2), j - 2),
+                    F.element_at(arr, 1),
+                    # wrap: varargs builtins (F.least/F.greatest) are not
+                    # valid higher-order-function lambdas as-is
+                    lambda acc, x: combine_fn(acc, x),
+                )
+            ),
+        ).alias("folds")
+    ).first()["folds"]
+    return list(out)
 
 
 def prefix_sum(
@@ -207,7 +261,7 @@ def prefix_sum(
     part = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
     part = part.withColumn(_PID, F.spark_partition_id())
     if persist:
-        part = part.persist(StorageLevel.MEMORY_AND_DISK)
+        part = _persist(part)
     totals = {
         r[_PID]: r["tot"]
         for r in part.groupBy(_PID).agg(F.sum(val).alias("tot")).collect()
@@ -223,15 +277,14 @@ def prefix_sum(
     local = F.sum(val).over(frame)
     if exclusive:
         local = F.coalesce(local, F.lit(0))
-    if offsets:
-        nonnull = {k: v for k, v in offsets.items() if v is not None}
-        if nonnull:
-            mapping = F.create_map(*[F.lit(x) for kv in nonnull.items() for x in kv])
-            local = local + F.coalesce(mapping[F.col(_PID)], F.lit(0))
+    nonnull = {k: v for k, v in offsets.items() if v is not None}
+    if nonnull:
+        part = _with_carry(part, nonnull)
+        local = local + F.coalesce(F.col(_CARRY), F.lit(0))
     out = local
     if initial is not None:
         out = out + F.lit(initial)
-    return part.withColumn(name, out).drop(_PID)
+    return part.withColumn(name, out).drop(_PID, _CARRY)
 
 
 def zip_dfs(

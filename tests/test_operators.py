@@ -231,3 +231,41 @@ def test_group_by_key_fold_huge_group_chunked(spark):
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
         else:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_asof_join_unkeyed_matches_pandas(spark):
+    """by=() routes through the two-phase range-partitioned fill (no
+    single-partition window); results must equal pandas merge_asof in
+    both directions, including boundary ties."""
+    import random
+
+    rng = random.Random(11)
+    trades = sorted(rng.sample(range(200), 40))
+    # unique quote times: with duplicates the pick among equal times is
+    # implementation-arbitrary on both sides, so the differential would
+    # be flaky by construction
+    quotes = sorted((t, i) for i, t in enumerate(rng.sample(range(200), 30)))
+    left = spark.createDataFrame([(float(t),) for t in trades], ["t"])
+    right = spark.createDataFrame([(float(t), q) for t, q in quotes], ["t", "px"])
+    lp = pd.DataFrame({"t": [float(t) for t in trades]})
+    rp = pd.DataFrame({"t": [float(t) for t, _ in quotes], "px": [q for _, q in quotes]})
+    for direction in ("backward", "forward"):
+        out = (
+            J.asof_join(left, right, "t", "t", direction=direction)
+            .orderBy("t")
+            .collect()
+        )
+        exp = pd.merge_asof(lp, rp.drop_duplicates("t", keep="last" if direction == "backward" else "first"),
+                            on="t", direction=direction)
+        got = [(r["t"], r["px_r"]) for r in out]
+        want = [
+            (float(r.t), None if pd.isna(r.px) else int(r.px)) for r in exp.itertuples()
+        ]
+        assert got == want, direction
+
+
+def test_asof_join_unkeyed_no_single_partition_exchange(spark):
+    left = spark.createDataFrame([(float(i),) for i in range(10)], ["t"])
+    right = spark.createDataFrame([(float(i), i) for i in range(0, 10, 2)], ["t", "px"])
+    plan = J.asof_join(left, right, "t", "t")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan

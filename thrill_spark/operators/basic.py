@@ -92,8 +92,15 @@ def exact_sample_distributed(df: DataFrame, k: int, seed: int = 42) -> DataFrame
     the hypergeometric split × within-partition uniform choices."""
     import numpy as np
 
+    from thrill_spark.ordering import _persist
+
     pid_col = "__ts_pid"
-    with_pid = df.withColumn(pid_col, F.spark_partition_id())
+    # Persist BEFORE the sizes job: if the input is nondeterministic
+    # (downstream of sample()/rand()/a shuffle), recomputation between
+    # the count job and the pick job could change partition contents,
+    # making quotas wrong or pids unknown — same discipline as
+    # ordering._range_partitioned.
+    with_pid = _persist(df.withColumn(pid_col, F.spark_partition_id()))
     sizes = {
         r["pid"]: r["n"]
         for r in with_pid.groupBy(F.col(pid_col).alias("pid"))
@@ -118,6 +125,12 @@ def exact_sample_distributed(df: DataFrame, k: int, seed: int = 42) -> DataFrame
                 continue
             if chosen is None:
                 pid = int(pdf[pid_col].iloc[0])
+                if pid not in sizes:
+                    raise RuntimeError(
+                        f"exact_sample_distributed: partition {pid} absent "
+                        "from the sizes pass — input changed between jobs "
+                        "despite persist; rerun with a stable input"
+                    )
                 q, n = int(quota.get(pid, 0)), sizes[pid]
                 local = np.random.default_rng((seed, pid))
                 chosen = set(local.choice(n, q, replace=False).tolist()) if q else set()

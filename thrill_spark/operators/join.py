@@ -56,6 +56,14 @@ def asof_join(
     Not in the reference or vanilla Spark; composed as union + window
     last()/first() over event order — fully shuffle-based, no pandas,
     scales with the by-key partitioning.
+
+    With by=() there is no partition key, so a plain
+    Window.partitionBy() would be a single-partition global window (the
+    package's never-single-partition rule). The unkeyed case instead
+    range-partitions the union on time and runs the fill two-phase:
+    partition-local window fill + an O(#partitions) driver carry of
+    each partition's boundary right-row, broadcast-joined back — the
+    same shape as ordering.prefix_sum.
     """
     from pyspark.sql import Window
 
@@ -75,7 +83,10 @@ def asof_join(
         *[F.col(c).alias(c + suffix) for c in rcols],
     ).select(*[c for c in l_tag.columns])
     both = l_tag.unionByName(r_tag)
-    if direction == "backward":
+    backward = direction == "backward"
+    if not by:
+        return _asof_fill_unkeyed(both, lcols, rcols, suffix, backward)
+    if backward:
         w = Window.partitionBy(*by).orderBy(F.col("_t").asc(), F.col("_is_left").asc()).rowsBetween(
             Window.unboundedPreceding, 0
         )
@@ -93,6 +104,75 @@ def asof_join(
         *[F.col("_f_" + c).alias(c + suffix) for c in rcols],
     )
     return out
+
+
+def _asof_fill_unkeyed(
+    both: DataFrame, lcols: list[str], rcols: list[str], suffix: str, backward: bool
+) -> DataFrame:
+    """Two-phase unkeyed as-of fill: range-partition on (_t, _is_left),
+    window-fill within each partition, and carry each partition's
+    boundary right-row across partitions via a tiny broadcast-joined
+    carry table (one row per partition, computed driver-side)."""
+    from pyspark.sql import Window
+
+    from thrill_spark.ordering import _persist
+
+    pid = "_asof_pid"
+    # Range-partition on the FULL tie-broken order: at equal _t the fill
+    # direction decides whether right rows sort before (backward) or
+    # after (forward) left rows, and the partition boundaries must agree
+    # with that order or boundary-tied right rows could land on the
+    # wrong side of the carry.
+    order = [F.col("_t").asc(), F.col("_is_left").asc() if backward else F.col("_is_left").desc()]
+    part = _persist(
+        both.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn(pid, F.spark_partition_id())
+    )
+    n_parts = part.rdd.getNumPartitions()
+    scols = [c + suffix for c in rcols]
+    # boundary right-row per partition: latest (backward) / earliest
+    # (forward) right event in that partition
+    pick = F.max_by if backward else F.min_by
+    bounds = {
+        r["p"]: r
+        for r in part.filter(F.col("_is_left") == 0)
+        .groupBy(F.col(pid).alias("p"))
+        .agg(*[pick(F.col(c), F.struct("_t")).alias(c) for c in scols])
+        .collect()
+    }
+    # exclusive carry scan over partition ids (driver-side, O(#parts))
+    carry_rows = []
+    running = None
+    pid_range = range(n_parts) if backward else range(n_parts - 1, -1, -1)
+    for p in pid_range:
+        carry_rows.append(
+            tuple([p] + ([None] * len(scols) if running is None else [running[c] for c in scols]))
+        )
+        if p in bounds:
+            running = bounds[p]
+    spark = both.sparkSession
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    carry_schema = StructType(
+        [StructField(pid, IntegerType(), False)]
+        + [StructField("_cr_" + c, both.schema[c].dataType, True) for c in scols]
+    )
+    carry = spark.createDataFrame(carry_rows, carry_schema)
+    w = Window.partitionBy(pid).orderBy(*order)
+    if backward:
+        frame = w.rowsBetween(Window.unboundedPreceding, 0)
+        local = {c: F.last(F.col(c), ignorenulls=True).over(frame) for c in scols}
+    else:
+        frame = w.rowsBetween(0, Window.unboundedFollowing)
+        local = {c: F.first(F.col(c), ignorenulls=True).over(frame) for c in scols}
+    filled = part.join(F.broadcast(carry), on=pid).select(
+        "*", *[F.coalesce(local[c], F.col("_cr_" + c)).alias("_f_" + c) for c in scols]
+    )
+    return filled.filter(F.col("_is_left") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col("_f_" + c + suffix).alias(c + suffix) for c in rcols],
+    )
 
 
 def range_join(

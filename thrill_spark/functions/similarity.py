@@ -76,11 +76,14 @@ def cosine_self_join_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (fixed LCG, no RNG state)
-    for sign-LSH. Values in [-1, 1)."""
+def hyperplanes(dim: int, n_planes: int, seed: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed xorshift, no RNG
+    state) for sign-LSH. Values in [-1, 1). seed selects an independent
+    plane family (one per LSH table)."""
     planes = []
-    state = 88172645463325252
+    state = 88172645463325252 ^ ((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+    if state == 0:
+        state = 1
     for _ in range(n_planes):
         row = []
         for _ in range(dim):
@@ -98,15 +101,19 @@ def lsh_signature(
     dim: int,
     n_planes: int = 8,
     vec_col: str = "embedding",
+    seed: int = 0,
+    out_col: str = "lsh_bucket",
 ) -> DataFrame:
     """Sign-LSH bucket id: bit b = 1 iff dot(vec, plane_b) > 0. Vectors
-    in the same bucket are ANN candidates; bucket join is an equi-join."""
+    in the same bucket are ANN candidates; bucket join is an equi-join.
+    seed picks an independent plane family for OR-amplified multi-table
+    LSH."""
     sig = None
-    for b, plane in enumerate(hyperplanes(dim, n_planes)):
+    for b, plane in enumerate(hyperplanes(dim, n_planes, seed)):
         p = F.array(*[F.lit(x) for x in plane])
         bit = F.when(dot(F.col(vec_col), p) > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
-    return df.withColumn("lsh_bucket", sig.cast("long"))
+    return df.withColumn(out_col, sig.cast("long"))
 
 
 def _exact_confirm(cands: DataFrame, n: DataFrame, vec_col: str, id_col: str, tau: float) -> DataFrame:
@@ -321,12 +328,21 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     bucket_cap: int = 10_000,
+    n_tables: int = 1,
 ) -> DataFrame:
     """ANN via sign-LSH: candidates = same-bucket pairs, ranked by exact
     cosine within bucket. Recall < 1 by construction; the scale path
     when brute force is too expensive (candidates shrink by ~2^planes).
 
-    The bucket join goes through bounded_self_join so a hot bucket
+    OR-amplification: with n_tables > 1, candidates are the UNION of
+    same-bucket pairs over n_tables independent plane families — the
+    standard (AND over planes, OR over tables) construction. A single
+    table of p planes only catches pairs agreeing on all p signs
+    (recall ~ (1 - theta/pi)^p, poor for moderate similarity); L tables
+    raise it to 1 - (1 - s^p)^L at L× candidate cost. Cost stays linear
+    in rows: one signature scan + one bounded bucket join per table.
+
+    Every bucket join goes through bounded_self_join so a hot bucket
     (many near-identical vectors) is decomposed into bounded tasks
     instead of one quadratic straggler; the candidate set is unchanged.
     """
@@ -334,17 +350,27 @@ def ann_lsh_topk(
 
     from thrill_spark.operators.skew import bounded_self_join
 
-    sig = lsh_signature(df, dim, n_planes, vec_col)
-    pairs = bounded_self_join(
-        sig,
-        ["lsh_bucket"],
-        salt_on=id_col,
-        left_cols={"query_id": id_col, "_qvec": vec_col},
-        right_cols={"neighbor_id": id_col, "_nvec": vec_col},
-        cap=bucket_cap,
-    )
-    scored = pairs.filter(F.col("query_id") != F.col("neighbor_id")).select(
-        "query_id", "neighbor_id", cosine(F.col("_nvec"), F.col("_qvec")).alias("cos_sim")
+    cands = None
+    for t in range(n_tables):
+        sig = lsh_signature(df, dim, n_planes, vec_col, seed=t)
+        pairs = bounded_self_join(
+            sig,
+            ["lsh_bucket"],
+            salt_on=id_col,
+            left_cols={"query_id": id_col},
+            right_cols={"neighbor_id": id_col},
+            cap=bucket_cap,
+        ).select("query_id", "neighbor_id")
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+    qv = df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    nv = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nvec"))
+    scored = (
+        cands.join(qv, on="query_id")
+        .join(nv, on="neighbor_id")
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("_nvec"), F.col("_qvec")).alias("cos_sim")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

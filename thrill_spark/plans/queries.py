@@ -518,22 +518,57 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# BernoulliSample (thrill/api/bernoulli_sample.hpp:27) — randomized; no
-# SQL oracle (driver records rows-only check)
+# BernoulliSample (thrill/api/bernoulli_sample.hpp:27) — randomized, so
+# individual rows have no oracle; the CHECKED value is the sampled
+# fraction against a 5-sigma binomial band (the oracle asserts the band
+# holds: a broken sampler flips in_band to false and hash-mismatches).
 # ---------------------------------------------------------------------------
-@query("bernoulli_sample")
+@query(
+    "bernoulli_sample",
+    "SELECT COUNT(*) AS total_rows, TRUE AS in_band FROM orders",
+)
 def q_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    return B.bernoulli_sample(orders, 0.1, seed=42)
+    p = 0.1
+    sampled = B.bernoulli_sample(orders, p, seed=42)
+    n_s = sampled.agg(F.count("*").alias("n_s"))
+    return (
+        orders.agg(F.count("*").alias("total_rows"))
+        .crossJoin(n_s)
+        .select(
+            "total_rows",
+            (
+                F.abs(F.col("n_s") / F.col("total_rows") - F.lit(p))
+                <= F.lit(5.0) * F.sqrt(F.lit(p * (1 - p)) / F.col("total_rows"))
+            ).alias("in_band"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
-# HyperLogLog (thrill/api/hyperloglog.hpp:27) — approximate; rows-only
+# HyperLogLog (thrill/api/hyperloglog.hpp:27) — approximate; different
+# estimator than DuckDB, so the estimate itself has no oracle. The
+# CHECKED value: the HLL++ estimate must sit within 5*rsd of the exact
+# distinct count (computed in the same Spark plan); the oracle asserts
+# the band and the exact count.
 # ---------------------------------------------------------------------------
-@query("hyperloglog_distinct")
+@query(
+    "hyperloglog_distinct",
+    "SELECT COUNT(DISTINCT l_partkey) AS exact_distinct, TRUE AS hll_ok FROM lineitem",
+)
 def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return R.hyperloglog(li, "l_partkey", rsd=0.01)
+    rsd = 0.01
+    return li.agg(
+        F.count_distinct(F.col("l_partkey")).alias("exact_distinct"),
+        F.approx_count_distinct("l_partkey", rsd).alias("_est"),
+    ).select(
+        "exact_distinct",
+        (
+            F.abs(F.col("_est") - F.col("exact_distinct"))
+            <= F.lit(5.0) * F.lit(rsd) * F.col("exact_distinct")
+        ).alias("hll_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -262,11 +262,46 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_for_query(emb, _QUERY_VEC, k=10)
 
 
-# ANN via sign-LSH buckets — recall<1 by construction, rows-only check
-@query("similarity_ann_lsh")
+# ANN via multi-table sign-LSH — recall<1 by construction, so the
+# neighbor LISTS have no oracle; the CHECKED value is mean recall vs
+# the in-plan brute-force top-k over a deterministic probe subset
+# (vec_id % 25 == 0). planes=4/tables=16 measures 0.96 at sf0.01; the
+# 0.7 floor catches any regression in planes/bucketing/ranking while
+# tolerating fixture re-draws.
+@query(
+    "similarity_ann_lsh",
+    "SELECT COUNT(*) AS queries_checked, TRUE AS recall_ok "
+    "FROM embeddings WHERE vec_id % 25 = 0",
+)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ann_lsh_topk(emb, dim=64, k=5, n_planes=6)
+    k = 5
+    ann = S.ann_lsh_topk(emb, dim=64, k=k, n_planes=4, n_tables=16).filter(
+        F.col("query_id") % 25 == 0
+    )
+    probes = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    pool = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nv"))
+    scored = (
+        pool.join(F.broadcast(probes), on=F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", S.cosine(F.col("_nv"), F.col("_qv")).alias("_cs"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("neighbor_id").asc())
+    brute = scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+    hits = ann.join(brute, on=["query_id", "neighbor_id"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        probes.agg(F.count("*").alias("queries_checked"))
+        .crossJoin(hits)
+        .select(
+            "queries_checked",
+            (F.col("n_hits") / (F.col("queries_checked") * k) >= F.lit(0.7)).alias("recall_ok"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -767,3 +767,177 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: the fixture ships no partsupp table, so Q2/Q11 use a
+# DETERMINISTIC derivation computed identically on the Spark and DuckDB
+# sides — 4 suppliers per part by modular assignment, integer-cents
+# supply cost and availqty from the same hash-free formulas. This makes
+# the two partsupp-only TPC-H queries literally runnable and oracle-
+# checkable (VERDICT r1 item 10) while keeping all arithmetic integer-
+# exact across engines (no decimal-division divergence).
+# ---------------------------------------------------------------------------
+_PS_SQL = """
+      SELECT DISTINCT p_partkey AS ps_partkey,
+             ((p_partkey + i * 7) % (SELECT COUNT(*) FROM supplier)) AS ps_suppkey
+      FROM part CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i)
+"""
+_PS2_SQL = f"""
+      SELECT ps_partkey, ps_suppkey,
+             (ps_partkey * 7 + ps_suppkey * 3) %% 9999 + 1 AS ps_availqty,
+             (ps_partkey * 31 + ps_suppkey * 17) %% 100000 + 100 AS ps_cost_cents
+      FROM ({_PS_SQL})
+""".replace("%%", "%")
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    sup_n = _t(spark, sf_dir, "supplier").agg(F.count("*").alias("_s"))
+    ps = (
+        part.crossJoin(F.broadcast(sup_n))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("_i"),
+            "_s",
+        )
+        .select(
+            "ps_partkey",
+            F.pmod(F.col("ps_partkey") + F.col("_i") * 7, F.col("_s")).alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    return ps.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (F.pmod(F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 3, F.lit(9999)) + 1).alias(
+            "ps_availqty"
+        ),
+        (
+            F.pmod(F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17, F.lit(100000)) + 100
+        ).alias("ps_cost_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier. Literal TPC-H shape: region-filtered
+# partsupp⋈supplier⋈nation⋈region, correlated MIN-cost subquery
+# decorrelated into a per-part min aggregate joined back; p_type stands
+# in for the missing p_mfgr output column, p_size=15 for the size
+# predicate (no '%BRASS' p_type family in the fixture).
+# Scale: part/supplier/nation/region all broadcast-eligible; the only
+# big table is the derived partsupp (4x part), joined on its natural
+# key once for the min and once for the final row — same two-pass
+# shape as the spec plan.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q2_min_cost_supplier",
+    f"""
+    WITH ps2 AS ({_PS2_SQL}),
+    eligible AS (
+      SELECT ps_partkey, ps_suppkey, ps_cost_cents,
+             s_acctbal, s_name, n_name
+      FROM ps2
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           CAST(ps_cost_cents AS DOUBLE) / 100 AS ps_supplycost
+    FROM eligible
+    JOIN (SELECT ps_partkey AS mk, MIN(ps_cost_cents) AS min_cents
+          FROM eligible GROUP BY ps_partkey) m
+      ON mk = ps_partkey AND ps_cost_cents = min_cents
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_size = 15
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps_suppkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _derived_partsupp(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        ps.join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("ps_partkey", "ps_suppkey", "ps_cost_cents", "s_acctbal", "s_name", "n_name")
+    )
+    min_cost = eligible.groupBy(F.col("ps_partkey").alias("mk")).agg(
+        F.min("ps_cost_cents").alias("min_cents")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15).select(
+        "p_partkey", "p_type"
+    )
+    return (
+        eligible.join(
+            min_cost,
+            (F.col("mk") == F.col("ps_partkey"))
+            & (F.col("ps_cost_cents") == F.col("min_cents")),
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            (F.col("ps_cost_cents").cast("double") / 100).alias("ps_supplycost"),
+            "ps_suppkey",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "ps_suppkey"
+        )
+        .limit(100)
+        .drop("ps_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock identification. Literal shape: german-supplier
+# partsupp value per part vs a fraction of the global value. The
+# fraction compare stays integer-exact: value_cents * 10000 >
+# total_cents (equivalent to value > 0.0001 * total, no FP in the
+# filter). Scale: the agg and the scalar total reuse one scan shape;
+# the threshold joins in as a broadcast 1-row DataFrame.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q11_important_stock",
+    f"""
+    WITH ps2 AS ({_PS2_SQL}),
+    german AS (
+      SELECT ps_partkey, CAST(ps_cost_cents AS BIGINT) * ps_availqty AS v_cents
+      FROM ps2
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_7'
+    )
+    SELECT ps_partkey, CAST(SUM(v_cents) AS DOUBLE) / 100 AS value
+    FROM german
+    GROUP BY ps_partkey
+    HAVING SUM(v_cents) * 10000 > (SELECT SUM(v_cents) FROM german)
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _derived_partsupp(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    german = (
+        ps.join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_cost_cents").cast("long") * F.col("ps_availqty")).alias("v_cents"),
+        )
+    )
+    total = german.agg(F.sum("v_cents").alias("_total"))
+    return (
+        german.groupBy("ps_partkey")
+        .agg(F.sum("v_cents").alias("_v"))
+        .join(F.broadcast(total))
+        .filter(F.col("_v") * 10000 > F.col("_total"))
+        .select("ps_partkey", (F.col("_v").cast("double") / 100).alias("value"))
+    )

@@ -44,6 +44,23 @@ def minhash_params(k: int) -> list[tuple[int, int]]:
     return params
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition before CPU-heavy per-row hashing WHEN the input
+    arrives under-split (a small parquet file = ONE split, so the whole
+    md5/shingle pipeline would run in a single task no matter how many
+    cores exist — measured 4.3s single-task vs sub-second spread for
+    minhash at sf0.1). When the input already has enough splits (the
+    100 TB case) this is a no-op: no exchange is added.
+
+    The partition count is EXPLICIT: AQE sizes coalescing by shuffle
+    BYTES, and a corpus that is small in bytes but heavy in per-row
+    compute would be coalesced right back into one task."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    if df.rdd.getNumPartitions() * 2 >= target:
+        return df
+    return df.repartition(target, F.col(id_col))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: one representative (min id) per normalized-content
     fingerprint. Scales as a single hash aggregation."""
@@ -58,6 +75,7 @@ def shingle_hashes(
     df: DataFrame, text_col: str, id_col: str, shingle_words: int = 3
 ) -> DataFrame:
     """Explode distinct word-shingles and hash each to a 60-bit int."""
+    df = _spread(df, id_col)
     sh = df.select(F.col(id_col), F.explode(word_ngrams(text_col, shingle_words)).alias("sh"))
     return sh.select(id_col, md5_long(F.col("sh")).alias("h"))
 
@@ -90,6 +108,7 @@ def winnow_fingerprints(
     ones.) Very long documents would swap the per-doc window for the
     ordering._halo_window pattern; per-doc state here is one doc's
     tokens, the same bound the reference's RingBuffer window holds."""
+    df = _spread(df, id_col)
     toks_ex = df.select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("_i", "_t")
     )
@@ -153,7 +172,14 @@ def lsh_candidate_pairs(
     single quadratic straggler; the candidate SET is unchanged.
     """
     from thrill_spark.operators.skew import bounded_self_join
+    from thrill_spark.ordering import _persist
 
+    # The signature aggregation feeds every band slice AND both sides of
+    # the bounded join (plus its bucket-count pass) — persist it so the
+    # md5-per-shingle pipeline upstream runs once, not bands x 3 times
+    # (measured 3x end-to-end on the sf0.1 corpus). Tiny: one row of
+    # num_hashes longs per doc. Drained via ordering.release_persisted().
+    signatures = _persist(signatures)
     rows_per_band = num_hashes // bands
     pieces = []
     for b in range(bands):
@@ -195,6 +221,7 @@ def jaccard_pairs(
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) over distinct shingles. The
     shingle self-join is the quadratic baseline / LSH verify step.
     """
+    df = _spread(df, id_col)
     shingled = df.select(
         F.col(id_col),
         (
@@ -230,7 +257,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """SimHash signature: per-token 60-bit md5 hash votes +1/-1 on each
     of `bits` signature bits; the signature bit is 1 iff the vote sum is
     positive. One explode + one groupBy (shuffle = token count)."""
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    toks = _spread(df, id_col).select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
     hashed = toks.select(id_col, md5_long(F.col("t")).alias("h"))
     votes = [
         F.sum(

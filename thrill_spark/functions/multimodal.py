@@ -56,13 +56,34 @@ def attach_fake_media(df: DataFrame, id_col: str, fmt: str = "png") -> DataFrame
     return df.withColumn("media", payload).withColumn("media_meta", meta)
 
 
-def _decode_image_real(raw: bytes):  # pragma: no cover - stub
-    """STUB: real decode requires PIL/opencv (not in this container).
+def have_pil() -> bool:
+    """True when Pillow is importable (optional dependency: absent in
+    this container, present in a deployment image)."""
+    try:
+        import PIL.Image  # noqa: F401
 
-    Replace the body with e.g. PIL.Image.open(io.BytesIO(raw)) in a
-    deployment image. The mapInPandas plumbing around it is unchanged.
-    """
-    raise NotImplementedError("image decode requires PIL/opencv; not available here")
+        return True
+    except ImportError:
+        return False
+
+
+def _decode_image_real(raw: bytes) -> tuple[str, int, int]:
+    """Real decode via Pillow WHEN AVAILABLE; raises NotImplementedError
+    otherwise (media libs are not in this container — the mapInPandas
+    plumbing around it is identical either way).
+
+    Returns (format, width, height)."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - depends on container
+        raise NotImplementedError(
+            "image decode requires Pillow/opencv; not available here"
+        ) from e
+    img = Image.open(io.BytesIO(raw))
+    img.load()
+    return (img.format or "unknown").lower(), img.width, img.height
 
 
 def decode_fake(raw: bytes) -> tuple[str, int]:
@@ -76,22 +97,39 @@ def decode_fake(raw: bytes) -> tuple[str, int]:
 FEATURE_SCHEMA = "id long, format string, n_bytes int, feat_checksum long"
 
 
-def extract_features(df: DataFrame, id_col: str = "id", use_real_decoder: bool = False) -> DataFrame:
+def extract_features(
+    df: DataFrame, id_col: str = "id", use_real_decoder: bool | None = None
+) -> DataFrame:
     """Feature extraction over media blobs via Arrow-batched mapInPandas.
 
     The batch iterator shape is the production pattern: per-batch decode
     keeps peak memory at (batch rows x blob size), and the output drops
     the binary payload so downstream shuffles move only features.
+
+    use_real_decoder: True -> Pillow decode (raises if Pillow absent);
+    False -> deterministic fake; None (default) -> Pillow when
+    importable on the executors, fake otherwise.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = have_pil() if use_real_decoder is None else use_real_decoder
         for pdf in batches:
             rows = []
             for ident, raw in zip(pdf[id_col], pdf["media"]):
-                if use_real_decoder:
-                    _decode_image_real(bytes(raw))  # pragma: no cover
-                fmt, parsed = decode_fake(bytes(raw))
-                checksum = sum(bytes(raw)) * 31 + parsed
+                raw = bytes(raw)
+                if real:
+                    try:
+                        fmt, _w, _h = _decode_image_real(raw)
+                        parsed = int(ident)
+                    except NotImplementedError:
+                        raise  # explicitly requested real decode, no lib
+                    except Exception:
+                        # payload is not a real image (e.g. the fake
+                        # corpus) — fall back per-row
+                        fmt, parsed = decode_fake(raw)
+                else:
+                    fmt, parsed = decode_fake(raw)
+                checksum = sum(raw) * 31 + parsed
                 rows.append((ident, fmt, len(raw), checksum))
             yield pd.DataFrame(rows, columns=["id", "format", "n_bytes", "feat_checksum"])
 

@@ -269,13 +269,40 @@ def cosine_near_dup_pairs(
 
 
 def ivf_centroids(df: DataFrame, n_cells: int, vec_col: str = "embedding",
-                  id_col: str = "vec_id") -> DataFrame:
-    """Deterministic coarse quantizer: the n_cells vectors with the
-    smallest ids serve as cell centroids (a stand-in for a trained
-    k-means codebook; swap in KMeans.fit centers in production — the
-    assignment/probe plumbing below is unchanged)."""
-    w = df.select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid"))
-    return w.orderBy("cell_id").limit(n_cells)
+                  id_col: str = "vec_id", iters: int = 2) -> DataFrame:
+    """Trained coarse quantizer: spherical k-means with deterministic
+    lowest-id initialization and `iters` distributed Lloyd rounds
+    (examples/k-means/k-means.hpp loop shape: classify JVM-side against
+    broadcast literal centroids, re-center via one groupBy per round).
+    The driver only ever holds the k x dim codebook; iters=0 degrades
+    to the old ids-as-codebook stand-in."""
+    init = df.orderBy(id_col).limit(n_cells).select(F.col(vec_col).alias("c")).collect()
+    cents = [[float(x) for x in r["c"]] for r in init]
+    dim = len(cents[0])
+    for _ in range(iters):
+        best = None
+        for ci, c in enumerate(cents):
+            arr = F.array(*[F.lit(x) for x in c])
+            cn = sum(x * x for x in c) ** 0.5 or 1.0
+            sim = dot(F.col(vec_col), arr) / (norm(F.col(vec_col)) * F.lit(cn))
+            cand = F.struct((-sim).alias("d"), F.lit(ci).alias("c"))
+            best = cand if best is None else F.least(best, cand)
+        assigned = df.select(F.col(vec_col), best["c"].alias("_cell"))
+        sums = assigned.groupBy("_cell").agg(
+            *[
+                F.sum(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"s{i}")
+                for i in range(dim)
+            ],
+            F.count("*").alias("n"),
+        )
+        rows = {r["_cell"]: r for r in sums.collect()}
+        cents = [
+            [rows[ci][f"s{i}"] / rows[ci]["n"] for i in range(dim)] if ci in rows else cents[ci]
+            for ci in range(n_cells)
+        ]
+    return df.sparkSession.createDataFrame(
+        [(ci, cents[ci]) for ci in range(n_cells)], ["cell_id", "centroid"]
+    )
 
 
 def ann_ivf_topk(
@@ -284,30 +311,28 @@ def ann_ivf_topk(
     n_cells: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    nprobe: int = 1,
+    train_iters: int = 2,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest centroid
-    (broadcast the tiny codebook, argmax cosine, tie-break on cell id),
-    then search only within the probe's cell — candidate count drops
-    ~n_cells-fold versus brute force. nprobe=1; raising recall means
-    assigning probes to their top-p cells (union of p copies of the
-    probe side) — same join shape.
+    (broadcast the tiny trained codebook, argmax cosine, tie-break on
+    cell id), then search only the probe's top-`nprobe` cells —
+    candidate count drops ~n_cells/nprobe-fold versus brute force.
 
     The cell equi-join shuffles both sides by cell_id only; the binary
     embedding payload never fans out n^2 ways."""
     from pyspark.sql import Window
 
-    cents = F.broadcast(ivf_centroids(df, n_cells, vec_col, id_col))
+    cents = F.broadcast(ivf_centroids(df, n_cells, vec_col, id_col, iters=train_iters))
     scored_cells = df.join(cents).select(
         F.col(id_col), F.col(vec_col), F.col("cell_id"),
         cosine(F.col(vec_col), F.col("centroid")).alias("_csim"),
     )
     wc = Window.partitionBy(id_col).orderBy(F.col("_csim").desc(), F.col("cell_id").asc())
-    assigned = (
-        scored_cells.withColumn("_r", F.row_number().over(wc))
-        .filter(F.col("_r") == 1)
-        .select(id_col, vec_col, "cell_id")
-    )
-    a = assigned.select(
+    ranked = scored_cells.withColumn("_r", F.row_number().over(wc))
+    assigned = ranked.filter(F.col("_r") == 1).select(id_col, vec_col, "cell_id")
+    probes = ranked.filter(F.col("_r") <= nprobe).select(id_col, vec_col, "cell_id")
+    a = probes.select(
         F.col("cell_id"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
     b = assigned.select(F.col("cell_id"), F.col(id_col).alias("neighbor_id"), F.col(vec_col))
@@ -349,7 +374,16 @@ def ann_lsh_topk(
     from pyspark.sql import Window
 
     from thrill_spark.operators.skew import bounded_self_join
+    from thrill_spark.ordering import _persist
 
+    from thrill_spark.functions.dedup import _spread
+
+    # The (id, vec) projection feeds every table's signature scan plus
+    # the two final vector joins — persist it once instead of re-reading
+    # the source 2*n_tables+2 times, spread across tasks first (a small
+    # parquet arrives as one split but the per-row plane dot-products
+    # are the hot path). Drained via release_persisted().
+    df = _persist(_spread(df.select(F.col(id_col), F.col(vec_col)), id_col))
     cands = None
     for t in range(n_tables):
         sig = lsh_signature(df, dim, n_planes, vec_col, seed=t)

@@ -181,18 +181,17 @@ def lsh_candidate_pairs(
     # num_hashes longs per doc. Drained via ordering.release_persisted().
     signatures = _persist(signatures)
     rows_per_band = num_hashes // bands
-    pieces = []
+    # One scan, one explode: an array of (band, band_hash) structs per
+    # doc instead of a bands-way union (which re-reads the signatures
+    # `bands` times and stacks `bands` map stages into the plan).
+    entries = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_hash = F.md5(F.concat_ws("_", *[c.cast("string") for c in cols]))
-        pieces.append(
-            signatures.select(
-                F.col(id_col), F.lit(b).alias("band"), band_hash.alias("bh")
-            )
-        )
-    banded = pieces[0]
-    for p in pieces[1:]:
-        banded = banded.unionByName(p)
+        entries.append(F.struct(F.lit(b).alias("band"), band_hash.alias("bh")))
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("_e")
+    ).select(id_col, F.col("_e.band").alias("band"), F.col("_e.bh").alias("bh"))
     pairs = bounded_self_join(
         banded,
         ["band", "bh"],

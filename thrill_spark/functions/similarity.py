@@ -116,23 +116,15 @@ def lsh_signature(
     return df.withColumn(out_col, sig.cast("long"))
 
 
-def _exact_confirm(cands: DataFrame, n: DataFrame, vec_col: str, id_col: str, tau: float) -> DataFrame:
-    """Phase 2 of near-dup search: candidate (a_id, b_id) pairs join back
-    to the vectors and the deterministic sequential left-fold recomputes
-    cos_sim, so output VALUES are bit-identical to the DuckDB oracle's
-    list_reduce and the final >= tau filter is exact."""
-    a = n.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"), F.col("_nrm").alias("_na"))
-    b = n.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"), F.col("_nrm").alias("_nb"))
-    exact = (
-        cands.join(a, on="a_id")
-        .join(b, on="b_id")
-        .select(
-            "a_id",
-            "b_id",
-            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cos_sim"),
-        )
-    )
-    return exact.filter(F.col("cos_sim") >= tau)
+def _seq_fold_sum(mat) -> "np.ndarray":  # noqa: F821 (np imported by callers)
+    """Row-wise sequential left-fold sum of a float64 matrix — the exact
+    addition order of the JVM F.aggregate fold (0.0 + x0 + x1 + ...) and
+    of DuckDB's list_reduce, so results are bit-identical to both.
+    np.cumsum adds strictly left-to-right (unlike np.sum's pairwise
+    summation, which reorders and drifts)."""
+    import numpy as np
+
+    return np.cumsum(mat, axis=1, dtype=np.float64)[:, -1]
 
 
 def cosine_near_dup_pairs(
@@ -147,11 +139,15 @@ def cosine_near_dup_pairs(
     cosine(a, b) >= tau. EXACT (recall 1) under every method — the
     approximate scale paths are ann_lsh_topk / ann_ivf_topk.
 
-    Two phases:
-    1. CANDIDATES: a vectorized numpy matmul emits id pairs with
+    Two phases, both inside the SAME task (no confirm join):
+    1. CANDIDATES: a vectorized numpy matmul flags id pairs with
        cos >= tau - 1e-9 (the epsilon absorbs summation-order FP drift).
-    2. EXACT CONFIRM (_exact_confirm): the deterministic JVM fold
-       recomputes cos_sim so values are bit-identical to the oracle.
+    2. EXACT CONFIRM: for flagged pairs only, cos_sim is recomputed with
+       the sequential left-fold addition order (_seq_fold_sum) — bit-
+       identical to the JVM F.aggregate fold and DuckDB's list_reduce —
+       and the >= tau filter applied exactly. Fusing the confirm into
+       the candidate task removes two shuffle joins from the plan; the
+       recompute touches only candidate pairs, not the n^2 grid.
 
     method:
     - 'block' (default): distributed block matmul. Rows are bucketed
@@ -163,20 +159,28 @@ def cosine_near_dup_pairs(
       all-pairs search is inherently quadratic in compute; this spreads
       it evenly across the cluster instead of funnelling through one
       node. This is the 100 TB-safe exact strategy.
-    - 'broadcast': the whole normalized matrix is collect()ed and
+    - 'broadcast': the whole embedding matrix is collect()ed and
       broadcast; each partition matmuls against it. Fastest when the
       table fits comfortably in executor+driver memory (n*d*8 bytes) —
       an explicit small-table opt-in, never the default.
     - 'allpairs': pure-JVM theta-join fold, no Python. O(n^2) pair
       folds; the tiny-data reference baseline.
     """
-    n = df.select(
-        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_nrm")
-    )
     eps = 1e-9
     import numpy as np
 
+    def _exact_cos(L, R, r, c):
+        """Exact cos_sim for candidate index pairs (r into L, c into R):
+        sequential-fold dot and norms, the oracle's addition order."""
+        dots = _seq_fold_sum(L[r] * R[c])
+        nl = np.sqrt(_seq_fold_sum(L * L))
+        nr = nl if R is L else np.sqrt(_seq_fold_sum(R * R))
+        return dots / (nl[r] * nr[c])
+
     if method == "allpairs":
+        n = df.select(
+            F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_nrm")
+        )
         a = n.select(
             F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"), F.col("_nrm").alias("_na")
         )
@@ -192,10 +196,9 @@ def cosine_near_dup_pairs(
 
     if method == "broadcast":
         spark = df.sparkSession
-        rows = n.select(id_col, vec_col, "_nrm").collect()
+        rows = df.select(id_col, vec_col).collect()
         ids = np.array([r[id_col] for r in rows], dtype=np.int64)
         mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-        mat /= np.array([r["_nrm"] for r in rows], dtype=np.float64)[:, None]
         b_ids = spark.sparkContext.broadcast(ids)
         b_mat = spark.sparkContext.broadcast(mat)
 
@@ -203,18 +206,26 @@ def cosine_near_dup_pairs(
             import pandas as pd
 
             M, I = b_mat.value, b_ids.value
+            Mn = M / np.linalg.norm(M, axis=1)[:, None]
             for pdf in batches:
                 if not len(pdf):
                     continue
                 block = np.stack(pdf[vec_col].apply(lambda v: np.asarray(v, dtype=np.float64)))
-                block /= np.linalg.norm(block, axis=1)[:, None]
-                sims = block @ M.T  # (rows_in_block, n)
+                bn = block / np.linalg.norm(block, axis=1)[:, None]
+                sims = bn @ Mn.T  # (rows_in_block, n)
                 bi = pdf[id_col].to_numpy()
                 r, c = np.nonzero((sims >= tau - eps) & (bi[:, None] < I[None, :]))
-                yield pd.DataFrame({"a_id": bi[r], "b_id": I[c]})
+                if not len(r):
+                    continue
+                cos = _exact_cos(block, M, r, c)
+                keep = cos >= tau
+                yield pd.DataFrame(
+                    {"a_id": bi[r[keep]], "b_id": I[c[keep]], "cos_sim": cos[keep]}
+                )
 
-        cands = df.select(id_col, vec_col).mapInPandas(gen, "a_id long, b_id long")
-        return _exact_confirm(cands, n, vec_col, id_col, tau)
+        return df.select(id_col, vec_col).mapInPandas(
+            gen, "a_id long, b_id long, cos_sim double"
+        )
 
     if method != "block":
         raise ValueError(f"unknown method {method!r}")
@@ -243,29 +254,37 @@ def cosine_near_dup_pairs(
     def block_pairs(key, left, right):
         import pandas as pd
 
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []})
         if not len(left) or not len(right):
-            return pd.DataFrame({"a_id": [], "b_id": []})
+            return empty
         L = np.stack(left["_v"].apply(lambda v: np.asarray(v, dtype=np.float64)))
         R = np.stack(right["_v"].apply(lambda v: np.asarray(v, dtype=np.float64)))
-        L /= np.linalg.norm(L, axis=1)[:, None]
-        R /= np.linalg.norm(R, axis=1)[:, None]
-        sims = L @ R.T
+        Ln = L / np.linalg.norm(L, axis=1)[:, None]
+        Rn = R / np.linalg.norm(R, axis=1)[:, None]
+        sims = Ln @ Rn.T
         li = left["_id"].to_numpy()
         ri = right["_id"].to_numpy()
         r, c = np.nonzero((sims >= tau - eps) & (li[:, None] != ri[None, :]))
+        if not len(r):
+            return empty
+        cos = _exact_cos(L, R, r, c)
+        keep = cos >= tau
+        r, c, cos = r[keep], c[keep], cos[keep]
+        # cos_sim is orientation-invariant even at the bit level (the
+        # elementwise products commute exactly), so the a<b swap below
+        # and the same-block drop_duplicates stay value-safe.
         lo = np.minimum(li[r], ri[c])
         hi = np.maximum(li[r], ri[c])
-        out = pd.DataFrame({"a_id": lo, "b_id": hi})
+        out = pd.DataFrame({"a_id": lo, "b_id": hi, "cos_sim": cos})
         if key[0] == key[1]:  # same-block group sees both orientations
-            out = out.drop_duplicates()
+            out = out.drop_duplicates(subset=["a_id", "b_id"])
         return out
 
-    cands = (
+    return (
         a_rep.groupBy("ba", "bb")
         .cogroup(b_rep.groupBy("ba", "bb"))
-        .applyInPandas(block_pairs, "a_id long, b_id long")
+        .applyInPandas(block_pairs, "a_id long, b_id long, cos_sim double")
     )
-    return _exact_confirm(cands, n, vec_col, id_col, tau)
 
 
 def ivf_centroids(df: DataFrame, n_cells: int, vec_col: str = "embedding",

@@ -1,0 +1,189 @@
+"""Corpus-management operators for training-data pipelines: dataset
+splitting, stratified sampling, repetition-based quality scoring,
+deterministic global shuffle, and sequence packing.
+
+No reference analogue (SURVEY §2.13 ends at classic analytics) — these
+are the dataset-assembly steps between "deduped corpus" and "training
+batches". Everything is deterministic (md5-derived hashing, explicit
+tie-breaks) so each operator stays DuckDB-oracle-checkable, and every
+hot path is JVM-side except the inherently sequential per-shard packing
+fold, which is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from thrill_spark.functions.text import md5_long
+
+# Hash-space resolution for split thresholds: a doc lands in split s if
+# its bucket (md5 mod RESOLUTION) falls in s's cumulative-weight range.
+SPLIT_RESOLUTION = 10_000
+
+
+def split_column(
+    id_col: str | Column, weights: dict[str, float], salt: str = "split"
+) -> Column:
+    """Deterministic train/val/test assignment as a pure expression.
+
+    bucket = md5(salt || id) mod SPLIT_RESOLUTION; the splits carve the
+    bucket space by cumulative weight. Hash-based (not row_number-based)
+    so the assignment is stable under corpus growth: adding documents
+    never reassigns existing ones — the property that keeps eval sets
+    uncontaminated across pipeline re-runs. Scales as a map-only column.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    bucket = F.pmod(md5_long(F.concat(F.lit(salt), c.cast("string"))), F.lit(SPLIT_RESOLUTION))
+    total = sum(weights.values())
+    expr = None
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w / total
+        hi = int(round(acc * SPLIT_RESOLUTION))
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return expr
+
+
+def assign_splits(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """df + (bucket, split) columns; see split_column."""
+    c = F.col(id_col)
+    bucket = F.pmod(md5_long(F.concat(F.lit(salt), c.cast("string"))), F.lit(SPLIT_RESOLUTION))
+    return df.withColumn("bucket", bucket).withColumn(
+        "split", split_column(id_col, weights, salt)
+    )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata: Sequence[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly n rows per stratum, chosen by deterministic hash order
+    (md5(salt || id)) with id tie-break — a reproducible "random" sample
+    that any engine can replay.
+
+    One shuffle by strata keys; rank within stratum is a window over
+    that partitioning (never a global sort). Strata with fewer than n
+    rows return all their rows."""
+    from pyspark.sql import Window
+
+    h = md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def _positional_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams WITHOUT distinct-ing — repetition scoring needs the
+    multiset (dedup's word_ngrams deliberately dedups for shingle sets)."""
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), count - 1)
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def repetition_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repeated-n-gram quality signals (the C4/Gopher-style filters):
+    for n in {2, 3}, the fraction of n-gram occurrences that are
+    duplicates of an earlier one (1 - distinct/total). High values mark
+    boilerplate/spam. Pure array expressions — map-only, no shuffle."""
+    from thrill_spark.functions.text import tokens
+
+    toks = tokens(text_col)
+    out = df.select(F.col(id_col), toks.alias("_toks"))
+    cols = [F.col(id_col)]
+    for n in (2, 3):
+        grams = _positional_ngrams(F.col("_toks"), n)
+        total = F.size(grams).cast("double")
+        distinct = F.size(F.array_distinct(grams)).cast("double")
+        cols.append(total.cast("long").alias(f"n_{n}grams"))
+        cols.append(
+            F.when(total > 0, F.lit(1.0) - distinct / total).otherwise(F.lit(0.0)).alias(
+                f"dup_{n}gram_frac"
+            )
+        )
+    return out.select(*cols)
+
+
+def shuffle_index(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 0, name: str = "shuffle_pos"
+) -> DataFrame:
+    """Deterministic global shuffle for training-example ordering: every
+    row gets a permutation position by ranking on md5(seed || id).
+
+    Routed through ordering.with_index (range-partitioned two-phase
+    rank), so the 'global sort' is sampled range partitioning + local
+    sorts — no single-partition funnel, same discipline as ZipWithIndex."""
+    from thrill_spark import ordering as O
+
+    h = md5_long(F.concat(F.lit(f"shuf{seed}:"), F.col(id_col).cast("string")))
+    return O.with_index(df, [h, F.col(id_col)], name=name)
+
+
+def pack_greedy(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Sequence packing: greedy first-fit of documents into bins of at
+    most `budget` tokens, processed in id order within each of n_shards
+    hash shards. Returns (id, n_tokens, shard, bin).
+
+    Packing is inherently sequential (bin boundaries depend on a
+    running fill that RESETS — not a prefix sum), so the sequential part
+    is confined to a shard: shard assignment is a hash column, packing
+    is one Arrow-batched applyInPandas per shard, and shards are
+    independent — parallelism = n_shards regardless of corpus size.
+    Pick n_shards >> executors at scale; per-task state is one running
+    integer. A document larger than `budget` gets a bin of its own
+    (never split). Deterministic: the oracle replays the same fold as a
+    recursive CTE."""
+    import pandas as pd
+
+    shard = F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(n_shards)).cast("int")
+    tagged = df.select(
+        F.col(id_col), F.col(token_col).cast("long").alias("n_tokens")
+    ).withColumn("shard", shard)
+
+    def pack(key, pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins, fill, b, first = [], 0, 0, True
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if first:
+                fill, first = t, False
+            elif fill + t > budget:
+                b += 1
+                fill = t
+            else:
+                fill += t
+            bins.append(b)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "n_tokens": pdf["n_tokens"],
+                "shard": key[0],
+                "bin": bins,
+            }
+        )
+
+    return tagged.groupBy("shard").applyInPandas(
+        pack, f"{id_col} long, n_tokens long, shard int, bin long"
+    )

@@ -627,3 +627,4 @@ from thrill_spark.plans import queries_extra  # noqa: E402,F401
 from thrill_spark.plans import queries_tpch  # noqa: E402,F401
 from thrill_spark.plans import queries_tpch_full  # noqa: E402,F401
 from thrill_spark.plans import queries_functions  # noqa: E402,F401
+from thrill_spark.plans import queries_corpus  # noqa: E402,F401

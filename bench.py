@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     # derived-partsupp TPC-H additions
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",
+    # corpus-management surface (round 2): dataset assembly ops
+    "text_repetition_scores",
+    "corpus_shuffle_index",
+    "corpus_pack_greedy",
 ]
 
 

@@ -234,13 +234,45 @@ def q_sample_exact_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF ANN (rows-only: recall<1 vs brute force by construction; tests
-# assert recall against the exact baseline instead)
+# IVF ANN. Recall < 1 vs brute force by construction, so the checked
+# value is a recall FLOOR against the in-query brute-force baseline
+# over a probe subset (the same oracle-tightening as similarity_ann_lsh:
+# the oracle asserts the floor holds, tolerating fixture re-draws).
+# The fixture embeddings are near-uniform — the worst case for a coarse
+# quantizer — so the floor is deliberately modest: measured recall
+# ~0.5 at nprobe=2/8 cells, floor 0.35.
 # ---------------------------------------------------------------------------
-@query("similarity_ann_ivf")
+@query(
+    "similarity_ann_ivf",
+    "SELECT COUNT(*) AS queries_checked, TRUE AS recall_ok "
+    "FROM embeddings WHERE vec_id % 25 = 0",
+)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ann_ivf_topk(emb, k=5, n_cells=8)
+    k = 5
+    ann = S.ann_ivf_topk(emb, k=k, n_cells=8, nprobe=2).filter(
+        F.col("query_id") % 25 == 0
+    )
+    probes = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    pool = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nv"))
+    scored = pool.join(F.broadcast(probes), on=F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id", S.cosine(F.col("_nv"), F.col("_qv")).alias("_cs")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("neighbor_id").asc())
+    brute = scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+    hits = ann.join(brute, on=["query_id", "neighbor_id"]).agg(F.count("*").alias("n_hits"))
+    return (
+        probes.agg(F.count("*").alias("queries_checked"))
+        .crossJoin(hits)
+        .select(
+            "queries_checked",
+            (F.col("n_hits") / (F.col("queries_checked") * k) >= F.lit(0.35)).alias("recall_ok"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

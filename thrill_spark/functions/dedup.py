@@ -207,6 +207,38 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production near-dup edge generator: LSH candidates verified
+    by exact n-gram Jaccard — but ONLY on candidate pairs, never the
+    full shingle self-join. Cost stays linear in corpus size (candidate
+    count) + per-pair work bounded by the two docs' shingle sets; this
+    is the verify step jaccard_pairs provides as a standalone baseline,
+    restricted to where LSH says it matters."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words)
+    cands = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    sh = _spread(df, id_col).select(
+        F.col(id_col), word_ngrams(text_col, shingle_words).alias("_sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    jac = inter / (F.size("_sa") + F.size("_sb") - inter)
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1,4 +1,4 @@
-"""Queries batch 7: corpus-management operators — dataset splitting,
+"""Queries batch 8: corpus-management operators — dataset splitting,
 stratified sampling, repetition scoring, deterministic shuffle, and
 sequence packing (functions/corpus.py). The dataset-assembly steps of a
 training-data pipeline, each DuckDB-oracle-checked (the packing oracle
@@ -102,6 +102,66 @@ def q_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PACK_BUDGET = 512
 _PACK_SHARDS = 16
+
+
+# ---------------------------------------------------------------------------
+# Flagship end-to-end near-dedup pipeline: minhash -> LSH bands ->
+# candidate pairs -> exact-Jaccard verify (candidates only, linear) ->
+# connected components -> survivor = the min-id doc of each duplicate
+# cluster (docs with no verified duplicate survive trivially). This is
+# the composition a 100 TB corpus actually runs; every stage is the
+# oracle-checked operator it builds on.
+# ---------------------------------------------------------------------------
+_VERIFY_TAU = 0.5
+
+
+def _sql_pipeline_survivors() -> str:
+    from thrill_spark.plans.queries_llm import SQL_SHINGLES3, _sql_lsh_pairs
+
+    inter = "len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))"
+    return f"""
+    WITH RECURSIVE cand AS ({_sql_lsh_pairs()}),
+    sh AS (SELECT doc_id, shingles, len(shingles) AS n FROM (
+             SELECT doc_id, {SQL_SHINGLES3} AS shingles FROM (
+               SELECT doc_id, {SQL_TOKS} AS toks FROM documents))),
+    ver AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+      WHERE CAST({inter} AS DOUBLE) / (sa.n + sb.n - {inter}) >= {_VERIFY_TAU}),
+    edges AS (SELECT id_a AS u, id_b AS v FROM ver
+              UNION SELECT id_b AS u, id_a AS v FROM ver),
+    reach(src, n) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.n = e.u),
+    comp AS (SELECT src AS node, MIN(n) AS component FROM reach GROUP BY src)
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS cluster,
+           coalesce(c.component, d.doc_id) = d.doc_id AS is_survivor
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """
+
+
+@query("dedup_pipeline_survivors", _sql_pipeline_survivors())
+def q_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.functions import dedup as D
+    from thrill_spark.plans import algorithms as ALG
+    from thrill_spark.plans.queries_llm import _MH_BANDS, _MH_K
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = D.lsh_verified_pairs(
+        docs, num_hashes=_MH_K, bands=_MH_BANDS, threshold=_VERIFY_TAU
+    )
+    comp = ALG.connected_components(edges, a="id_a", b="id_b")
+    base = docs.select("doc_id")
+    joined = base.join(comp, base["doc_id"] == comp["node"], "left")
+    cluster = F.coalesce(F.col("component"), F.col("doc_id"))
+    return joined.select(
+        "doc_id",
+        cluster.alias("cluster"),
+        (cluster == F.col("doc_id")).alias("is_survivor"),
+    )
 
 
 @query(

@@ -142,6 +142,97 @@ def q_ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_conditional_null_ops",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'rich' END AS band,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other,
+           CAST(least(c_acctbal, 1000.0) AS DOUBLE) AS capped,
+           CAST(greatest(c_acctbal, 0.0) AS DOUBLE) AS floored,
+           CAST(if(c_custkey % 2 = 0, c_custkey, -c_custkey) AS BIGINT) AS signed_key,
+           CAST(c_acctbal IS NULL AS BOOLEAN) AS bal_null
+    FROM customer
+    """,
+)
+def q_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("rich")
+        .alias("band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).cast("double").alias("capped"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).cast("double").alias("floored"),
+        F.when(F.col("c_custkey") % 2 == 0, F.col("c_custkey"))
+        .otherwise(-F.col("c_custkey"))
+        .cast("long")
+        .alias("signed_key"),
+        F.isnull("c_acctbal").alias("bal_null"),
+    )
+
+
+@query(
+    "fn_regex_ops",
+    r"""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+           CAST(regexp_matches(c_name, '0{2,}') AS BOOLEAN) AS has_00,
+           split_part(c_name, '#', 2) AS after_hash,
+           len(string_split_regex(c_name, '[#0]')) AS n_pieces
+    FROM customer
+    """,
+)
+def q_regex_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-dialect audit (Java regex vs DuckDB RE2) on the shared
+    subset: char classes, bounded repetition, global replace, split."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", r"[0-9]", "#").alias("masked"),
+        F.col("c_name").rlike("0{2,}").alias("has_00"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("after_hash"),
+        F.size(F.split(F.col("c_name"), r"[#0]")).alias("n_pieces"),
+    )
+
+
+@query(
+    "fn_bitwise_hash_ops",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS lo_byte,
+           CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(o_orderkey, 21845) AS BIGINT) AS xored,
+           CAST(o_orderkey << 2 AS BIGINT) AS shl2,
+           CAST(o_orderkey >> 3 AS BIGINT) AS shr3,
+           md5(CAST(o_orderkey AS VARCHAR)) AS key_md5,
+           sha256(CAST(o_orderkey AS VARCHAR)) AS key_sha,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded
+    FROM orders
+    """,
+)
+def q_bitwise_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("o_orderkey")
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("long").alias("lo_byte"),
+        k.bitwiseOR(F.lit(4096)).cast("long").alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).cast("long").alias("xored"),
+        F.shiftleft(k, 2).cast("long").alias("shl2"),
+        F.shiftright(k, 3).cast("long").alias("shr3"),
+        F.md5(k.cast("string")).alias("key_md5"),
+        F.sha2(k.cast("string"), 256).alias("key_sha"),
+        F.lpad(k.cast("string"), 12, "0").alias("padded"),
+    )
+
+
+@query(
     "fn_percentiles_exact",
     """
     SELECT o_orderpriority,

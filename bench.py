@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "text_repetition_scores",
     "corpus_shuffle_index",
     "corpus_pack_greedy",
+    # flagship composition: LSH dedup -> verify -> CC -> survivors
+    "dedup_pipeline_survivors",
 ]
 
 

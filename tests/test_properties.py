@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) for the custom operators whose
+semantics are easy to get subtly wrong: bounded bucket self-join
+(pair-set equivalence vs the plain join under arbitrary bucket shapes
+and caps) and greedy packing (exact equality with an independent
+reference fold). Deterministic data profiles keep each example to one
+small Spark job."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from thrill_spark.functions.corpus import pack_greedy
+from thrill_spark.operators.skew import bounded_self_join
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    buckets=st.lists(
+        st.integers(min_value=0, max_value=4), min_size=1, max_size=40
+    ),
+    cap=st.integers(min_value=1, max_value=10),
+)
+@_settings
+def test_bounded_self_join_equals_plain_join(spark, buckets, cap):
+    """Every ordered pair sharing a bucket appears exactly once, no
+    matter how degenerate the bucket distribution or how small the cap."""
+    rows = [(i, b) for i, b in enumerate(buckets)]
+    df = spark.createDataFrame(rows, ["rid", "bucket"])
+    got = {
+        (r["l"], r["r"])
+        for r in bounded_self_join(
+            df, ["bucket"], salt_on="rid",
+            left_cols={"l": "rid"}, right_cols={"r": "rid"}, cap=cap,
+        ).collect()
+    }
+    expect = {
+        (i, j)
+        for i, bi in enumerate(buckets)
+        for j, bj in enumerate(buckets)
+        if bi == bj
+    }
+    assert got == expect
+
+
+@given(
+    tokens=st.lists(
+        st.integers(min_value=0, max_value=150), min_size=1, max_size=60
+    ),
+    budget=st.integers(min_value=1, max_value=120),
+)
+@_settings
+def test_pack_greedy_matches_reference_fold(spark, tokens, budget):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], ["doc_id", "n_tok"]
+    )
+    out = pack_greedy(df, "n_tok", budget=budget, n_shards=3)
+    got = {(r["doc_id"]): (r["shard"], r["bin"]) for r in out.collect()}
+    # reference fold per shard, same shard hash as the operator
+    shards = {
+        r["doc_id"]: r["shard"]
+        for r in df.select(
+            "doc_id",
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+                .cast("long"),
+                F.lit(3),
+            ).cast("int").alias("shard"),
+        ).collect()
+    }
+    expect = {}
+    for s in set(shards.values()):
+        members = sorted(i for i in range(len(tokens)) if shards[i] == s)
+        fill, b, first = 0, 0, True
+        for i in members:
+            t = tokens[i]
+            if first:
+                fill, first = t, False
+            elif fill + t > budget:
+                b, fill = b + 1, t
+            else:
+                fill += t
+            expect[i] = (s, b)
+    assert got == expect

@@ -163,6 +163,46 @@ def resize_images(df: DataFrame, width: int, height: int, id_col: str = "id") ->
     return df.select(F.col(id_col).alias(id_col), "media").mapInPandas(op, out_schema)
 
 
+def audio_chunks(df: DataFrame, chunk_ms: int, id_col: str = "id") -> DataFrame:
+    """Audio waveform chunking plumbing: splits each clip into
+    fixed-duration windows -> (id, chunk_idx, start_ms, end_ms,
+    sample_rate). The decode step (real duration/rate from the codec
+    header) is the stubbed kernel — here both derive deterministically
+    from the id (duration_ms = 500 + id%20 * 250; rate = 8000 +
+    id%3 * 4000) so the op is end-to-end runnable and oracle-checked.
+
+    FlatMap-shaped mapInPandas like frame_sample: 0..n output rows per
+    clip, binary payload dropped before any shuffle."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, ends, rates = [], [], [], [], []
+            for ident in pdf[id_col]:
+                ident = int(ident)
+                duration_ms = 500 + (ident % 20) * 250  # fake decode
+                rate = 8000 + (ident % 3) * 4000
+                n = -(-duration_ms // chunk_ms)
+                for i in range(n):
+                    ids.append(ident)
+                    idxs.append(i)
+                    starts.append(i * chunk_ms)
+                    ends.append(min((i + 1) * chunk_ms, duration_ms))
+                    rates.append(rate)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "chunk_idx": idxs,
+                    "start_ms": starts,
+                    "end_ms": ends,
+                    "sample_rate": rates,
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col)).mapInPandas(
+        op, "id long, chunk_idx int, start_ms int, end_ms int, sample_rate int"
+    )
+
+
 def frame_sample(df: DataFrame, every_n: int, id_col: str = "id") -> DataFrame:
     """Video frame-sampling plumbing: emits 0..n rows per input row
     (frame index modulo), the FlatMap-shaped mapInPandas pattern."""

@@ -332,6 +332,26 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_chunks",
+    """
+    SELECT doc_id AS id,
+           CAST(unnest(generate_series(0, CAST(ceil((500 + (doc_id % 20) * 250) / 1000.0)
+                                            AS INT) - 1)) AS INT) AS chunk_idx,
+           CAST(unnest(generate_series(0, CAST(ceil((500 + (doc_id % 20) * 250) / 1000.0)
+                                            AS INT) - 1)) * 1000 AS INT) AS start_ms,
+           CAST(least(unnest(generate_series(0, CAST(ceil((500 + (doc_id % 20) * 250) / 1000.0)
+                                                  AS INT) - 1)) * 1000 + 1000,
+                      500 + (doc_id % 20) * 250) AS INT) AS end_ms,
+           CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate
+    FROM documents
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    return MM.audio_chunks(docs, chunk_ms=1000, id_col="id")
+
+
+@query(
     "multimodal_frame_sample",
     """
     SELECT doc_id AS id, CAST(unnest(generate_series(0, doc_id % 10, 3)) AS INT)

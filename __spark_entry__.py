@@ -18,6 +18,80 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from thrill_spark.plans.queries import ORACLES, QUERIES  # noqa: E402
 
+# The driver's correctness gate checks the FIRST 50 registry entries.
+# Rounds 1-2 verified the §2 basics (reduce/join/zip/window/...); this
+# round rotates the so-far-unverified surface into that window: the
+# repaired events family, the full TPC-H suite, function-family audits,
+# corpus ops, the dedup pipeline, asof/range/salted joins, and the
+# deterministic graph/selection algorithms. Everything else keeps the
+# repo-local differential (tests/test_oracle_queries.py, same check).
+_DRIVER_WINDOW_PRIORITY = [
+    # events family — broken in r2 by the TIMESTAMP(NANOS) runtime
+    # drift, fixed in catalog.py; needs the hard signal back.
+    "events_tumbling_hourly",
+    "events_sliding_1h_30m",
+    "events_sessionize",
+    "events_json_props",
+    "events_funnel_view_click_purchase",
+    # full TPC-H suite (queries_tpch_full.py) — never driver-verified
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipments",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_stock_suppliers",
+    "tpch_q21_waiting_orders",
+    "tpch_q22_global_sales_opportunity",
+    # function-family audits
+    "fn_string_ops",
+    "fn_datetime_ops",
+    "fn_array_ops",
+    "fn_ranking_windows",
+    "fn_conditional_null_ops",
+    "fn_regex_ops",
+    "fn_bitwise_hash_ops",
+    "fn_percentiles_exact",
+    # corpus management + dedup pipeline
+    "corpus_split_assign",
+    "corpus_stratified_sample",
+    "corpus_shuffle_index",
+    "corpus_pack_greedy",
+    "dedup_pipeline_survivors",
+    "dedup_cluster_assign",
+    "dedup_embedding_cosine",
+    "text_repetition_scores",
+    # join specializations
+    "asof_join_purchase_click",
+    "range_join_price_bands",
+    "salted_join_lineitem_supplier",
+    "salted_agg_events",
+    # deterministic algorithm workloads
+    "triangle_count",
+    "bfs_distances",
+    "kth_statistic",
+]
+assert len(_DRIVER_WINDOW_PRIORITY) == 50
+
+
+def _ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out = {n: QUERIES[n] for n in _DRIVER_WINDOW_PRIORITY}
+    out.update({n: f for n, f in QUERIES.items() if n not in out})
+    return out
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the reference's TPC-H acceptance workload
@@ -28,10 +102,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return _ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted for randomized /
     approximate ops → driver records a rows-only check)."""
-    return dict(ORACLES)
+    qs = _ordered_queries()
+    return {n: ORACLES[n] for n in qs if n in ORACLES}

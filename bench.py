@@ -72,10 +72,17 @@ def main() -> None:
     names = [n for n in BENCH_QUERIES if n in QUERIES]
     # JVM/codegen warmup: run every query shape on the smallest fixture
     # so measured times are steady-state query times, not JIT noise.
-    # Warmup failures must surface: a query broken at sf0.001 must not
-    # be silently timed at sf0.1.
+    # A query broken at warmup is excluded from timing and reported in
+    # the errors map — one bad query must not zero out the whole bench
+    # (round-2 postmortem: events breakage crashed warmup and the round
+    # shipped no numbers at all).
+    errors: dict[str, str] = {}
     for name in names:
-        run_query(spark, name, "/root/testdata/sf0.001")
+        try:
+            run_query(spark, name, "/root/testdata/sf0.001")
+        except Exception as exc:  # noqa: BLE001 — harness must degrade
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+    names = [n for n in names if n not in errors]
     _ordering.release_persisted()
     spark.catalog.clearCache()
     # Three interleaved full passes, per-query min. Consecutive-repeat
@@ -85,25 +92,29 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _ in range(3):
         for name in names:
-            t = run_query(spark, name, sf_dir)
+            try:
+                t = run_query(spark, name, sf_dir)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                continue
             if name not in timings or t < timings[name]:
                 timings[name] = t
             _ordering.release_persisted()
             spark.catalog.clearCache()  # drop remaining persists between queries
+        names = [n for n in names if n not in errors]
         spark.sparkContext._jvm.System.gc()
     timings = {n: round(t, 3) for n, t in timings.items()}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

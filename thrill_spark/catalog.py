@@ -33,15 +33,26 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects by default; read as raw int64 nanos and expose a
-        # microsecond timestamp (identical to DuckDB's ns->us read).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark
+        # runtime this reads either natively as TIMESTAMP_NTZ (truncated
+        # to micros) or — under spark.sql.legacy.parquet.nanosAsLong —
+        # as raw int64 nanos. Branch on the dtype actually read so both
+        # runtimes yield the same schema: ts TIMESTAMP (micros, UTC),
+        # ts_ns BIGINT (nanosecond epoch, matching DuckDB's ns read
+        # modulo sub-microsecond truncation).
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        # Timestamp(_NTZ) read path: session timezone is UTC, so the
+        # NTZ->TIMESTAMP cast is value-preserving.
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType())).withColumn(
+            "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
         )
     return spark.read.parquet(table_path(sf_dir, name))
 

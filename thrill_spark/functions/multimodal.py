@@ -68,22 +68,30 @@ def have_pil() -> bool:
 
 
 def _decode_image_real(raw: bytes) -> tuple[str, int, int]:
-    """Real decode via Pillow WHEN AVAILABLE; raises NotImplementedError
-    otherwise (media libs are not in this container — the mapInPandas
-    plumbing around it is identical either way).
+    """Real decode: Pillow when importable, else the vendored pure-Python
+    PNG codec (thrill_spark/functions/pngcodec.py, stdlib zlib) for PNG
+    payloads. Raises NotImplementedError only when neither path can
+    decode the bytes (e.g. JPEG without Pillow).
 
     Returns (format, width, height)."""
     try:
         import io
 
         from PIL import Image
-    except ImportError as e:  # pragma: no cover - depends on container
-        raise NotImplementedError(
-            "image decode requires Pillow/opencv; not available here"
-        ) from e
-    img = Image.open(io.BytesIO(raw))
-    img.load()
-    return (img.format or "unknown").lower(), img.width, img.height
+
+        img = Image.open(io.BytesIO(raw))
+        img.load()
+        return (img.format or "unknown").lower(), img.width, img.height
+    except ImportError:
+        pass
+    from thrill_spark.functions import pngcodec
+
+    if pngcodec.is_png(raw):
+        w, h, _ch, _px = pngcodec.decode_png(raw)
+        return "png", w, h
+    raise NotImplementedError(
+        "non-PNG image decode requires Pillow/opencv; not available here"
+    )
 
 
 def decode_fake(raw: bytes) -> tuple[str, int]:
@@ -92,6 +100,71 @@ def decode_fake(raw: bytes) -> tuple[str, int]:
     s = raw.decode("utf-8")
     fmt, _, ident = s.partition(":")
     return fmt, int(ident)
+
+
+def _decode_image_pixels(raw: bytes) -> tuple[str, int, int, bytes]:
+    """Real decode returning raw pixel bytes: Pillow when importable,
+    else the vendored PNG codec. Raises on undecodable payloads."""
+    try:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(raw))
+        img.load()
+        return (img.format or "unknown").lower(), img.width, img.height, img.tobytes()
+    except ImportError:
+        pass
+    from thrill_spark.functions import pngcodec
+
+    w, h, _ch, px = pngcodec.decode_png(raw)
+    return "png", w, h, bytes(px)
+
+
+def attach_real_png_media(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Attach an ACTUAL PNG payload per row (vendored encoder, stdlib
+    zlib): greyscale, width = id%32+1, height = id%24+1, pixel(x,y) =
+    (x*7 + y*13 + id) % 256. Deterministic, so a SQL oracle can
+    recompute every decoded property — this is how the real-decode
+    kernel gets a hard correctness signal without media libs."""
+    from thrill_spark.functions.pngcodec import encode_png
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for ident in pdf["id"]:
+                ident = int(ident)
+                w, h = ident % 32 + 1, ident % 24 + 1
+                px = bytes(
+                    (x * 7 + y * 13 + ident) % 256 for y in range(h) for x in range(w)
+                )
+                blobs.append(encode_png(w, h, px, channels=1))
+            yield pd.DataFrame({"id": pdf["id"], "media": blobs})
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(op, "id long, media binary")
+
+
+DECODE_SCHEMA = "id long, format string, width int, height int, pix_sum long"
+
+
+def decode_image_features(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Decode real image blobs -> (id, format, width, height, pix_sum).
+
+    This is a REAL decode (full IDAT inflate + unfilter via the vendored
+    codec, or Pillow when present), not metadata sniffing: pix_sum is the
+    sum over decoded pixel bytes, which only a correct decode produces."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ident, raw in zip(pdf[id_col], pdf["media"]):
+                fmt, w, h, px = _decode_image_pixels(bytes(raw))
+                rows.append((int(ident), fmt, w, h, sum(px)))
+            yield pd.DataFrame(
+                rows, columns=["id", "format", "width", "height", "pix_sum"]
+            )
+
+    return df.select(F.col(id_col).alias(id_col), "media").mapInPandas(op, DECODE_SCHEMA)
 
 
 FEATURE_SCHEMA = "id long, format string, n_bytes int, feat_checksum long"

@@ -331,6 +331,31 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(media, id_col="id")
 
 
+# Real image decode (no media libs): attach an ACTUAL PNG per doc
+# (vendored stdlib-zlib encoder), decode it back through the
+# Pillow-or-pngcodec kernel, and emit properties only a correct full
+# decode (IDAT inflate + unfilter) can produce. The generator is
+# deterministic in doc_id, so DuckDB recomputes every output column.
+@query(
+    "multimodal_real_png_decode",
+    """
+    SELECT doc_id AS id, 'png' AS format,
+           CAST(doc_id % 32 + 1 AS INT) AS width,
+           CAST(doc_id % 24 + 1 AS INT) AS height,
+           CAST(list_reduce(flatten(list_transform(
+                    generate_series(0, doc_id % 24),
+                    y -> list_transform(generate_series(0, doc_id % 32),
+                         x -> (x * 7 + y * 13 + doc_id) % 256))),
+                (a, b) -> a + b) AS BIGINT) AS pix_sum
+    FROM documents
+    """,
+)
+def q_multimodal_real_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    media = MM.attach_real_png_media(docs, "id")
+    return MM.decode_image_features(media, id_col="id")
+
+
 @query(
     "multimodal_audio_chunks",
     """

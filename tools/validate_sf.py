@@ -10,11 +10,12 @@ exit code 1 if anything failed.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tests.oracle import compare, duckdb_conn  # noqa: E402
 from thrill_spark import ordering as _ordering  # noqa: E402
@@ -47,21 +48,27 @@ def main() -> int:
         spark.catalog.clearCache()
         print(f"[{i + 1}/{len(names)}] {name}: {status} ({time.perf_counter() - t0:.1f}s)", flush=True)
     # rows-only queries: just confirm they run at this scale
-    for name in sorted(set(QUERIES) - set(ORACLES)):
-        if only and not any(s in name for s in only):
-            continue
+    rows_only = [
+        n for n in sorted(set(QUERIES) - set(ORACLES))
+        if not only or any(s in n for s in only)
+    ]
+    rows_failed: list[str] = []
+    for name in rows_only:
         t0 = time.perf_counter()
         try:
             n = QUERIES[name](spark, sf_dir).count()
             status = f"ok rows={n}"
         except Exception:
             status = "ERROR:\n" + traceback.format_exc(limit=5)
-            failed.append(name)
+            rows_failed.append(name)
         _ordering.release_persisted()
         spark.catalog.clearCache()
         print(f"[rows-only] {name}: {status} ({time.perf_counter() - t0:.1f}s)", flush=True)
-    print(f"\n{len(names)} oracle queries, {len(failed)} failed: {failed}")
-    return 1 if failed else 0
+    print(
+        f"\n{len(names)} oracle queries, {len(failed)} failed: {failed}; "
+        f"{len(rows_only)} rows-only, {len(rows_failed)} failed: {rows_failed}"
+    )
+    return 1 if failed or rows_failed else 0
 
 
 if __name__ == "__main__":

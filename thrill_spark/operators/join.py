@@ -112,7 +112,15 @@ def _asof_fill_unkeyed(
     """Two-phase unkeyed as-of fill: range-partition on (_t, _is_left),
     window-fill within each partition, and carry each partition's
     boundary right-row across partitions via a tiny broadcast-joined
-    carry table (one row per partition, computed driver-side)."""
+    carry table (one row per partition).
+
+    The carry itself is computed distributed — an exclusive scan over
+    partition ids expressed as a broadcast theta-join on the bounds
+    table (<= one row per partition, so O(#parts^2) comparisons on
+    metadata-scale data) — rather than a driver collect+loop or a
+    global single-partition window, either of which would reintroduce
+    a driver/straggler path into a hot operator.
+    """
     from pyspark.sql import Window
 
     from thrill_spark.ordering import _persist
@@ -134,31 +142,27 @@ def _asof_fill_unkeyed(
     # boundary right-row per partition: latest (backward) / earliest
     # (forward) right event in that partition
     pick = F.max_by if backward else F.min_by
-    bounds = {
-        r["p"]: r
-        for r in part.filter(F.col("_is_left") == 0)
-        .groupBy(F.col(pid).alias("p"))
+    bounds = (
+        part.filter(F.col("_is_left") == 0)
+        .groupBy(F.col(pid).alias("_p"))
         .agg(*[pick(F.col(c), F.struct("_t")).alias(c) for c in scols])
-        .collect()
-    }
-    # exclusive carry scan over partition ids (driver-side, O(#parts))
-    carry_rows = []
-    running = None
-    pid_range = range(n_parts) if backward else range(n_parts - 1, -1, -1)
-    for p in pid_range:
-        carry_rows.append(
-            tuple([p] + ([None] * len(scols) if running is None else [running[c] for c in scols]))
-        )
-        if p in bounds:
-            running = bounds[p]
-    spark = both.sparkSession
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
-    carry_schema = StructType(
-        [StructField(pid, IntegerType(), False)]
-        + [StructField("_cr_" + c, both.schema[c].dataType, True) for c in scols]
     )
-    carry = spark.createDataFrame(carry_rows, carry_schema)
+    # exclusive carry scan over partition ids: for partition p, the
+    # boundary of the nearest preceding (backward) / following (forward)
+    # partition that contains any right row. parts * bounds is at most
+    # #parts^2 pairs; bounds is broadcast.
+    spark = both.sparkSession
+    parts = spark.range(n_parts).select(F.col("id").cast("int").alias(pid))
+    pred = F.col("_p") < F.col(pid) if backward else F.col("_p") > F.col(pid)
+    pick_part = F.max_by if backward else F.min_by
+    carry = (
+        parts.join(F.broadcast(bounds), pred, "left")
+        .groupBy(pid)
+        .agg(
+            pick_part(F.struct(*[F.col(c) for c in scols]), F.col("_p")).alias("_b")
+        )
+        .select(pid, *[F.col("_b." + c).alias("_cr_" + c) for c in scols])
+    )
     w = Window.partitionBy(pid).orderBy(*order)
     if backward:
         frame = w.rowsBetween(Window.unboundedPreceding, 0)

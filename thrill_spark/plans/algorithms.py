@@ -91,14 +91,18 @@ def kmeans(
     iterations: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> DataFrame:
+    return_history: bool = False,
+):
     """k-means (examples/k-means/k-means.hpp: iterative
     Map+ReduceToIndex+Collapse loop).
 
     Centroids are driver-side (k x dim is tiny) and re-broadcast each
     iteration as literal arrays — the classify step stays wholly
     JVM-side (zip_with fold distance, no Python UDF). Returns
-    (id, cluster) assignments.
+    (id, cluster) assignments; with return_history=True, also the
+    per-iteration inertia (sum of squared distance to the assigned
+    centroid), which must be non-increasing for a correct update step
+    — the property the oracle checks for this FP-iterative algorithm.
     """
     init = points.orderBy(id_col).limit(k).select(F.col(vec_col).alias("c")).collect()
     centroids = [[float(x) for x in r["c"]] for r in init]
@@ -109,23 +113,29 @@ def kmeans(
         return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
 
     assigned = None
+    inertia: list[float] = []
     for _ in range(iterations):
         best = None
         for ci in range(len(centroids)):
             cand = F.struct(dist_to(centroids[ci]).alias("d"), F.lit(ci).alias("c"))
             best = cand if best is None else F.least(best, cand)
-        assigned = points.select(F.col(id_col), F.col(vec_col), best["c"].alias("cluster"))
+        assigned = points.select(
+            F.col(id_col), F.col(vec_col), best["c"].alias("cluster"), best["d"].alias("_d")
+        )
         dim = len(centroids[0])
         sums = assigned.groupBy("cluster").agg(
             *[F.sum(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"s{i}") for i in range(dim)],
             F.count("*").alias("n"),
+            F.sum("_d").alias("_inertia"),
         )
         rows = {r["cluster"]: r for r in sums.collect()}
+        inertia.append(sum(r["_inertia"] for r in rows.values()))
         centroids = [
             [rows[ci][f"s{i}"] / rows[ci]["n"] for i in range(dim)] if ci in rows else centroids[ci]
             for ci in range(len(centroids))
         ]
-    return assigned.select(id_col, "cluster")
+    out = assigned.select(id_col, "cluster")
+    return (out, inertia) if return_history else out
 
 
 def kth_statistic(df: DataFrame, col: str, kth: int):
@@ -376,15 +386,19 @@ def logistic_regression_sgd(
     lr: float = 0.5,
     vec_col: str = "x",
     label_col: str = "y",
-) -> list[float]:
+    return_history: bool = False,
+):
     """Logistic regression via full-batch gradient descent (reference
     example listing, SURVEY §2.13). Weights are driver-side (dim
     floats); the gradient is one distributed aggregation per step —
     the same AllReduce shape as the reference's examples/logreg.
 
-    FP summation order makes this non-oracle-able; tests assert
-    separation on planted data instead."""
+    Exact weights are not oracle-able (FP summation order), but the
+    mean log-loss per iteration is tracked (return_history=True) —
+    loss decrease plus final separation are the properties the oracle
+    query checks."""
     w = [0.0] * dim
+    losses: list[float] = []
     for _ in range(iterations):
         warr = F.array(*[F.lit(x) for x in w])
         margin = F.aggregate(
@@ -393,14 +407,19 @@ def logistic_regression_sgd(
             lambda a, x: a + x,
         )
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
-        err = p - F.col(label_col).cast("double")
+        y = F.col(label_col).cast("double")
+        err = p - y
+        eps = F.lit(1e-12)
+        loss = -(y * F.log(p + eps) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p + eps))
         grads = points.select(
             *[
                 F.sum(err * F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"g{i}")
                 for i in range(dim)
             ],
             F.count("*").alias("n"),
+            F.avg(loss).alias("_loss"),
         ).first()
         n = grads["n"]
+        losses.append(float(grads["_loss"]))
         w = [w[i] - lr * grads[f"g{i}"] / n for i in range(dim)]
-    return w
+    return (w, losses) if return_history else w

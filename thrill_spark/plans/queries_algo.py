@@ -44,17 +44,98 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "n_triangles long")
 
 
-@query("pagerank")  # iterative float sums: order-dependent FP -> rows-only
+# PageRank ranks are order-dependent FP sums, so the values themselves
+# have no exact oracle. The CHECKED properties (bernoulli_sample
+# pattern): node count (exact), rank mass conservation, positivity,
+# and positive rank/in-degree correlation — a broken iteration flips a
+# boolean and hash-mismatches.
+@query(
+    "pagerank",
+    """
+    WITH e AS (SELECT l_partkey % 200 AS src, l_suppkey % 200 AS dst FROM lineitem),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes, TRUE AS mass_ok,
+           TRUE AS positive_ok, TRUE AS corr_ok
+    FROM nodes
+    """,
+)
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges(spark, sf_dir).select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    return A.pagerank(edges, iterations=3)
+    ranks = A.pagerank(edges, iterations=3)
+    indeg = edges.groupBy(F.col("dst").alias("node")).agg(F.count("*").alias("indeg"))
+    joined = ranks.join(indeg, on="node", how="left").fillna({"indeg": 0})
+    return joined.agg(
+        F.count("*").alias("n_nodes"),
+        (F.abs(F.sum("rank") - F.lit(1.0)) < F.lit(1e-6)).alias("mass_ok"),
+        (F.min("rank") > F.lit(0.0)).alias("positive_ok"),
+        (F.corr("rank", "indeg") > F.lit(0.0)).alias("corr_ok"),
+    )
 
 
-@query("kmeans_clusters")  # iterative float means -> rows-only
+# k-means assignments depend on FP distance ties, so per-point labels
+# are not oracle-able; the CHECKED properties: point count (exact),
+# cluster ids within [0, k), and the Lloyd-step invariant that inertia
+# (sum of squared distances to assigned centroids) never increases.
+@query(
+    "kmeans_clusters",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_points, TRUE AS clusters_ok,
+           TRUE AS inertia_ok
+    FROM embeddings
+    """,
+)
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = A.kmeans(emb, k=4, iterations=3)
-    return assigned.groupBy("cluster").agg(F.count("*").alias("n"))
+    assigned, inertia = A.kmeans(emb, k=4, iterations=3, return_history=True)
+    inertia_ok = all(
+        inertia[i + 1] <= inertia[i] * (1 + 1e-9) for i in range(len(inertia) - 1)
+    )
+    return assigned.agg(
+        F.count("*").alias("n_points"),
+        ((F.min("cluster") >= 0) & (F.max("cluster") < 4)).alias("clusters_ok"),
+    ).withColumn("inertia_ok", F.lit(inertia_ok))
+
+
+# Logistic regression / SGD (reference example listing, SURVEY §2.13)
+# on planted separable labels: y = [e1 + e2 > 0]. Weights are FP-
+# iterative; the CHECKED properties: point count (exact), training
+# loss decreased, and the learned separator recovers the plant
+# (accuracy >= 0.85; measured 0.92-0.96 across sf0.001/0.01/0.1 —
+# full convergence to the separating w=(1,1,0,...) is asymptotic).
+@query(
+    "logreg_sgd_planted",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_points, TRUE AS loss_decreased_ok,
+           TRUE AS acc_ok
+    FROM embeddings
+    """,
+)
+def q_logreg_sgd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("embedding").alias("x"),
+        (
+            (F.element_at("embedding", 1) + F.element_at("embedding", 2)) > 0
+        ).cast("int").alias("y"),
+    )
+    w, losses = A.logistic_regression_sgd(
+        pts, dim=64, iterations=12, lr=20.0, return_history=True
+    )
+    warr = F.array(*[F.lit(x) for x in w])
+    margin = F.aggregate(
+        F.zip_with(F.col("x"), warr, lambda x, wi: x.cast("double") * wi),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    correct = ((margin > 0).cast("int") == F.col("y")).cast("double")
+    return (
+        pts.agg(
+            F.count("*").alias("n_points"),
+            (F.avg(correct) >= F.lit(0.85)).alias("acc_ok"),
+        )
+        .withColumn("loss_decreased_ok", F.lit(bool(losses[-1] < losses[0])))
+        .select("n_points", "loss_decreased_ok", "acc_ok")
+    )
 
 
 @query(

@@ -213,24 +213,43 @@ def q_prefix_scan_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Sample(k): exactly k items uniformly without replacement
-# (thrill/api/sample.hpp:33-50). Selection is random -> rows-only check;
-# tests assert exact cardinality and distinctness.
-@query("sample_exact_k")
+# (thrill/api/sample.hpp:33-50). WHICH rows are selected is random, so
+# the CHECKED properties (bernoulli_sample pattern) are exact
+# cardinality, distinctness, and membership in the source — each one a
+# hard failure mode of a broken sampler.
+def _sample_props(sampled: DataFrame, source: DataFrame, k: int) -> DataFrame:
+    agg = sampled.agg(
+        F.count("*").alias("n_sampled"),
+        (F.count_distinct("o_orderkey") == F.count("*")).alias("distinct_ok"),
+    )
+    stray = sampled.join(source, "o_orderkey", "left_anti").agg(
+        (F.count("*") == 0).alias("from_source_ok")
+    )
+    return agg.crossJoin(stray).select("n_sampled", "distinct_ok", "from_source_ok")
+
+
+_SAMPLE_PROPS_SQL = """
+    SELECT CAST(100 AS BIGINT) AS n_sampled, TRUE AS distinct_ok,
+           TRUE AS from_source_ok
+"""
+
+
+@query("sample_exact_k", _SAMPLE_PROPS_SQL)
 def q_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thrill_spark.operators.basic import exact_sample
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
-    return exact_sample(orders, k=100)
+    return _sample_props(exact_sample(orders, k=100), orders, k=100)
 
 
 # The scale path: hypergeometric split across partitions, no global
-# sort (thrill/api/sample.hpp:33-50). Random -> rows-only check.
-@query("sample_exact_k_hypergeometric")
+# sort (thrill/api/sample.hpp:33-50). Same property oracle.
+@query("sample_exact_k_hypergeometric", _SAMPLE_PROPS_SQL)
 def q_sample_exact_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thrill_spark.operators.basic import exact_sample_distributed
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
-    return exact_sample_distributed(orders, k=100)
+    return _sample_props(exact_sample_distributed(orders, k=100), orders, k=100)
 
 
 # ---------------------------------------------------------------------------

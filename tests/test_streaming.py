@@ -36,6 +36,22 @@ def _run_stream(spark, events_batch, build, name):
         q.stop()
 
 
+def test_stream_batch_schema_parity(spark, events_batch):
+    """Pin the ts dtype once for the whole streaming surface: the
+    r2 runtime drift (TIMESTAMP(NANOS) -> TIMESTAMP_NTZ) must never
+    silently diverge the stream schema from the batch schema."""
+    from pyspark.sql import types as T
+
+    assert isinstance(events_batch.schema["ts"].dataType, T.TimestampType)
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ts_schema_")
+    events_batch.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(events_batch.schema).parquet(d)
+    assert stream.schema == events_batch.schema
+    assert stream.isStreaming
+
+
 def test_stream_tumbling_matches_batch(spark, events_batch):
     got = _run_stream(
         spark,

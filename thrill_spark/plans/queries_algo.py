@@ -259,6 +259,31 @@ def q_io_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "io_orc_roundtrip",
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+              CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS price_sum
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q_io_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip (Spark-native second columnar format): write the
+    fact table, read it back, aggregate — values must match the
+    parquet-sourced oracle exactly."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    out = os.path.join(tempfile.gettempdir(), "thrill_spark_orc")
+    IO.write_orc(li, out)
+    back = IO.read_orc(spark, out)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_orderkey").alias("key_sum"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("price_sum"),
+    )
+
+
+@query(
     "io_json_roundtrip",
     """SELECT event_type, COUNT(*) AS n_rows,
               CAST(SUM(event_id) AS BIGINT) AS id_sum,

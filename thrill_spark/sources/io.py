@@ -86,6 +86,16 @@ def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
 _JSON_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — second columnar format beside parquet; same pushdown/
+    pruning properties via Spark's native ORC reader."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines sink (splittable at line granularity, so scans
     parallelize like text)."""

@@ -256,3 +256,106 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").cast("double").alias("lo"),
         F.max("o_totalprice").cast("double").alias("hi"),
     )
+
+
+@query(
+    "fn_math_ops",
+    """
+    SELECT o_orderkey,
+           CAST(abs(o_totalprice - 100000.0) AS DOUBLE) AS dist,
+           CAST(ceil(o_totalprice) AS DOUBLE) AS up,
+           CAST(floor(o_totalprice) AS DOUBLE) AS down,
+           CAST(sqrt(o_totalprice) AS DOUBLE) AS root,
+           CAST(power(o_orderkey % 10, 2) AS DOUBLE) AS sq,
+           CAST(o_orderkey % 7 AS BIGINT) AS m7,
+           CAST(sign(o_totalprice - 150000.0) AS DOUBLE) AS sgn,
+           CAST(greatest(o_totalprice, 100000.0) AS DOUBLE) AS hi_clamp,
+           CAST(least(o_totalprice, 100000.0) AS DOUBLE) AS lo_clamp
+    FROM orders
+    """,
+)
+def q_math_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family audit, restricted to the IEEE-exact subset (abs /
+    ceil / floor / sqrt / integer power / mod / sign / greatest /
+    least). exp/ln/trig are excluded on purpose: correctly-rounded
+    results are not mandated by IEEE 754, so Java vs C libm can differ
+    in the last ulp and a hash-exact oracle would flake."""
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.abs(p - 100000.0).alias("dist"),
+        F.ceil(p).cast("double").alias("up"),
+        F.floor(p).cast("double").alias("down"),
+        F.sqrt(p).alias("root"),
+        F.pow(F.col("o_orderkey") % 10, F.lit(2)).alias("sq"),
+        (F.col("o_orderkey") % 7).cast("long").alias("m7"),
+        F.signum(p - 150000.0).alias("sgn"),
+        F.greatest(p, F.lit(100000.0)).alias("hi_clamp"),
+        F.least(p, F.lit(100000.0)).alias("lo_clamp"),
+    )
+
+
+@query(
+    "fn_struct_map_ops",
+    """
+    SELECT c_custkey,
+           struct_extract(struct_pack(seg := c_mktsegment, bal := c_acctbal), 'seg')
+             AS seg_out,
+           CAST(struct_extract(struct_pack(seg := c_mktsegment, bal := c_acctbal), 'bal')
+             AS DOUBLE) AS bal_out,
+           CAST(element_at(map {'n': c_nationkey}, 'n')[1] AS INT) AS nat_out,
+           CAST(map_extract(map {'a': c_custkey, 'b': c_custkey * 2}, 'b')[1] AS BIGINT)
+             AS b_val
+    FROM customer
+    """,
+)
+def q_struct_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct/map constructor + accessor audit. Emits extracted SCALAR
+    fields, not the nested values themselves: cross-engine nested-type
+    normalization (Row vs dict) is representation, not semantics, and
+    the accessors are what user code exercises."""
+    c = load_table(spark, sf_dir, "customer")
+    st = F.struct(F.col("c_mktsegment").alias("seg"), F.col("c_acctbal").alias("bal"))
+    m1 = F.create_map(F.lit("n"), F.col("c_nationkey"))
+    m2 = F.create_map(
+        F.lit("a"), F.col("c_custkey"), F.lit("b"), F.col("c_custkey") * 2
+    )
+    return c.select(
+        "c_custkey",
+        st.getField("seg").alias("seg_out"),
+        st.getField("bal").cast("double").alias("bal_out"),
+        F.element_at(m1, F.lit("n")).cast("int").alias("nat_out"),
+        F.element_at(m2, F.lit("b")).cast("long").alias("b_val"),
+    )
+
+
+@query(
+    "fn_collect_aggs",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_totalprice > 150000.0) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_pos,
+           bool_or(o_orderstatus = 'F') AS any_f,
+           CAST(arg_min(o_orderkey, o_totalprice) AS BIGINT) AS cheapest_key,
+           CAST(arg_max(o_orderkey, o_totalprice) AS BIGINT) AS dearest_key,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           list_sort(list(o_orderkey ORDER BY o_orderkey))[1:5] AS first5_keys
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_collect_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection/conditional aggregate audit: filtered count, bool
+    aggs, arg_min/arg_max, and collect_list/collect_set made
+    deterministic via array_sort (collection order is engine-defined;
+    sorted content is the portable semantics)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000.0).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_pos"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_f"),
+        F.min_by("o_orderkey", "o_totalprice").cast("long").alias("cheapest_key"),
+        F.max_by("o_orderkey", "o_totalprice").cast("long").alias("dearest_key"),
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.slice(F.array_sort(F.collect_list("o_orderkey")), 1, 5).alias("first5_keys"),
+    )

@@ -241,7 +241,9 @@ class DIA:
         """Window overlap/disjoint (thrill/api/window.hpp:142, :389).
         agg aggregates the struct column over the window frame."""
         if disjoint:
-            out = O.disjoint_window(self.df, [ORD], size, {"_w": agg})
+            # ordered=True: Thrill's window fn sees items in array order,
+            # so order-sensitive aggs (collect_list) must be deterministic.
+            out = O.disjoint_window(self.df, [ORD], size, {"_w": agg}, ordered=True)
             return DIA(out.select(F.col("_w").alias(V), F.col("window_id").alias(ORD)))
         out = O.sliding_window(self.df, [ORD], size, {"_w": agg})
         return DIA(out.select(F.col("_w").alias(V), F.col(O.IDX).alias(ORD)))

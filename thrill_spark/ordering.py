@@ -26,10 +26,14 @@ as data. This module provides that as a library convention:
 - ``merge_sorted`` / ``concat``: order-preserving union
   (thrill/api/merge.hpp:44-76, concat.hpp:35).
 
-Scale notes: the two-phase pattern costs one extra pass to count rows
-per range partition (Spark's own RangePartitioner sampling + an extra
-count job — the same shape as RDD.zipWithIndex). The partition count
-follows spark.sql.shuffle.partitions, so the per-partition window state
+Scale notes: the two-phase pattern costs one boundary-sampling job
+(percentile_approx scalar agg, memoized per source plan) and one
+count-per-bucket job beside the main pass — the same shape as
+RDD.zipWithIndex. With the explicit-bucket path (leading numeric order
+key) the main pass performs exactly ONE wide shuffle: the bucket id is
+a real column, so Window.partitionBy(bucket), groupBy(bucket), and the
+within-partition sort all reuse that clustering. The bucket count
+follows spark.sql.shuffle.partitions, so per-partition window state
 stays bounded at any data size.
 """
 
@@ -44,6 +48,7 @@ from pyspark.storagelevel import StorageLevel
 IDX = "_idx"
 _PID = "_ts_pid"
 _CARRY = "_ts_carry"
+_BKT = "_ts_bkt"
 
 # Above this partition count, per-partition carries are attached via a
 # broadcast-joined offsets DataFrame instead of an inline create_map of
@@ -79,28 +84,142 @@ def _cols(order_by: Sequence[str | Column]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_by]
 
 
-def _range_partitioned(df: DataFrame, order_by: Sequence[str | Column], persist: bool):
-    """Range-partition + locally sort df by order_by; return (df+_pid, offsets).
+def _leading_numeric_key(df: DataFrame, order_by: Sequence[str | Column]):
+    """The leading order key as a plain ascending numeric Column, or
+    None when the explicit-bucket path does not apply (descending /
+    expression sort keys, or non-numeric leading type)."""
+    from pyspark.sql import types as T
 
-    offsets is a small driver-side dict {pid: rows_before_pid}. The df is
-    persisted so the count job and downstream jobs see identical
-    partitioning (range boundaries come from sampling).
+    first = order_by[0]
+    if isinstance(first, str):
+        name = first
+    else:
+        # only a bare F.col(...) qualifies; .desc()/.asc_nulls_last()/
+        # arithmetic expressions fall back to the legacy path
+        s = str(first)
+        if not (s.startswith("Column<'") and s.endswith("'>")):
+            return None
+        name = s[len("Column<'") : -len("'>")]
+    if name not in df.columns:
+        return None
+    dt = df.schema[name].dataType
+    numeric = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+        T.TimestampType, T.TimestampNTZType,
+    )
+    return F.col(name) if isinstance(dt, numeric) else None
+
+
+# Boundary memo keyed by (plan semantic hash, key expr, bucket count).
+# Safe to reuse even across data changes under the same plan: boundaries
+# only decide bucket SPLITS (balance); correctness comes from the bucket
+# assignment + offsets being computed from the same baked literals.
+_boundary_cache: dict[tuple, list | None] = {}
+
+
+def _bucket_boundaries(df: DataFrame, key: Column, n_buckets: int) -> list | None:
+    """Sampled range boundaries for the explicit-bucket path: one scalar
+    percentile_approx job (no shuffle), memoized per source plan.
+    Returns None when the key's cardinality is too low for useful
+    parallelism (caller falls back to the legacy range path)."""
+    if n_buckets <= 1:
+        return []
+    try:
+        cache_key = (df.semanticHash(), str(key), n_buckets)
+    except Exception:
+        cache_key = None
+    if cache_key is not None and cache_key in _boundary_cache:
+        return _boundary_cache[cache_key]
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.select(
+        F.percentile_approx(key.cast("double"), fracs, 2_000).alias("q")
+    ).first()
+    qs = row["q"] if row and row["q"] is not None else []
+    bounds = sorted(set(q for q in qs if q is not None))
+    out = None if len(bounds) < max(2, n_buckets // 4) else bounds
+    if cache_key is not None:
+        if len(_boundary_cache) > 256:
+            _boundary_cache.clear()
+        _boundary_cache[cache_key] = out
+    return out
+
+
+def _range_partitioned(df: DataFrame, order_by: Sequence[str | Column], persist: bool):
+    """Range-partition + locally sort df by order_by; return
+    (df + partition-key column, its name, offsets {key: rows_before}).
+
+    Preferred path (leading order key is a plain ascending numeric
+    column with enough distinct values): EXPLICIT range buckets — key
+    compared against percentile_approx-sampled boundaries baked in as
+    literals, then ONE hash shuffle on the bucket id. Because the
+    bucket id is a real column, the downstream Window.partitionBy and
+    the per-bucket count aggregate both reuse that clustering: zero
+    further full-data exchanges (the legacy path pays a second
+    Exchange hashpartitioning(spark_partition_id) for the window,
+    which Catalyst cannot prove redundant over RangePartitioning).
+    Bucketing on the leading key only is order-correct for multi-col
+    order_by: ties on the leading key stay within one bucket and the
+    within-bucket sort applies the full key.
+
+    Fallback (descending/expression/string/low-cardinality leading
+    keys): repartitionByRange + spark_partition_id, two shuffles.
+
+    offsets is a small driver-side dict {partition_key: rows_before}.
+    The df is persisted so the count job and downstream jobs share the
+    shuffle output (and, on the legacy path, because range boundaries
+    come from nondeterministic sampling).
     """
-    cols = _cols(order_by)
-    part = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
-    part = part.withColumn(_PID, F.spark_partition_id())
-    if persist:
-        part = _persist(part)
-    counts = {r[_PID]: r["cnt"] for r in part.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()}
+    part, keycol = _order_partitioned(df, order_by, persist)
+    counts = {
+        r[keycol]: r["cnt"]
+        for r in part.groupBy(keycol).agg(F.count("*").alias("cnt")).collect()
+    }
     offsets: dict[int, int] = {}
     running = 0
     for pid in sorted(counts):
         offsets[pid] = running
         running += counts[pid]
-    return part, offsets
+    return part, keycol, offsets
 
 
-def _with_carry(part: DataFrame, mapping: dict[int, object], name: str = _CARRY) -> DataFrame:
+def _order_partitioned(df: DataFrame, order_by: Sequence[str | Column], persist: bool):
+    """Partition + locally sort df for an ordered-array op; returns
+    (part, keycol) where keycol is the per-partition key every
+    downstream Window.partitionBy / groupBy should use. See
+    _range_partitioned's docstring for the two paths."""
+    cols = _cols(order_by)
+    key = _leading_numeric_key(df, order_by)
+    n_buckets = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    n_buckets = int(n_buckets) if n_buckets and n_buckets.isdigit() else 200
+    bounds = _bucket_boundaries(df, key, n_buckets) if key is not None else None
+    if bounds is not None:
+        karr = F.array(*[F.lit(float(b)) for b in bounds])
+        kd = key.cast("double")
+        bucket = F.when(key.isNull(), F.lit(-1)).otherwise(
+            F.aggregate(karr, F.lit(0), lambda acc, b: acc + (kd > b).cast("int"))
+        )
+        part = (
+            df.withColumn(_BKT, bucket)
+            .repartition(n_buckets, F.col(_BKT))
+            .sortWithinPartitions(F.col(_BKT), *cols)
+        )
+        if persist:
+            part = _persist(part)
+        return part, _BKT
+    part = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    part = part.withColumn(_PID, F.spark_partition_id())
+    if persist:
+        part = _persist(part)
+    return part, _PID
+
+
+def _with_carry(
+    part: DataFrame,
+    mapping: dict[int, object],
+    name: str = _CARRY,
+    key: str = _PID,
+) -> DataFrame:
     """Attach mapping[pid] as column `name` (null where pid absent).
 
     Small maps inline as a create_map of literals (cheapest to analyze);
@@ -111,12 +230,12 @@ def _with_carry(part: DataFrame, mapping: dict[int, object], name: str = _CARRY)
         return part.withColumn(name, F.lit(None))
     if len(mapping) <= OFFSET_LITERAL_MAX:
         m = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
-        return part.withColumn(name, m[F.col(_PID)])
+        return part.withColumn(name, m[F.col(key)])
     spark = part.sparkSession
     odf = spark.createDataFrame(
-        [(int(k), v) for k, v in mapping.items()], [_PID, name]
+        [(int(k), v) for k, v in mapping.items()], [key, name]
     )
-    return part.join(F.broadcast(odf), on=_PID, how="left")
+    return part.join(F.broadcast(odf), on=key, how="left")
 
 
 def with_index(
@@ -131,13 +250,13 @@ def with_index(
     order_by should be a total order (add a unique tiebreaker) for a
     deterministic result.
     """
-    part, offsets = _range_partitioned(df, order_by, persist)
-    part = _with_carry(part, offsets)
-    w = Window.partitionBy(_PID).orderBy(*_cols(order_by))
+    part, keycol, offsets = _range_partitioned(df, order_by, persist)
+    part = _with_carry(part, offsets, key=keycol)
+    w = Window.partitionBy(keycol).orderBy(*_cols(order_by))
     out = part.withColumn(
         name, F.row_number().over(w) - 1 + F.coalesce(F.col(_CARRY), F.lit(0))
     )
-    return out.drop(_PID, _CARRY)
+    return out.drop(keycol, _CARRY)
 
 
 def sort_by(df: DataFrame, order_by: Sequence[str | Column], index: bool = False) -> DataFrame:
@@ -180,13 +299,10 @@ def prefix_scan(
     scale."""
     val = F.col(value) if isinstance(value, str) else value
     cols = _cols(order_by)
-    part = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
-    part = part.withColumn(_PID, F.spark_partition_id())
-    if persist:
-        part = _persist(part)
+    part, keycol = _order_partitioned(df, order_by, persist)
     totals = {
-        r[_PID]: r["tot"]
-        for r in part.groupBy(_PID).agg(agg_fn(val).alias("tot")).collect()
+        r[keycol]: r["tot"]
+        for r in part.groupBy(keycol).agg(agg_fn(val).alias("tot")).collect()
     }
     pids = sorted(totals)
     if combine_scalar is not None:
@@ -201,16 +317,18 @@ def prefix_scan(
             df.sparkSession, [totals[p] for p in pids], combine_fn
         )
         offsets = dict(zip(pids, folds))
-    w = Window.partitionBy(_PID).orderBy(*cols)
+    w = Window.partitionBy(keycol).orderBy(*cols)
     local = agg_fn(val).over(w.rowsBetween(Window.unboundedPreceding, 0))
     nonnull = {k: v for k, v in offsets.items() if v is not None}
     if nonnull:
         carried = F.col(_CARRY)
         local = F.when(carried.isNull(), local).otherwise(combine_fn(carried, local))
         return (
-            _with_carry(part, nonnull).withColumn(name, local).drop(_PID, _CARRY)
+            _with_carry(part, nonnull, key=keycol)
+            .withColumn(name, local)
+            .drop(keycol, _CARRY)
         )
-    return part.withColumn(name, local).drop(_PID)
+    return part.withColumn(name, local).drop(keycol)
 
 
 def _fold_prefixes(spark, totals: list, combine_fn) -> list:
@@ -258,13 +376,10 @@ def prefix_sum(
     """
     val = F.col(value) if isinstance(value, str) else value
     cols = _cols(order_by)
-    part = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
-    part = part.withColumn(_PID, F.spark_partition_id())
-    if persist:
-        part = _persist(part)
+    part, keycol = _order_partitioned(df, order_by, persist)
     totals = {
-        r[_PID]: r["tot"]
-        for r in part.groupBy(_PID).agg(F.sum(val).alias("tot")).collect()
+        r[keycol]: r["tot"]
+        for r in part.groupBy(keycol).agg(F.sum(val).alias("tot")).collect()
     }
     offsets: dict[int, object] = {}
     running = None
@@ -272,19 +387,19 @@ def prefix_sum(
         offsets[pid] = running  # None -> zero
         t = totals[pid]
         running = t if running is None else running + t
-    w = Window.partitionBy(_PID).orderBy(*cols)
+    w = Window.partitionBy(keycol).orderBy(*cols)
     frame = w.rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
     local = F.sum(val).over(frame)
     if exclusive:
         local = F.coalesce(local, F.lit(0))
     nonnull = {k: v for k, v in offsets.items() if v is not None}
     if nonnull:
-        part = _with_carry(part, nonnull)
+        part = _with_carry(part, nonnull, key=keycol)
         local = local + F.coalesce(F.col(_CARRY), F.lit(0))
     out = local
     if initial is not None:
         out = out + F.lit(initial)
-    return part.withColumn(name, out).drop(_PID, _CARRY)
+    return part.withColumn(name, out).drop(keycol, _CARRY)
 
 
 def zip_dfs(
@@ -381,14 +496,26 @@ def disjoint_window(
     size: int,
     aggs: dict[str, Column],
     window_col: str = "window_id",
+    ordered: bool = False,
 ) -> DataFrame:
     """Tumbling window over disjoint blocks of k items
-    (thrill/api/window.hpp:389 DisjointWindowNode): groupBy _idx div k."""
+    (thrill/api/window.hpp:389 DisjointWindowNode): groupBy _idx div k.
+
+    ordered=True guarantees order-sensitive aggregates (collect_list
+    and friends) see each block's rows in _idx order — Thrill's window
+    fn contract: rows are clustered by window id (one explicit
+    repartition the aggregate then reuses, no extra exchange) and
+    sorted (window_id, _idx) within partitions. The default keeps
+    map-side partial aggregation (cheaper shuffle) for the common
+    order-insensitive aggs (sum/min/max/count)."""
     idf = with_index(df, order_by)
-    return (
-        idf.withColumn(window_col, F.floor(F.col(IDX) / F.lit(size)))
-        .groupBy(window_col)
-        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+    idf = idf.withColumn(window_col, F.floor(F.col(IDX) / F.lit(size)))
+    if ordered:
+        idf = idf.repartition(F.col(window_col)).sortWithinPartitions(
+            window_col, IDX
+        )
+    return idf.groupBy(window_col).agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
     )
 
 

@@ -1,0 +1,84 @@
+"""Shuffle-budget regression lint for the headline queries.
+
+test_plan_lint.py asserts scale anti-patterns never appear anywhere;
+this file pins the NUMBER of wide shuffles in each headline query's
+consumer plan, so a change that silently adds an exchange (the round-3
+find: Window.partitionBy(spark_partition_id()) re-shuffling data that
+repartitionByRange had already placed) fails the build the day it
+lands, not at the next bench review.
+
+Counting rules: only the consumer plan is counted — everything above
+the first InMemoryRelation. An ordered op's single build-side shuffle
+runs once inside the persisted intermediate; the consumer plan reusing
+the cache must stay exchange-free for the window/count/sort stages
+(that is the explicit-bucket contract). BroadcastExchange is free by
+design (dimension tables, carry maps) and not counted.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from thrill_spark import ordering as _ordering
+from thrill_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+_SHUFFLE = re.compile(r"Exchange (hash|range|SinglePartition|rebalance)")
+
+# Max wide shuffles allowed in the consumer plan (measured values; a
+# regression raises them only with a reviewed justification).
+BUDGETS = {
+    "reduce_by_key_pricing": 1,
+    "inner_join_lineitem_orders": 1,
+    "flatmap_wordcount": 1,
+    "group_by_key_median": 1,
+    "sort_top_orders": 0,
+    "zip_with_index_orders": 0,
+    "prefix_sum_totalprice": 0,
+    "window_sliding_sum": 1,
+    "window_disjoint_blocks": 1,
+    "merge_sorted_halves": 0,
+    "tpch_q1_pricing_summary": 1,
+    "tpch_q18_large_volume_customers": 2,
+    "dedup_exact": 1,
+    "dedup_lsh_candidate_pairs": 1,
+    "dedup_simhash": 1,
+    "similarity_cosine_topk": 0,
+    "events_sessionize": 1,
+    "text_repetition_scores": 0,
+    "corpus_shuffle_index": 1,
+    "corpus_pack_greedy": 1,
+    "dedup_minhash_signatures": 1,
+    "text_lang_id": 0,
+    "asof_join_purchase_click": 1,
+    "ex_prefix_sum_quantity": 0,
+    "prefix_scan_running_min": 0,
+    "zip_cut_customers_parts": 0,
+    "concat_customers_suppliers": 0,
+}
+
+
+def _consumer_plan(plan: str) -> str:
+    out = []
+    for line in plan.splitlines():
+        if "InMemoryRelation" in line:
+            break
+        out.append(line)
+    return "\n".join(out)
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_shuffle_budget(spark, name):
+    df = QUERIES[name](spark, SF)
+    plan = _consumer_plan(df._jdf.queryExecution().executedPlan().toString())
+    n = len(_SHUFFLE.findall(plan))
+    assert n <= BUDGETS[name], (
+        f"{name}: {n} wide shuffles in consumer plan (budget "
+        f"{BUDGETS[name]}) — a shuffle was added; either remove it or "
+        f"raise the budget with justification.\n{plan[:2000]}"
+    )
+    _ordering.release_persisted()
+    spark.catalog.clearCache()

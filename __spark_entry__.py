@@ -61,10 +61,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "fn_datetime_ops",
     "fn_array_ops",
     "fn_ranking_windows",
-    "fn_conditional_null_ops",
-    "fn_regex_ops",
     "fn_bitwise_hash_ops",
     "fn_percentiles_exact",
+    # round-3 multimodal + SGD proofs (real PNG decode kernel; planted
+    # logistic regression) — strongest new evidence, driver-verify first.
+    # fn_conditional_null_ops / fn_regex_ops rotate to the local
+    # differential to make room (green there since round 2).
+    "multimodal_real_png_decode",
+    "logreg_sgd_planted",
     # corpus management + dedup pipeline
     "corpus_split_assign",
     "corpus_stratified_sample",

@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "corpus_pack_greedy",
     # flagship composition: LSH dedup -> verify -> CC -> survivors
     "dedup_pipeline_survivors",
+    # round 3: real PNG decode kernel (mapInPandas hot path) and the
+    # as-of join (distributed carry) — track both round-over-round.
+    "multimodal_real_png_decode",
+    "asof_join_purchase_click",
 ]
 
 

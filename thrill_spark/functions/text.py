@@ -120,3 +120,37 @@ def lang_id(text_col: str | Column) -> Column:
     )
     best = F.array_max(entries)
     return F.when(best["hits"] == 0, F.lit("und")).otherwise(best["lang"])
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (C4/Dolma-style preprocessing). Patterns restricted to
+# syntax with identical semantics in Java regex (Spark) and RE2
+# (DuckDB) so the oracle can replay the redaction exactly.
+# ---------------------------------------------------------------------------
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+# Redaction order matters: emails first (they contain dots/digits that
+# could partially match the ipv4 pattern), then IPs, then phones.
+_PII_ORDER = ("email", "ipv4", "phone")
+
+
+def pii_counts(col: str | Column) -> dict[str, Column]:
+    """Per-category PII occurrence counts (JVM regexp_count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        kind: F.regexp_count(c, F.lit(PII_PATTERNS[kind]))
+        for kind in _PII_ORDER
+    }
+
+
+def redact_pii(col: str | Column, token: str = "[PII]") -> Column:
+    """Replace every PII match with `token` (chained regexp_replace,
+    whole-stage codegen; order per _PII_ORDER)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in _PII_ORDER:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], token)
+    return c

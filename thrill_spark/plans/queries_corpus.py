@@ -143,8 +143,9 @@ def _sql_pipeline_survivors() -> str:
     """
 
 
-@query("dedup_pipeline_survivors", _sql_pipeline_survivors())
-def q_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster, is_survivor) for the minhash->LSH->verify->CC
+    chain; shared by the standalone query and the e2e corpus build."""
     from thrill_spark.functions import dedup as D
     from thrill_spark.plans import algorithms as ALG
     from thrill_spark.plans.queries_llm import _MH_BANDS, _MH_K
@@ -162,6 +163,11 @@ def q_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster.alias("cluster"),
         (cluster == F.col("doc_id")).alias("is_survivor"),
     )
+
+
+@query("dedup_pipeline_survivors", _sql_pipeline_survivors())
+def q_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipeline_survivors(spark, sf_dir)
 
 
 @query(
@@ -196,3 +202,113 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count("text").alias("n_tok")
     )
     return C.pack_greedy(docs, "n_tok", budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (C4/Dolma-style). The fixture text contains no PII, so
+# the query plants deterministic email/IP/phone strings per doc, then
+# counts and redacts them — the oracle replays the same regexes in
+# DuckDB (patterns restricted to Java-regex/RE2-identical syntax).
+# ---------------------------------------------------------------------------
+_SQL_PII = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4": "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone": "\\b\\d{3}-\\d{3}-\\d{4}\\b",
+}
+
+
+@query(
+    "text_pii_redact",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t2, '{_SQL_PII["email"]}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t2, '{_SQL_PII["ipv4"]}')) AS INT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t2, '{_SQL_PII["phone"]}')) AS INT) AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(t2,
+                  '{_SQL_PII["email"]}', '[PII]', 'g'),
+                  '{_SQL_PII["ipv4"]}', '[PII]', 'g'),
+                  '{_SQL_PII["phone"]}', '[PII]', 'g')) AS BIGINT) AS redacted_len,
+           len(regexp_extract_all(regexp_replace(regexp_replace(regexp_replace(t2,
+                  '{_SQL_PII["email"]}', '[PII]', 'g'),
+                  '{_SQL_PII["ipv4"]}', '[PII]', 'g'),
+                  '{_SQL_PII["phone"]}', '[PII]', 'g'),
+                '{_SQL_PII["email"]}')) = 0 AS clean
+    FROM (SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                      || ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   AS t2
+          FROM documents)
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    t2 = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" call 555-123-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    planted = docs.select("doc_id", t2.alias("t2"))
+    counts = TX.pii_counts("t2")
+    red = TX.redact_pii("t2")
+    return planted.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phones"),
+        F.length(red).cast("long").alias("redacted_len"),
+        (F.regexp_count(red, F.lit(TX.PII_PATTERNS["email"])) == 0).alias("clean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus build: language filter (keep docs with any marker
+# hit) -> quality filter (>= 5 tokens) -> near-dedup survivors (the
+# full minhash->LSH->verify->CC chain) -> train/val/test split ->
+# (doc_id, split, n_tokens). The composition a training-data pipeline
+# runs nightly; every stage is an already-oracle-checked operator, and
+# the oracle replays the whole chain in one SQL statement.
+# ---------------------------------------------------------------------------
+def _sql_corpus_build() -> str:
+    from thrill_spark.plans.queries_llm import _sql_lang_hits
+
+    surv = _sql_pipeline_survivors()
+    return f"""
+    WITH surv AS ({surv}),
+    feats AS (
+      SELECT doc_id, len({SQL_TOKS}) AS n_tokens,
+             greatest({_sql_lang_hits('en').replace('toks', SQL_TOKS)},
+                      {_sql_lang_hits('de').replace('toks', SQL_TOKS)},
+                      {_sql_lang_hits('fr').replace('toks', SQL_TOKS)},
+                      {_sql_lang_hits('es').replace('toks', SQL_TOKS)}) AS m
+      FROM documents)
+    SELECT f.doc_id,
+           CASE WHEN {_sql_md5_long("'split' || CAST(f.doc_id AS VARCHAR)")} % {C.SPLIT_RESOLUTION} < 8000 THEN 'train'
+                WHEN {_sql_md5_long("'split' || CAST(f.doc_id AS VARCHAR)")} % {C.SPLIT_RESOLUTION} < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(f.n_tokens AS BIGINT) AS n_tokens
+    FROM feats f JOIN surv s ON s.doc_id = f.doc_id
+    WHERE s.is_survivor AND f.m > 0 AND f.n_tokens >= 5
+    """
+
+
+@query("corpus_build_e2e", _sql_corpus_build())
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.lang_id("text").alias("_lang"),
+    )
+    kept = feats.filter((F.col("_lang") != "und") & (F.col("n_tokens") >= 5))
+    surv = _pipeline_survivors(spark, sf_dir).filter(F.col("is_survivor"))
+    out = kept.join(surv.select("doc_id"), "doc_id")
+    out = C.assign_splits(out, _SPLIT_WEIGHTS)
+    return out.select("doc_id", "split", F.col("n_tokens").cast("long").alias("n_tokens"))

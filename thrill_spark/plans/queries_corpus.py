@@ -312,3 +312,66 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = kept.join(surv.select("doc_id"), "doc_id")
     out = C.assign_splits(out, _SPLIT_WEIGHTS)
     return out.select("doc_id", "split", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag training documents sharing word
+# 3-grams with a held-out benchmark set (here: the 20 lowest doc_ids
+# stand in for the benchmark). The benchmark n-gram set is tiny ->
+# broadcast; the scan side stays linear. This is the standard
+# eval-contamination sweep a training pipeline runs before a data
+# release.
+# ---------------------------------------------------------------------------
+_DECON_BENCH_N = 20
+
+
+def _sql_decontaminate() -> str:
+    from thrill_spark.plans.queries_llm import SQL_SHINGLES3
+
+    return f"""
+    WITH sh AS (SELECT doc_id, {SQL_SHINGLES3} AS shingles FROM (
+                  SELECT doc_id, {SQL_TOKS} AS toks FROM documents)),
+    bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+              WHERE doc_id < {_DECON_BENCH_N}),
+    hits AS (SELECT e.doc_id, COUNT(*) AS n_contaminated
+             FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+                   WHERE doc_id >= {_DECON_BENCH_N}) e
+             JOIN bench b ON b.s = e.s
+             GROUP BY e.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           coalesce(h.n_contaminated, 0) > 0 AS flagged
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= {_DECON_BENCH_N}) d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """
+
+
+@query("corpus_decontaminate", _sql_decontaminate())
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.functions.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.array_distinct(word_ngrams("text", 3)).alias("_sh")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") < _DECON_BENCH_N)
+        .select(F.explode("_sh").alias("s"))
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") >= _DECON_BENCH_N)
+    hits = (
+        train.select("doc_id", F.explode("_sh").alias("s"))
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_n"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce(F.col("_n"), F.lit(0)) > 0).alias("flagged"),
+        )
+    )

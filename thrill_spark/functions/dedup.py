@@ -222,9 +222,29 @@ def lsh_verified_pairs(
     count) + per-pair work bounded by the two docs' shingle sets; this
     is the verify step jaccard_pairs provides as a standalone baseline,
     restricted to where LSH says it matters."""
+    from thrill_spark.ordering import _persist
+
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words)
-    cands = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
-    sh = _spread(df, id_col).select(
+    # Persist the candidate list: it feeds the id restriction below plus
+    # both sides of the verify join — unpersisted, the whole
+    # minhash->band->bucket-join chain would re-execute three times.
+    cands = _persist(lsh_candidate_pairs(sig, id_col, num_hashes, bands))
+    # Materialize the cache eagerly: the verify plan references cands
+    # from three concurrently-scheduled stages, which would otherwise
+    # race on the cold cache and each recompute the LSH chain.
+    cands.count()
+    # Verify-side shingle arrays are needed ONLY for docs appearing in
+    # some candidate pair — a small fraction of the corpus. Semi-join
+    # the ids first so the n-gram materialization is linear in the
+    # candidate set, not the corpus (at 100 TB the full-corpus shingle
+    # arrays dwarf every other intermediate in this pipeline).
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs_c = df.join(cand_ids, on=id_col, how="leftsemi")
+    sh = _spread(docs_c, id_col).select(
         F.col(id_col), word_ngrams(text_col, shingle_words).alias("_sh")
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))

@@ -478,3 +478,44 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
     np_ = p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
     return nv.join(F.broadcast(nc)).join(F.broadcast(np_))
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming with a HARD oracle: the query runs an actual
+# streaming job (file source -> watermark -> tumbling window -> memory
+# sink, processAllAvailable) and returns the sink table, which the
+# DuckDB oracle checks like any batch result. This is the
+# stream-equals-batch guarantee as a driver-verified signal, not just
+# a unit test.
+# ---------------------------------------------------------------------------
+@query(
+    "events_stream_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from thrill_spark.streaming.windows import stream_tumbling
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    src = os.path.join(tempfile.gettempdir(), "thrill_spark_stream_src")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = stream_tumbling(stream, "ts", "1 hour", "10 minutes", keys=("event_type",))
+    name = "stream_tumbling_sink"
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("window_start", "event_type", "n")

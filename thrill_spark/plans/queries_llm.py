@@ -519,3 +519,44 @@ def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).select("window_start", "event_type", "n")
+
+
+# Custom stateful streaming operator (applyInPandasWithState) with a
+# hard oracle: per-user running event counts maintained in the state
+# store across micro-batches; the sink's final row per user must equal
+# the batch groupBy. Counts only — the running float total's addition
+# order is engine-internal, so the exact-hash oracle checks the
+# deterministic column. max() over the sink keeps the check correct
+# even if the file source splits input into several micro-batches
+# (running counts are monotone).
+@query(
+    "events_stream_stateful_counts",
+    "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+)
+def q_events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from thrill_spark.streaming.stateful import stream_running_totals
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    src = os.path.join(tempfile.gettempdir(), "thrill_spark_stateful_src")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = stream_running_totals(stream, key="user_id")
+    name = "stream_stateful_sink"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )

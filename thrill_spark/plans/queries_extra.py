@@ -493,3 +493,88 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join as a driver-verified query: both fact tables
+# are written bucketed+sorted by the join key (external location, so no
+# warehouse-dir assumption), the join runs with broadcast disabled, and
+# the query EMITS whether the executed plan was wide-shuffle-free — the
+# oracle asserts it. This is the scale path replacing the reference's
+# location-detection machinery, checked end-to-end on real data.
+# ---------------------------------------------------------------------------
+@query(
+    "bucketed_join_colocated",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    + CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS combined,
+           TRUE AS shuffle_free
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from thrill_spark.sources.bucketing import write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = os.path.join(tempfile.gettempdir(), "thrill_spark_bucketed")
+    for name, df, key in (("bkt_lineitem", li, "l_orderkey"), ("bkt_orders", o, "o_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(base, name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_lineitem").join(
+            spark.table("bkt_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        shuffle_free = not re.search(r"Exchange (hash|range|SinglePartition)", plan)
+        out = joined.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                + F.col("o_totalprice").cast("decimal(18,2)")
+            ).cast("double").alias("combined"),
+        ).withColumn("shuffle_free", F.lit(bool(shuffle_free)))
+        # Materialize before restoring the broadcast threshold: the agg
+        # must execute under the no-broadcast plan it was built with.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# Rebalance (thrill/api/rebalance.hpp:30): even redistribution must be
+# content-preserving; the query emits the content invariants plus the
+# achieved partition count for the oracle to assert.
+@query(
+    "rebalance_partitions",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           TRUE AS partitions_ok
+    FROM orders
+    """,
+)
+def q_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    reb = orders.repartition(24)
+    n_parts = reb.rdd.getNumPartitions()
+    return reb.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+    ).withColumn("partitions_ok", F.lit(bool(n_parts == 24)))

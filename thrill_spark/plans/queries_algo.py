@@ -323,3 +323,60 @@ def q_io_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
     )
+
+
+# Compressed-lines round-trip: WriteLines with a gzip codec, ReadLines
+# auto-detects via the Hadoop codec factory (the reference's vfs
+# gzip_filter, thrill/vfs/gzip_filter.hpp) — the VFS codec claim as an
+# oracle-checked query instead of a unit test.
+@query(
+    "io_gz_lines_roundtrip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+)
+def q_io_gz_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(F.col("text").alias("line"))
+    out = os.path.join(tempfile.gettempdir(), "thrill_spark_gz_lines")
+    (
+        docs.select(F.col("line").cast("string").alias("value"))
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(out)
+    )
+    back = IO.read_lines(spark, out)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("line")).alias("total_chars"),
+    )
+
+
+# Approximate quantiles with a band oracle (the HLL pattern): the
+# t-digest/GK estimate must land within the rank-error band of the
+# exact interpolated percentile computed in the same plan.
+@query(
+    "fn_approx_quantiles",
+    """
+    SELECT quantile_cont(o_totalprice, 0.5) AS exact_p50, TRUE AS approx_ok
+    FROM orders
+    """,
+)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    err = 0.01
+    agg = o.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        F.percentile_approx("o_totalprice", 0.5, int(1 / err)).alias("_ap50"),
+        F.expr("percentile(o_totalprice, array(0.49, 0.51))").alias("_band"),
+    )
+    # rank-error guarantee: the approx p50 must sit between the exact
+    # p49 and p51 (rank band +-err around the target quantile)
+    return agg.select(
+        "exact_p50",
+        (
+            (F.col("_ap50") >= F.element_at("_band", 1))
+            & (F.col("_ap50") <= F.element_at("_band", 2))
+        ).alias("approx_ok"),
+    )

@@ -90,6 +90,20 @@ _DRIVER_WINDOW_PRIORITY = [
 ]
 assert len(_DRIVER_WINDOW_PRIORITY) == 50
 
+# Round-4 rotation plan: after CORRECTNESS_r03 lands, swap these
+# never-driver-verified queries (33 as of round-3 close; all green in
+# the identical local differential) into the window, displacing
+# already-hard-verified entries:
+#   io_* round-trips (7 incl. orc/gz/partitioned), fn_* additions
+#   (approx_quantiles/collect_aggs/math/struct_map/conditional/regex),
+#   events_stream_tumbling + events_stream_stateful_counts,
+#   corpus_build_e2e, corpus_decontaminate, text_pii_redact,
+#   bucketed_join_colocated, rebalance_partitions, group_fold_order_gaps,
+#   doc_fingerprint_winnow, sort_stable_priority, prefix_scan_running_min,
+#   sample_exact_k (+_hypergeometric), similarity_ann_ivf,
+#   multimodal_features/audio_chunks/frame_sample, pagerank,
+#   kmeans_clusters, suffix_array_doc0.
+
 
 def _ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {n: QUERIES[n] for n in _DRIVER_WINDOW_PRIORITY}

@@ -380,3 +380,29 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("_ap50") <= F.element_at("_band", 2))
         ).alias("approx_ok"),
     )
+
+
+# WriteLinesOne (single-file sink) + glob-pattern ReadLines: the output
+# must be exactly one part file (emitted as an oracle-checked boolean)
+# and reading it back through a glob must reproduce the content.
+@query(
+    "io_lines_one_glob_roundtrip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           TRUE AS single_file
+    FROM documents
+    """,
+)
+def q_io_lines_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    docs = load_table(spark, sf_dir, "documents").select(F.col("text").alias("line"))
+    out = os.path.join(tempfile.gettempdir(), "thrill_spark_lines_one")
+    IO.write_lines_one(docs, out)
+    n_parts = len(_glob.glob(os.path.join(out, "part-*")))
+    back = IO.read_lines(spark, os.path.join(out, "part-*"))
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("line")).alias("total_chars"),
+    ).withColumn("single_file", F.lit(bool(n_parts == 1)))

@@ -578,3 +578,28 @@ def q_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("o_orderkey").alias("key_sum"),
     ).withColumn("partitions_ok", F.lit(bool(n_parts == 24)))
+
+
+# Resize plumbing with an oracle: blobs pass through mapInPandas and
+# the rewritten metadata (target dims, format parsed from the payload)
+# is deterministic — emitted as scalar columns for the hash check.
+@query(
+    "multimodal_resize_meta",
+    """
+    SELECT doc_id AS id, 'png' AS format,
+           CAST(64 AS INT) AS width, CAST(48 AS INT) AS height,
+           CAST(1 AS INT) AS n_frames
+    FROM documents
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    media = MM.attach_fake_media(docs, "id", fmt="png")
+    resized = MM.resize_images(media, width=64, height=48, id_col="id")
+    return resized.select(
+        "id",
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.n_frames").alias("n_frames"),
+    )

@@ -135,6 +135,42 @@ def shuffle_index(
     return O.with_index(df, [h, F.col(id_col)], name=name)
 
 
+def quota_interleave(
+    df: DataFrame,
+    source_col: str = "source",
+    quota: int = 12,
+    id_col: str = "doc_id",
+    salt: str = "quota",
+    name: str = "position",
+) -> DataFrame:
+    """Training-mix assembly: cap each source at `quota` documents
+    (chosen by deterministic hash order within the source) and emit a
+    global round-robin reading order that interleaves sources — rank-1
+    docs of every source first, then rank-2, ... — so no contiguous
+    stretch of the epoch is dominated by one source.
+
+    Shape: one window over the source partitioning (shuffle by source;
+    heavy sources are bounded by the quota cut before anything global
+    happens), then the global position comes from ordering.with_index's
+    range-partitioned two-phase rank — no single-partition funnel.
+    Returns (id, source, rank_in_source, `name`)."""
+    from pyspark.sql import Window
+
+    from thrill_spark import ordering as O
+
+    h = md5_long(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    kept = (
+        df.withColumn("rank_in_source", F.row_number().over(w))
+        .filter(F.col("rank_in_source") <= quota)
+    )
+    return O.with_index(
+        kept,
+        [F.col("rank_in_source"), F.col(source_col), F.col(id_col)],
+        name=name,
+    )
+
+
 def pack_greedy(
     df: DataFrame,
     token_col: str,

@@ -304,6 +304,127 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "n_common", "jaccard")
 
 
+def bloom_dup_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 1 << 20,
+    num_hash: int = 3,
+) -> DataFrame:
+    """Bloom-filter duplicate detection — the Spark-first realization of
+    the reference's shuffle-avoidance pass
+    (core/duplicate_detection.hpp:38: workers exchange golomb-coded
+    bloom bit positions instead of keys, then only possibly-duplicate
+    keys are shuffled).
+
+    Here the "compressed bit exchange" is a shuffle of int bit
+    positions with map-side partial aggregation: every row sets
+    num_hash md5-derived positions in a bits-wide space; a position
+    seen >= 2 times is hot; a fingerprint ALL of whose positions are
+    hot is a duplicate candidate. Any fingerprint occurring >= 2 times
+    sets each of its positions >= 2 times, so the candidate set is a
+    SUPERSET of the true duplicates (bloom false positives only — never
+    false negatives); the exact confirm is restricted to candidates.
+
+    Scale: the hot-bit aggregation shuffles at most `bits` rows per
+    map task after partial agg (ints, not fingerprint strings); the
+    candidate join key is a bounded-cardinality int; and in the
+    mostly-unique corpus this is built for, the exact-dedup shuffle
+    afterwards moves only the candidate fraction instead of every
+    (fingerprint, id) pair. Size `bits` ~ 10x corpus rows for a low
+    false-positive rate. Returns (id_col, fp) candidate rows."""
+    fpd = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    positions = F.array(
+        *[
+            md5_long(F.concat(F.lit(f"b{j}:"), F.col("fp"))) % F.lit(bits)
+            for j in range(num_hash)
+        ]
+    )
+    tagged = fpd.withColumn("_pos", positions)
+    ex = tagged.select(F.explode("_pos").alias("bitpos"))
+    hot = (
+        ex.groupBy("bitpos")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("bitpos")
+    )
+    per_pos = tagged.select(id_col, "fp", F.explode("_pos").alias("bitpos"))
+    return (
+        per_pos.join(hot, "bitpos")
+        .groupBy(id_col, "fp")
+        .agg(F.count("*").alias("_hot"))
+        .filter(F.col("_hot") == num_hash)
+        .select(id_col, "fp")
+    )
+
+
+def bloom_prefilter_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 1 << 20,
+    num_hash: int = 3,
+) -> DataFrame:
+    """Exact duplicate groups (fp, min id, n_copies >= 2), computed with
+    the bloom prefilter: only candidate rows reach the exact
+    fingerprint aggregation. Result is identical to running exact_dedup
+    and keeping n_copies >= 2 — the bloom pass changes the shuffle
+    volume, never the answer."""
+    cands = bloom_dup_candidates(df, text_col, id_col, bits, num_hash)
+    return (
+        cands.groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric containment C(A in B) = |A∩B| / |A| over distinct
+    word shingles — the near-dup measure for short-doc-inside-long-doc
+    (quote extraction, partial scrapes) that symmetric Jaccard misses:
+    a tweet embedded verbatim in an article has Jaccard ≈ 0 but
+    containment ≈ 1.
+
+    Same shingle self-join shape as jaccard_pairs (the quadratic
+    baseline / verify step; candidate-restrict through LSH for the
+    100 TB path). Emits pairs where either direction's containment
+    >= threshold, with both directions reported."""
+    df = _spread(df, id_col)
+    shingled = df.select(F.col(id_col), word_ngrams(text_col, shingle_words).alias("shingles"))
+    sizes = shingled.select(id_col, F.size("shingles").alias("n_sh"))
+    ex = shingled.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("sh"))
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("sh"))
+    common = (
+        a.join(b, on="sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    ca = F.col("n_common").cast("double") / F.col("n_a").cast("double")
+    cb = F.col("n_common").cast("double") / F.col("n_b").cast("double")
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+        )
+        .filter(F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold)
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """SimHash signature: per-token 60-bit md5 hash votes +1/-1 on each
     of `bits` signature bits; the signature bit is 1 iff the vote sum is

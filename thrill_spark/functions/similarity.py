@@ -427,3 +427,91 @@ def ann_lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Exact k-nearest-neighbor JOIN by cosine: for every left row, the
+    k right rows with highest cosine (self-pairs excluded when ids
+    collide; ties broken by neighbor id asc). The batch primitive
+    behind retrieval-augmented dataset curation — "for each of these
+    queries/docs, find the closest corpus items" — as a relational op.
+
+    Strategy (the 100 TB-safe exact path, same grid discipline as
+    cosine_near_dup_pairs 'block'): both sides are hash-bucketed into
+    ceil(n/block_rows) blocks; every (left-block, right-block) cell is
+    one cogroup task that matmuls (<=block_rows, d) matrices. Each task
+    emits, per left row, the block-local top-k candidates — selected
+    with an epsilon band below the k-th matmul score, then re-scored
+    with the sequential-left-fold addition order (bit-identical to
+    DuckDB list_reduce), so global exactness survives FP drift in the
+    BLAS matmul. The global merge ranks <= k*n_right_blocks candidates
+    per left row under a window — never the full n_left x n_right grid.
+    """
+    import numpy as np
+
+    eps = 1e-9
+    spark = left.sparkSession
+    nl, nr = left.count(), right.count()
+    bl = max(1, -(-nl // block_rows))
+    br = max(1, -(-nr // block_rows))
+    ltag = left.select(
+        F.col(left_id).alias("query_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_bl", F.pmod(F.xxhash64(F.col("query_id")), F.lit(bl)).cast("int"))
+    rtag = right.select(
+        F.col(right_id).alias("neighbor_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_br", F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(br)).cast("int"))
+    grid = [(i, j) for i in range(bl) for j in range(br)]
+    grid_a = spark.createDataFrame(grid, "ga int, gb int")
+    grid_b = spark.createDataFrame(grid, "ga int, gb int")
+    l_rep = ltag.join(F.broadcast(grid_a), ltag["_bl"] == grid_a["ga"]).select(
+        "ga", "gb", "query_id", "_v"
+    )
+    r_rep = rtag.join(F.broadcast(grid_b), rtag["_br"] == grid_b["gb"]).select(
+        "ga", "gb", "neighbor_id", "_v"
+    )
+
+    def block_topk(key, lpdf, rpdf):
+        import pandas as pd
+
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cos_sim": []})
+        if not len(lpdf) or not len(rpdf):
+            return empty
+        L = np.stack(lpdf["_v"].apply(lambda v: np.asarray(v, dtype=np.float64)))
+        R = np.stack(rpdf["_v"].apply(lambda v: np.asarray(v, dtype=np.float64)))
+        Ln = L / np.linalg.norm(L, axis=1)[:, None]
+        Rn = R / np.linalg.norm(R, axis=1)[:, None]
+        sims = Ln @ Rn.T
+        li = lpdf["query_id"].to_numpy()
+        ri = rpdf["neighbor_id"].to_numpy()
+        sims[li[:, None] == ri[None, :]] = -np.inf  # exclude self-pairs
+        kk = min(k, sims.shape[1])
+        kth = np.partition(sims, -kk, axis=1)[:, -kk]
+        r, c = np.nonzero(sims >= (kth[:, None] - 2 * eps))
+        if not len(r):
+            return empty
+        # Exact sequential-fold rescore for the candidates only.
+        dots = _seq_fold_sum(L[r] * R[c])
+        nlv = np.sqrt(_seq_fold_sum(L * L))
+        nrv = np.sqrt(_seq_fold_sum(R * R))
+        cos = dots / (nlv[r] * nrv[c])
+        return pd.DataFrame({"query_id": li[r], "neighbor_id": ri[c], "cos_sim": cos})
+
+    from pyspark.sql import Window
+
+    cand = (
+        l_rep.groupBy("ga", "gb")
+        .cogroup(r_rep.groupBy("ga", "gb"))
+        .applyInPandas(block_topk, "query_id long, neighbor_id long, cos_sim double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -138,6 +138,88 @@ PII_PATTERNS: dict[str, str] = {
 _PII_ORDER = ("email", "ipv4", "phone")
 
 
+def unigram_rarity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained unigram rarity score per document.
+
+    Trains the "model" (global token counts) and scores in one
+    distributed pass each: explode tokens -> groupBy token counts ->
+    join back -> per-doc aggregate. The per-token weight is
+    total_tokens div count(token) (integer division), so a token seen
+    everywhere weighs ~1 and a hapax weighs ~total — an exact-integer
+    stand-in for -log p(token) that both engines reproduce bit-for-bit
+    (float ln is not identically rounded across libm implementations,
+    so it can't be value-hashed).
+
+    Scale: the token->count join key is the vocabulary, orders of
+    magnitude smaller than the corpus — AQE broadcasts it when small;
+    the global total folds over the vocab table (not the token stream),
+    so the exploded tokens are scanned once for counting and once for
+    scoring. Returns (id_col, n_tokens, rarity).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+    counts = toks.groupBy("_t").agg(F.count("*").alias("_c"))
+    total = counts.agg(F.sum("_c").cast("long").alias("_total"))
+    scored = toks.join(counts, "_t").crossJoin(F.broadcast(total))
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.expr("_total div _c")).cast("long").alias("rarity"),
+    )
+
+
+def segment_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide boilerplate removal at segment granularity (the
+    line/paragraph dedup pass of C4/RefinedWeb-style pipelines, mapped
+    to disjoint `seg_words`-token blocks since the fixture corpus has
+    no newlines).
+
+    A segment whose md5 fingerprint appears in >= min_docs distinct
+    documents is boilerplate. Returns per doc: n_segs, n_bp (flagged
+    segment count) and clean_fp = md5 of the document with boilerplate
+    segments removed (segments rejoined in order).
+
+    Shape: one explode (linear), one hash agg over segment
+    fingerprints, one join back on fingerprint (skew-safe: a massively
+    repeated segment is still one row on the count side), one per-doc
+    agg. No Python, no quadratic stage — this is the scalable
+    alternative to pairwise near-dup for exact repeated passages.
+    """
+    toks = tokens(text_col)
+    n_seg = F.greatest(F.ceil(F.size(toks) / F.lit(seg_words)).cast("int"), F.lit(1))
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.struct(
+            i.alias("i"),
+            F.concat_ws(" ", F.slice(toks, i * seg_words + 1, seg_words)).alias("seg"),
+        ),
+    )
+    ex = (
+        df.select(F.col(id_col), F.explode(segs).alias("_s"))
+        .select(id_col, F.col("_s.i").alias("i"), F.col("_s.seg").alias("seg"))
+        .withColumn("fp", F.md5("seg"))
+    )
+    counts = ex.groupBy("fp").agg(F.countDistinct(id_col).alias("_nd"))
+    flagged = ex.join(counts, "fp").withColumn("is_bp", F.col("_nd") >= min_docs)
+    kept_seg = F.when(~F.col("is_bp"), F.struct(F.col("i"), F.col("seg")))
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_segs"),
+        F.sum(F.when(F.col("is_bp"), 1).otherwise(0)).cast("long").alias("n_bp"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(F.array_sort(F.collect_list(kept_seg)), lambda s: s["seg"]),
+            )
+        ).alias("clean_fp"),
+    )
+
+
 def pii_counts(col: str | Column) -> dict[str, Column]:
     """Per-category PII occurrence counts (JVM regexp_count)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -1,0 +1,245 @@
+"""Round-4 pipeline queries: corpus-trained scoring, segment-level
+boilerplate dedup, containment near-dup, training-mix interleave, and
+the URL/JSON function-family audit.
+
+No reference analogue (Thrill's surface ends at classic analytics);
+these are LLM-training-data operators, each DuckDB-oracle-checked with
+exact-integer or md5-derived arithmetic so value hashes match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from thrill_spark.catalog import load_table
+from thrill_spark.functions import corpus as C
+from thrill_spark.functions import dedup as D
+from thrill_spark.functions import text as TX
+from thrill_spark.plans.queries import query
+from thrill_spark.plans.queries_llm import SQL_TOKS
+
+
+def _sql_md5_long(x: str) -> str:
+    return f"CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Unigram rarity: train global token counts, score each doc with exact
+# integer arithmetic (total div count summed over tokens).
+# ---------------------------------------------------------------------------
+@query(
+    "text_unigram_rarity",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({SQL_TOKS}) AS _t FROM documents),
+    cnt AS (SELECT _t, COUNT(*) AS _c FROM toks GROUP BY _t),
+    tot AS (SELECT CAST(SUM(_c) AS BIGINT) AS _total FROM cnt)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(_total // _c) AS BIGINT) AS rarity
+    FROM toks JOIN cnt USING (_t) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.unigram_rarity(docs)
+
+
+# ---------------------------------------------------------------------------
+# Segment-level boilerplate removal (C4/RefinedWeb line-dedup analogue
+# over disjoint 16-token blocks).
+# ---------------------------------------------------------------------------
+_SEG_WORDS = 16
+
+
+@query(
+    "dedup_paragraph_boilerplate",
+    f"""
+    WITH base AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    seg AS (
+      SELECT doc_id, i,
+             array_to_string(toks[i*{_SEG_WORDS}+1 : i*{_SEG_WORDS}+{_SEG_WORDS}], ' ') AS seg
+      FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(0,
+                 greatest(CAST(ceil(len(toks) / {_SEG_WORDS}.0) AS INT), 1) - 1)) AS i
+        FROM base)),
+    fps AS (SELECT doc_id, i, seg, md5(seg) AS fp FROM seg),
+    cnt AS (SELECT fp, COUNT(DISTINCT doc_id) AS _nd FROM fps GROUP BY fp)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN _nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bp,
+           md5(coalesce(string_agg(CASE WHEN _nd < 2 THEN seg END, ' ' ORDER BY i), ''))
+             AS clean_fp
+    FROM fps JOIN cnt USING (fp)
+    GROUP BY doc_id
+    """,
+)
+def q_paragraph_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.segment_boilerplate(docs, seg_words=_SEG_WORDS, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup pairs (asymmetric Jaccard).
+# ---------------------------------------------------------------------------
+@query(
+    "text_minhash_containment",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, shingles, len(shingles) AS n_sh FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(0, greatest(len(toks)-2, 1)-1),
+                 i -> array_to_string(toks[i+1:i+3], ' '))) AS shingles
+        FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM documents))),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) / sa.n_sh AS containment_a,
+           CAST(n_common AS DOUBLE) / sb.n_sh AS containment_b
+    FROM common
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    WHERE greatest(CAST(n_common AS DOUBLE) / sa.n_sh,
+                   CAST(n_common AS DOUBLE) / sb.n_sh) >= 0.5
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Training-mix interleave: per-source quota + global round-robin order.
+# ---------------------------------------------------------------------------
+_QUOTA = 12
+
+
+@query(
+    "corpus_quota_interleave",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_sql_md5_long("'quota:' || CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS INT) AS rank_in_source
+      FROM documents),
+    kept AS (SELECT * FROM ranked WHERE rank_in_source <= {_QUOTA})
+    SELECT doc_id, source, rank_in_source,
+           CAST(row_number() OVER (ORDER BY rank_in_source, source, doc_id) - 1
+                AS BIGINT) AS position
+    FROM kept
+    """,
+)
+def q_quota_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = C.quota_interleave(docs, quota=_QUOTA)
+    return out.select("doc_id", "source", "rank_in_source", "position")
+
+
+# ---------------------------------------------------------------------------
+# URL + JSON function-family audit: Spark-native parse_url /
+# get_json_object vs an INDEPENDENT oracle computation (regexp / DuckDB
+# JSON operators) over deterministically constructed URLs.
+# ---------------------------------------------------------------------------
+@query(
+    "fn_url_json_ops",
+    """
+    SELECT event_id,
+           's' || CAST(user_id % 5 AS VARCHAR) || '.example.com' AS host,
+           '/p/' || CAST(event_id AS VARCHAR) AS path,
+           CAST(user_id AS BIGINT) AS u_param,
+           event_type AS t_param,
+           CAST(props->>'k' AS BIGINT) AS prop_k
+    FROM events
+    """,
+)
+def q_url_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://s"),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("event_id").cast("string"),
+        F.lit("?u="),
+        F.col("user_id").cast("string"),
+        F.lit("&t="),
+        F.col("event_type"),
+    )
+    ev = ev.withColumn("_url", url)
+    return ev.select(
+        "event_id",
+        F.expr("parse_url(_url, 'HOST')").alias("host"),
+        F.expr("parse_url(_url, 'PATH')").alias("path"),
+        F.expr("parse_url(_url, 'QUERY', 'u')").cast("long").alias("u_param"),
+        F.expr("parse_url(_url, 'QUERY', 't')").alias("t_param"),
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter duplicate detection (reference core/duplicate_detection
+# .hpp:38 — the shuffle-avoidance pass, realized as a hot-bit-position
+# aggregation + candidate-restricted exact confirm). The oracle is the
+# plain exact duplicate grouping: the bloom pass must never change the
+# answer.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_bloom_prefilter",
+    f"""
+    SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM (SELECT doc_id, md5(array_to_string({SQL_TOKS}, ' ')) AS fp FROM documents)
+    GROUP BY fp HAVING COUNT(*) >= 2
+    """,
+)
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.bloom_prefilter_dedup(docs).select("fp", "doc_id", "n_copies")
+
+
+# ---------------------------------------------------------------------------
+# Exact k-NN join: distributed block matmul with per-block top-k +
+# sequential-fold rescore; oracle is DuckDB's brute-force fold over the
+# same probe set.
+# ---------------------------------------------------------------------------
+_KNN_K = 5
+
+_SQL_FOLD_COS = """
+         list_reduce(list_transform(list_zip(e.embedding, p.qv),
+                     pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)), (a,b) -> a+b)
+         / ( sqrt(list_reduce(list_transform(p.qv,
+                     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (a,b) -> a+b))
+           * sqrt(list_reduce(list_transform(e.embedding,
+                     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (a,b) -> a+b)) )
+"""
+
+
+@query(
+    "similarity_knn_join",
+    f"""
+    WITH probes AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 10 = 0),
+    scored AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             {_SQL_FOLD_COS} AS cos_sim
+      FROM embeddings e, probes p WHERE e.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+      FROM scored)
+    WHERE rank <= {_KNN_K}
+    """,
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.functions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 10 == 0)
+    return S.knn_join(probes, emb, k=_KNN_K)

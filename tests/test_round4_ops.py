@@ -1,0 +1,174 @@
+"""Round-4 operator tests with planted ground truth: bloom duplicate
+detection, containment pairs, segment boilerplate, unigram rarity,
+quota interleave, BPE tokenizer, and the exact k-NN join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from thrill_spark.functions import bpe as BP
+from thrill_spark.functions import corpus as C
+from thrill_spark.functions import dedup as D
+from thrill_spark.functions import similarity as S
+from thrill_spark.functions import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("today", "tonight")
+    other = "completely different content about spark engines and distributed query processing"
+    rows = [(0, base), (1, near), (2, other), (3, base), (4, other)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# --- bloom duplicate detection --------------------------------------------
+
+
+def test_bloom_prefilter_equals_exact_dedup(docs):
+    got = {
+        (r["fp"], r["doc_id"], r["n_copies"])
+        for r in D.bloom_prefilter_dedup(docs).collect()
+    }
+    want = {
+        (r["fp"], r["doc_id"], r["n_copies"])
+        for r in D.exact_dedup(docs).filter(F.col("n_copies") >= 2).collect()
+    }
+    assert got == want and len(want) == 2  # (0,3) and (2,4) groups
+
+
+def test_bloom_candidates_superset_and_prune(spark):
+    # 100 unique docs + 2 planted dup groups: candidates must contain
+    # every true dup and, at this bits/corpus ratio, prune most uniques.
+    rows = [(i, f"unique document number {i} with filler words {i * 7}") for i in range(100)]
+    rows += [(100, "dup group alpha"), (101, "dup group alpha")]
+    rows += [(102, "dup group beta"), (103, "dup group beta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cand_ids = {r["doc_id"] for r in D.bloom_dup_candidates(df).collect()}
+    assert {100, 101, 102, 103} <= cand_ids
+    assert len(cand_ids) < 30  # pruning actually happened
+
+
+# --- containment ----------------------------------------------------------
+
+
+def test_containment_short_in_long(spark):
+    short = "alpha beta gamma delta epsilon zeta"
+    long_doc = short + " plus a very long tail of additional words " * 5
+    rows = [(0, short), (1, long_doc), (2, "totally unrelated words here only")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["id_a"], r["id_b"]): r for r in D.containment_pairs(df, threshold=0.9).collect()}
+    assert (0, 1) in out
+    r = out[(0, 1)]
+    assert r["containment_a"] == 1.0  # short fully contained in long
+    assert r["containment_b"] < 0.5
+    assert (0, 2) not in out and (1, 2) not in out
+
+
+# --- segment boilerplate --------------------------------------------------
+
+
+def test_segment_boilerplate_planted(spark):
+    bp = " ".join(f"b{i}" for i in range(16))  # shared 16-token block
+    u1 = " ".join(f"x{i}" for i in range(16))
+    u2 = " ".join(f"y{i}" for i in range(16))
+    rows = [(0, bp + " " + u1), (1, bp + " " + u2), (2, u2 + " extra tail")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in TX.segment_boilerplate(df, seg_words=16).collect()}
+    # bp is shared by docs 0/1; u2 is shared by docs 1/2.
+    assert out[0]["n_segs"] == 2 and out[0]["n_bp"] == 1
+    assert out[1]["n_segs"] == 2 and out[1]["n_bp"] == 2  # both blocks repeated
+    assert out[2]["n_segs"] == 2 and out[2]["n_bp"] == 1
+    import hashlib
+
+    assert out[0]["clean_fp"] == hashlib.md5(u1.encode()).hexdigest()
+    assert out[1]["clean_fp"] == hashlib.md5(b"").hexdigest()  # fully boilerplate
+    assert out[2]["clean_fp"] == hashlib.md5(b"extra tail").hexdigest()
+
+
+# --- unigram rarity -------------------------------------------------------
+
+
+def test_unigram_rarity_orders_docs(spark):
+    rows = [(0, "common common common common"), (1, "common rareword")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in TX.unigram_rarity(df).collect()}
+    # total=6 tokens; 'common' c=5 -> w=1, 'rareword' c=1 -> w=6
+    assert out[0]["n_tokens"] == 4 and out[0]["rarity"] == 4
+    assert out[1]["n_tokens"] == 2 and out[1]["rarity"] == 7
+
+
+# --- quota interleave -----------------------------------------------------
+
+
+def test_quota_interleave_round_robin(spark):
+    rows = [(i, f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = C.quota_interleave(df, quota=4).orderBy("position").collect()
+    assert len(out) == 12  # 3 sources x quota 4
+    # positions are a dense 0..n-1 permutation, rank-major then source
+    assert [r["position"] for r in out] == list(range(12))
+    ranks = [r["rank_in_source"] for r in out]
+    assert ranks == sorted(ranks)  # rank-1 block first, then rank-2, ...
+    for blk in range(4):
+        assert {r["source"] for r in out[blk * 3 : blk * 3 + 3]} == {"s0", "s1", "s2"}
+    assert max(ranks) == 4
+
+
+# --- BPE ------------------------------------------------------------------
+
+
+def test_bpe_train_and_encode_roundtrip():
+    ranks = {p: i for i, p in enumerate([("a", "b"), ("ab", "</w>")])}
+    assert BP.encode_word("ab", ranks) == ["ab</w>"]
+    assert BP.encode_word("ba", ranks) == ["b", "a", "</w>"]
+
+
+def test_bpe_tokenize_distributed(docs):
+    merges = BP.train_bpe(docs, n_merges=10)
+    assert len(merges) > 0
+    out = BP.bpe_tokenize(docs, merges).collect()
+    norm = {
+        r["doc_id"]: r["_n"]
+        for r in docs.select("doc_id", F.concat_ws(" ", TX.tokens("text")).alias("_n")).collect()
+    }
+    for r in out:
+        detok = "".join(r["tokens"]).replace(BP.END, " ").strip()
+        assert detok == norm[r["doc_id"]]
+        assert r["n_tokens"] == len(r["tokens"])
+
+
+def test_bpe_merges_compress(docs):
+    merges = BP.train_bpe(docs, n_merges=20)
+    with_m = sum(r["n_tokens"] for r in BP.bpe_tokenize(docs, merges).collect())
+    without = sum(r["n_tokens"] for r in BP.bpe_tokenize(docs, []).collect())
+    assert with_m < without
+
+
+# --- knn join -------------------------------------------------------------
+
+
+def test_knn_join_matches_brute_force(spark):
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = df.filter(F.col("vec_id") < 10)
+    # force a multi-block grid to exercise the block-local top-k merge
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.knn_join(probes, df, k=3, block_rows=16).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    vecs = dict(rows)
+    for q in range(10):
+        scored = sorted(
+            ((-cos(vecs[q], vecs[j]), j) for j in vecs if j != q),
+        )
+        for rk in range(3):
+            assert got[(q, rk + 1)] == scored[rk][1]

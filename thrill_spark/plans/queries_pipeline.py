@@ -243,3 +243,120 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 10 == 0)
     return S.knn_join(probes, emb, k=_KNN_K)
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming with hard oracles, round 4: stream-stream join
+# and streaming dedup run as ACTUAL streaming jobs (file source ->
+# memory sink, processAllAvailable) whose sink tables the DuckDB oracle
+# checks like any batch result — the stream ≡ batch guarantee as a
+# driver-verified signal (same pattern as events_stream_tumbling).
+# ---------------------------------------------------------------------------
+@query(
+    "events_stream_join",
+    """
+    SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id,
+           l.ts AS l_ts, r.ts AS r_ts
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    WHERE l.event_type = 'view' AND r.event_type = 'click'
+    """,
+)
+def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from thrill_spark.streaming.joins import stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    views = ev.filter(F.col("event_type") == "view").drop("event_type")
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    base = os.path.join(tempfile.gettempdir(), "thrill_spark_ssj")
+    vsrc, csrc = base + "_views", base + "_clicks"
+    views.write.mode("overwrite").parquet(vsrc)
+    clicks.write.mode("overwrite").parquet(csrc)
+    vstream = spark.readStream.schema(views.schema).parquet(vsrc)
+    cstream = spark.readStream.schema(clicks.schema).parquet(csrc)
+    joined = stream_stream_join(
+        vstream, cstream, key="user_id", watermark="1 hour", max_lag="30 minutes"
+    )
+    name = "stream_join_sink"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("l_key").alias("user_id"),
+        F.col("l_event_id"),
+        F.col("r_event_id"),
+        F.col("l_ts"),
+        F.col("r_ts"),
+    )
+
+
+@query(
+    "events_stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from thrill_spark.streaming.dedup import stream_dedup_within_watermark
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "event_type")
+    src = os.path.join(tempfile.gettempdir(), "thrill_spark_sdedup_src")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    # Which physical row survives per key is arrival-order-dependent;
+    # the KEY SET is deterministic, so the sink projects keys only.
+    out = stream_dedup_within_watermark(stream, ["user_id", "event_type"], watermark="1 hour")
+    name = "stream_dedup_sink"
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenization: distributed word-frequency train -> driver merge
+# table -> Arrow-batched distributed apply. BPE itself is not
+# SQL-expressible, so the oracle checks the deterministic INVARIANTS
+# computed JVM-side over the apply output (the recall-floor pattern):
+# perfect detokenization roundtrip and token-count bounds
+# n_words <= n_tokens <= n_nonspace_chars + n_words, which must hold
+# for every document or the tokenizer is broken.
+# ---------------------------------------------------------------------------
+@query(
+    "text_bpe_tokenize",
+    """
+    SELECT doc_id, TRUE AS ok_roundtrip, TRUE AS tokens_bounded
+    FROM documents
+    """,
+)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.functions import bpe as BP
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = BP.train_bpe(docs, n_merges=30)
+    toks = BP.bpe_tokenize(docs, merges)
+    norm = docs.select(
+        "doc_id",
+        F.concat_ws(" ", TX.tokens("text")).alias("_norm"),
+        TX.token_count("text").alias("_n_words"),
+    )
+    joined = toks.join(norm, "doc_id")
+    detok = F.trim(F.replace(F.array_join("tokens", ""), F.lit(BP.END), F.lit(" ")))
+    n_chars_nospace = F.length(F.replace(F.col("_norm"), F.lit(" "), F.lit("")))
+    return joined.select(
+        "doc_id",
+        (detok == F.col("_norm")).alias("ok_roundtrip"),
+        (
+            (F.col("n_tokens") >= F.col("_n_words"))
+            & (F.col("n_tokens") <= n_chars_nospace + F.col("_n_words"))
+        ).alias("tokens_bounded"),
+    )

@@ -84,9 +84,9 @@ _WINDOW_TAIL = [
     "fn_url_json_ops",
     "corpus_quota_interleave",
     "text_minhash_containment",
+    "text_heavy_hitters",
+    "events_multires_rollup",
     # round-3 hedge re-verification
-    "events_sessionize",
-    "events_funnel_view_click_purchase",
     "dedup_pipeline_survivors",
     "multimodal_real_png_decode",
     "logreg_sgd_planted",

@@ -58,6 +58,14 @@ BENCH_QUERIES = [
     # as-of join (distributed carry) — track both round-over-round.
     "multimodal_real_png_decode",
     "asof_join_purchase_click",
+    # round 4: bloom dup-detection prefilter, exact k-NN join (block
+    # matmul + per-block top-k), BPE tokenize (train + Arrow apply),
+    # segment boilerplate removal, unigram rarity scoring.
+    "dedup_bloom_prefilter",
+    "similarity_knn_join",
+    "text_bpe_tokenize",
+    "dedup_paragraph_boilerplate",
+    "text_unigram_rarity",
 ]
 
 

@@ -172,3 +172,44 @@ def test_knn_join_matches_brute_force(spark):
         )
         for rk in range(3):
             assert got[(q, rk + 1)] == scored[rk][1]
+
+
+# --- heavy hitters --------------------------------------------------------
+
+
+def test_heavy_hitters_planted_skew(spark):
+    from thrill_spark.functions.sketches import heavy_hitters
+
+    # 'hot' = 40% of tokens; everything else unique -> only 'hot' heavy.
+    rows = [(i, "hot " * 4 + f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["token"]: r["n"] for r in heavy_hitters(df, k=8).collect()}
+    assert out == {"hot": 200}
+
+
+def test_heavy_hitters_matches_exact_threshold(spark, sf_dir):
+    from collections import Counter
+
+    from thrill_spark.catalog import load_table
+    from thrill_spark.functions import text as TX
+    from thrill_spark.functions.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r["token"]: r["n"] for r in heavy_hitters(docs, k=64).collect()}
+    toks = [
+        t
+        for r in docs.select(F.explode(TX.tokens("text")).alias("t")).collect()
+        for t in [r["t"]]
+    ]
+    c = Counter(toks)
+    want = {t: n for t, n in c.items() if n * 64 > len(toks)}
+    assert got == want and len(want) > 0
+
+
+def test_mg_summary_superset_property():
+    from thrill_spark.functions.sketches import _mg_summarize
+
+    stream = ["a"] * 30 + ["b"] * 10 + [f"x{i}" for i in range(60)]
+    counters, n = _mg_summarize(iter(stream), k=8)
+    assert n == 100
+    assert "a" in counters  # 30 > 100/8 -> must survive any order

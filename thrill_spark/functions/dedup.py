@@ -333,7 +333,13 @@ def bloom_dup_candidates(
     afterwards moves only the candidate fraction instead of every
     (fingerprint, id) pair. Size `bits` ~ 10x corpus rows for a low
     false-positive rate. Returns (id_col, fp) candidate rows."""
-    fpd = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    from thrill_spark.ordering import _persist
+
+    # The text-wide fingerprint md5 is the expensive map; it feeds both
+    # the hot-bit aggregation and the candidate join, so persist the
+    # tiny (id, fp) projection and compute it once. Drained via
+    # ordering.release_persisted().
+    fpd = _persist(df.select(F.col(id_col), fingerprint(text_col).alias("fp")))
     positions = F.array(
         *[
             md5_long(F.concat(F.lit(f"b{j}:"), F.col("fp"))) % F.lit(bits)

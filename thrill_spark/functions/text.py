@@ -158,8 +158,13 @@ def unigram_rarity(
     so the exploded tokens are scanned once for counting and once for
     scoring. Returns (id_col, n_tokens, rarity).
     """
+    from thrill_spark.ordering import _persist
+
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
-    counts = toks.groupBy("_t").agg(F.count("*").alias("_c"))
+    # Vocabulary-sized; feeds both the global total and the scoring
+    # join — persist so the token-count aggregation runs once (drained
+    # via ordering.release_persisted()).
+    counts = _persist(toks.groupBy("_t").agg(F.count("*").alias("_c")))
     total = counts.agg(F.sum("_c").cast("long").alias("_total"))
     scored = toks.join(counts, "_t").crossJoin(F.broadcast(total))
     return scored.groupBy(id_col).agg(
@@ -205,8 +210,19 @@ def segment_boilerplate(
         .select(id_col, F.col("_s.i").alias("i"), F.col("_s.seg").alias("seg"))
         .withColumn("fp", F.md5("seg"))
     )
-    counts = ex.groupBy("fp").agg(F.countDistinct(id_col).alias("_nd"))
-    flagged = ex.join(counts, "fp").withColumn("is_bp", F.col("_nd") >= min_docs)
+    # Join only the FLAGGED fingerprints back (left join + null test):
+    # the build side shrinks from every distinct segment to just the
+    # repeated ones — in a real corpus a small fraction — so AQE can
+    # broadcast it; a left join against the full count table would
+    # shuffle the entire segment set twice.
+    hot = (
+        ex.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("fp")
+        .withColumn("_flag", F.lit(1))
+    )
+    flagged = ex.join(hot, "fp", "left").withColumn("is_bp", F.col("_flag").isNotNull())
     kept_seg = F.when(~F.col("is_bp"), F.struct(F.col("i"), F.col("seg")))
     return flagged.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_segs"),

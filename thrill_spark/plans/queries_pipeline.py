@@ -360,3 +360,68 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_tokens") <= n_chars_nospace + F.col("_n_words"))
         ).alias("tokens_bounded"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: per-partition Misra-Gries sketch -> candidate merge ->
+# exact confirm. The sketch bounds state and shuffle; the confirm makes
+# the output exact, so the oracle is the plain exact threshold query.
+# ---------------------------------------------------------------------------
+_HH_K = 64
+
+
+@query(
+    "text_heavy_hitters",
+    f"""
+    WITH toks AS (SELECT unnest({SQL_TOKS}) AS t FROM documents),
+    tot AS (SELECT COUNT(*) AS n_total FROM toks)
+    SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks CROSS JOIN tot
+    GROUP BY t, n_total
+    HAVING COUNT(*) * {_HH_K} > n_total
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.functions.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heavy_hitters(docs, k=_HH_K)
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution event-time rollup (hypertable continuous-aggregate
+# shape): day/hour hierarchy in ONE grouping-sets pass instead of two
+# scans + a union; grain_id distinguishes the levels.
+# ---------------------------------------------------------------------------
+@query(
+    "events_multires_rollup",
+    """
+    SELECT date_trunc('day', ts) AS day,
+           date_trunc('hour', ts) AS hour,
+           CAST(GROUPING(date_trunc('hour', ts)) AS INT) AS grain_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    HAVING GROUPING(date_trunc('day', ts)) = 0
+    """,
+)
+def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.plans.queries import _dbl, _dec
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    hour = F.date_trunc("hour", F.col("ts"))
+    out = (
+        ev.select(day.alias("day"), hour.alias("hour"), F.col("value"))
+        .rollup("day", "hour")
+        .agg(
+            F.grouping("hour").cast("int").alias("grain_id"),
+            F.count("*").alias("n"),
+            _dbl(F.sum(_dec("value", 18, 6))).alias("total_value"),
+        )
+    )
+    # Drop the grand-total row: the day grain is the coarsest level this
+    # rollup keeps (ts is never null, so null day == the rollup row —
+    # same predicate the oracle's HAVING GROUPING(day)=0 expresses).
+    return out.filter(F.col("day").isNotNull())

@@ -86,10 +86,13 @@ _WINDOW_TAIL = [
     "text_minhash_containment",
     "text_heavy_hitters",
     "events_multires_rollup",
-    # round-3 hedge re-verification
-    "dedup_pipeline_survivors",
-    "multimodal_real_png_decode",
-    "logreg_sgd_planted",
+    # corpus-mining batch (this round): chunking, tf-idf pairs,
+    # incremental dedup, cohort retention, z-order layout
+    "text_chunk_overlap",
+    "text_tfidf_pairs",
+    "dedup_incremental",
+    "events_user_retention",
+    "layout_zorder_stats",
 ]
 
 _DRIVER_WINDOW_PRIORITY = (_NEVER_DRIVER_VERIFIED + _WINDOW_TAIL)[:50]

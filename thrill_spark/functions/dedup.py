@@ -449,3 +449,113 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return agged.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def banded_signatures(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, band_hash) rows from mh0..mh{k-1} signature columns —
+    one scan + one explode (shared by self-join and cross-corpus LSH)."""
+    rows_per_band = num_hashes // bands
+    entries = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_hash = F.md5(F.concat_ws("_", *[c.cast("string") for c in cols]))
+        entries.append(F.struct(F.lit(b).alias("band"), band_hash.alias("bh")))
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("_e")
+    ).select(id_col, F.col("_e.band").alias("band"), F.col("_e.bh").alias("bh"))
+
+
+def incremental_dedup(
+    batch_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+    bucket_cap: int = 10_000,
+) -> DataFrame:
+    """Flag which NEW documents near-duplicate an EXISTING corpus — the
+    production shape of dedup at 100 TB, where the corpus is already
+    ingested and each incoming batch must be checked against it without
+    re-deduplicating the whole corpus.
+
+    Both sides get minhash signatures; candidate (batch, corpus) pairs
+    come from an LSH band equi-join (bounded per-bucket via
+    operators.skew.bounded_join, so boilerplate-heavy band buckets
+    decompose instead of straggling); candidates are verified with
+    exact shingle Jaccard restricted to candidate docs only. Corpus-side
+    signature cost is linear and in production would be precomputed and
+    stored — here it is derived inline so the operator is
+    self-contained.
+
+    Returns one row per batch doc: (id, n_dups, first_match, is_dup)
+    with first_match = smallest matching corpus id or -1.
+    """
+    from thrill_spark.operators.skew import bounded_join
+    from thrill_spark.ordering import _persist
+
+    sig_b = minhash_signatures(batch_df, text_col, id_col, num_hashes, shingle_words)
+    sig_c = minhash_signatures(corpus_df, text_col, id_col, num_hashes, shingle_words)
+    banded_b = banded_signatures(sig_b, id_col, num_hashes, bands)
+    banded_c = banded_signatures(sig_c, id_col, num_hashes, bands)
+    cands = _persist(
+        bounded_join(
+            banded_b,
+            banded_c,
+            ["band", "bh"],
+            salt_left=id_col,
+            salt_right=id_col,
+            left_cols={"id_b": id_col},
+            right_cols={"id_c": id_col},
+            cap=bucket_cap,
+        )
+        .select("id_b", "id_c")
+        .distinct()
+    )
+    cands.count()  # materialize before the three downstream reads race
+    sh_b = (
+        batch_df.join(
+            cands.select(F.col("id_b").alias(id_col)).distinct(), id_col, "leftsemi"
+        )
+        .select(
+            F.col(id_col).alias("id_b"),
+            word_ngrams(text_col, shingle_words).alias("_sa"),
+        )
+    )
+    sh_c = (
+        corpus_df.join(
+            cands.select(F.col("id_c").alias(id_col)).distinct(), id_col, "leftsemi"
+        )
+        .select(
+            F.col(id_col).alias("id_c"),
+            word_ngrams(text_col, shingle_words).alias("_sb"),
+        )
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    jac = inter / (F.size("_sa") + F.size("_sb") - inter)
+    verified = (
+        cands.join(sh_b, "id_b")
+        .join(sh_c, "id_c")
+        .select("id_b", "id_c", jac.alias("_j"))
+        .filter(F.col("_j") >= threshold)
+    )
+    per_batch = verified.groupBy("id_b").agg(
+        F.count(F.lit(1)).alias("n_dups"), F.min("id_c").alias("first_match")
+    )
+    return (
+        batch_df.select(F.col(id_col).alias("id_b"))
+        .join(per_batch, "id_b", "left")
+        .select(
+            F.col("id_b").alias(id_col),
+            F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
+            F.coalesce(F.col("first_match"), F.lit(-1)).cast("long").alias("first_match"),
+            (F.coalesce(F.col("n_dups"), F.lit(0)) > 0).alias("is_dup"),
+        )
+    )

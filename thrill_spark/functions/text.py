@@ -252,3 +252,52 @@ def redact_pii(col: str | Column, token: str = "[PII]") -> Column:
     for kind in _PII_ORDER:
         c = F.regexp_replace(c, PII_PATTERNS[kind], token)
     return c
+
+
+def chunk_token_windows(
+    df: "DataFrame",
+    chunk: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Split each document into overlapping token windows of `chunk`
+    tokens advancing by `stride` (overlap = chunk - stride) — the
+    context-window chunker a RAG / pretraining pipeline runs over every
+    document.
+
+    FlatMap-shaped but pure expression: sequence + explode + slice, no
+    Python in the hot path; output volume is rows x ceil(n/stride), the
+    semantics, not an artifact. Short docs (n <= chunk) yield exactly
+    one chunk. Every output column is exact-integer / md5 so a DuckDB
+    oracle replays it bit-for-bit.
+    """
+    if stride <= 0 or chunk <= 0:
+        raise ValueError("chunk and stride must be positive")
+    if stride > chunk:
+        raise ValueError("stride must be <= chunk (windows must cover the doc)")
+    base = (
+        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .withColumn(
+            "_nch",
+            F.when(
+                F.col("_n") > chunk,
+                F.expr(f"CAST((_n - {chunk} + {stride} - 1) DIV {stride} AS INT) + 1"),
+            ).otherwise(F.lit(1)),
+        )
+    )
+    piece = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk)
+    return (
+        base.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.col("_nch") - 1)).alias("chunk_id"),
+            F.col("_toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.size(piece).alias("n_toks"),
+            F.md5(F.concat_ws(" ", piece)).alias("chunk_fp"),
+        )
+    )

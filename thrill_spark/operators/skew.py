@@ -179,3 +179,50 @@ def salted_join(
         how,
     )
     return joined.drop(SALT)
+
+
+def bounded_join(
+    left_df: DataFrame,
+    right_df: DataFrame,
+    bucket_cols: Sequence[str],
+    salt_left: str,
+    salt_right: str,
+    left_cols: dict[str, str],
+    right_cols: dict[str, str],
+    cap: int = 10_000,
+) -> DataFrame:
+    """Two-sided bucket equi-join with bounded per-task work — the
+    cross-corpus analogue of bounded_self_join.
+
+    Each side is decomposed into g = ceil(side_bucket_size / cap)
+    sub-groups; left rows are replicated once per right sub-group and
+    vice versa, so one degenerate bucket (hot LSH band shared by 10^5
+    corpus docs AND 10^4 batch docs) becomes g_l * g_r tasks of
+    <= cap^2 pairs instead of one quadratic straggler. Pair SET is
+    identical to left.join(right, bucket_cols).
+    """
+    lc = left_df.groupBy(*bucket_cols).agg(F.count("*").alias("_lsz"))
+    rc = right_df.groupBy(*bucket_cols).agg(F.count("*").alias("_rsz"))
+    sizes = lc.join(rc, on=list(bucket_cols)).select(
+        *bucket_cols,
+        F.greatest(F.ceil(F.col("_lsz") / F.lit(cap)), F.lit(1))
+        .cast("int")
+        .alias("_gl"),
+        F.greatest(F.ceil(F.col("_rsz") / F.lit(cap)), F.lit(1))
+        .cast("int")
+        .alias("_gr"),
+    )
+    l = left_df.join(sizes, on=list(bucket_cols)).select(
+        *bucket_cols,
+        F.pmod(F.xxhash64(F.col(salt_left)), F.col("_gl")).cast("int").alias("_sl"),
+        F.explode(F.sequence(F.lit(0), F.col("_gr") - 1)).alias("_sr"),
+        *[F.col(src).alias(name) for name, src in left_cols.items()],
+    )
+    r = right_df.join(sizes, on=list(bucket_cols)).select(
+        *bucket_cols,
+        F.explode(F.sequence(F.lit(0), F.col("_gl") - 1)).alias("_sl"),
+        F.pmod(F.xxhash64(F.col(salt_right)), F.col("_gr")).cast("int").alias("_sr"),
+        *[F.col(src).alias(name) for name, src in right_cols.items()],
+    )
+    joined = l.join(r, on=[*bucket_cols, "_sl", "_sr"])
+    return joined.select(*bucket_cols, *left_cols, *right_cols)

@@ -629,3 +629,4 @@ from thrill_spark.plans import queries_tpch_full  # noqa: E402,F401
 from thrill_spark.plans import queries_functions  # noqa: E402,F401
 from thrill_spark.plans import queries_corpus  # noqa: E402,F401
 from thrill_spark.plans import queries_pipeline  # noqa: E402,F401
+from thrill_spark.plans import queries_mining  # noqa: E402,F401

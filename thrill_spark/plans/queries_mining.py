@@ -1,0 +1,263 @@
+"""Queries batch: corpus-mining operators — overlapping context-window
+chunking, sparse TF-IDF pair similarity, incremental dedup against an
+existing corpus, cohort retention, and Z-order layout clustering.
+
+No reference analogue (Thrill's examples stop at WordCount / TPC-H
+join, reference/thrill/examples/); these are the dataset-assembly and
+lakehouse-layout operators a 100 TB training-data pipeline runs.
+Every output column is exact-integer / md5 / boolean so the DuckDB
+oracle hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from thrill_spark.catalog import load_table
+from thrill_spark.functions import dedup as D
+from thrill_spark.functions import layout as LAY
+from thrill_spark.functions import text as TX
+from thrill_spark.functions import tfidf as TI
+from thrill_spark.plans.queries import query
+from thrill_spark.plans.queries_llm import (
+    SQL_MD5LONG,
+    SQL_SHINGLES3,
+    SQL_TOKS,
+    _MH_BANDS,
+    _MH_K,
+)
+
+# ---------------------------------------------------------------------------
+# Overlapping token-window chunking (RAG / pretraining context windows)
+# ---------------------------------------------------------------------------
+_CHUNK = 32
+_STRIDE = 24
+
+
+@query(
+    "text_chunk_overlap",
+    f"""
+    WITH base AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) > {_CHUNK}
+                  THEN CAST((len(toks) - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE} AS INT) + 1
+                  ELSE 1 END AS nch
+      FROM base)
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           CAST(len(toks[i*{_STRIDE}+1 : i*{_STRIDE}+{_CHUNK}]) AS INT) AS n_toks,
+           md5(array_to_string(toks[i*{_STRIDE}+1 : i*{_STRIDE}+{_CHUNK}], ' ')) AS chunk_fp
+    FROM (SELECT doc_id, toks, unnest(generate_series(0, nch - 1)) AS i FROM c)
+    """,
+)
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.chunk_token_windows(docs, chunk=_CHUNK, stride=_STRIDE)
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF top-N similar pairs (integer-idf, df-pruned postings)
+# ---------------------------------------------------------------------------
+_TFIDF_DIV = 20  # keep terms with df <= n_docs // 20 (5%)
+_TFIDF_TOPN = 100
+
+
+@query(
+    "text_tfidf_pairs",
+    f"""
+    WITH base AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(toks[i+1:i+3], ' ') AS term
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(0, greatest(len(toks)-2, 1)-1)) AS i
+            FROM base)),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM grams GROUP BY doc_id, term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    dfq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+    posts AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             CAST(n_docs // df_t AS BIGINT) AS w
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+      WHERE df_t <= greatest(n_docs // {_TFIDF_DIV}, 1))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(SUM(a.tf * b.tf * a.w * a.w) AS BIGINT) AS score
+    FROM posts a JOIN posts b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY score DESC, id_a, id_b
+    LIMIT {_TFIDF_TOPN}
+    """,
+)
+def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TI.tfidf_pairs(
+        docs, ngram=3, max_df_div=_TFIDF_DIV, top_n=_TFIDF_TOPN
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch (doc_id % 10 = 0) vs existing corpus
+# ---------------------------------------------------------------------------
+_INC_PRED_BATCH = "doc_id % 10 = 0"
+_INC_PRED_CORPUS = "doc_id % 10 <> 0"
+_INC_TAU = 0.5
+
+
+def _sql_sig_where(pred: str) -> str:
+    h = SQL_MD5LONG.format(x="sh")
+    mins = ", ".join(
+        f"MIN((h * {a} + {b}) % {D.MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(D.minhash_params(_MH_K))
+    )
+    return f"""
+      SELECT doc_id, {mins} FROM (
+        SELECT doc_id, {h} % {D.MINHASH_P} AS h FROM (
+          SELECT doc_id, unnest(shingles) AS sh FROM (
+            SELECT doc_id, {SQL_SHINGLES3} AS shingles FROM (
+              SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+              WHERE {pred}))))
+      GROUP BY doc_id
+    """
+
+
+def _sql_banded(sig_cte: str) -> str:
+    rows = _MH_K // _MH_BANDS
+    parts = []
+    for b in range(_MH_BANDS):
+        cols = " || '_' || ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        parts.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bh FROM {sig_cte}")
+    return " UNION ALL ".join(parts)
+
+
+def _sql_incremental() -> str:
+    jac = (
+        "CAST(len(list_intersect(sb.sh, sc.sh)) AS DOUBLE) / "
+        "(len(sb.sh) + len(sc.sh) - len(list_intersect(sb.sh, sc.sh)))"
+    )
+    return f"""
+    WITH sigb AS ({_sql_sig_where(_INC_PRED_BATCH)}),
+    sigc AS ({_sql_sig_where(_INC_PRED_CORPUS)}),
+    bb AS ({_sql_banded('sigb')}),
+    bc AS ({_sql_banded('sigc')}),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS id_b, c.doc_id AS id_c
+      FROM bb b JOIN bc c ON b.band = c.band AND b.bh = c.bh),
+    shb AS (SELECT doc_id, {SQL_SHINGLES3} AS sh FROM (
+              SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+              WHERE {_INC_PRED_BATCH})),
+    shc AS (SELECT doc_id, {SQL_SHINGLES3} AS sh FROM (
+              SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+              WHERE {_INC_PRED_CORPUS})),
+    ver AS (
+      SELECT id_b, id_c
+      FROM cand JOIN shb sb ON sb.doc_id = id_b
+                JOIN shc sc ON sc.doc_id = id_c
+      WHERE {jac} >= {_INC_TAU}),
+    per AS (SELECT id_b, CAST(COUNT(*) AS BIGINT) AS n_dups,
+                   MIN(id_c) AS first_match
+            FROM ver GROUP BY id_b)
+    SELECT d.doc_id,
+           coalesce(n_dups, 0) AS n_dups,
+           CAST(coalesce(first_match, -1) AS BIGINT) AS first_match,
+           coalesce(n_dups, 0) > 0 AS is_dup
+    FROM (SELECT doc_id FROM documents WHERE {_INC_PRED_BATCH}) d
+    LEFT JOIN per ON per.id_b = d.doc_id
+    """
+
+
+@query("dedup_incremental", _sql_incremental())
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.expr(_INC_PRED_BATCH))
+    corpus = docs.filter(F.expr(_INC_PRED_CORPUS))
+    return D.incremental_dedup(
+        batch,
+        corpus,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        threshold=_INC_TAU,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix over events
+# ---------------------------------------------------------------------------
+@query(
+    "events_user_retention",
+    """
+    WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+    coh AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(day - cohort_day AS INT) AS day_offset,
+           CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+    FROM d JOIN coh USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic product-analytics rollup: users bucketed by first-seen
+    day, activity counted per (cohort, day-offset). Two hash
+    aggregations + one equi-join on user_id — all shuffle keys are the
+    natural ones; broadcast is left to AQE (cohort table ~ |users|)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    coh = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(coh, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout clustering stats
+# ---------------------------------------------------------------------------
+_Z_BITS = 16
+_Z_SHIFT = 2 * _Z_BITS - 5  # 32 leading buckets
+
+
+@query(
+    "layout_zorder_stats",
+    f"""
+    WITH z AS (
+      SELECT {LAY.sql_zvalue('(o_custkey & 65535)', '(o_orderkey & 65535)', _Z_BITS)} AS zval,
+             (o_custkey & 65535) AS xm, (o_orderkey & 65535) AS ym
+      FROM orders)
+    SELECT zval >> {_Z_SHIFT} AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(xm) AS min_x, MAX(xm) AS max_x,
+           MIN(ym) AS min_y, MAX(ym) AS max_y
+    FROM z GROUP BY zbucket
+    """,
+)
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-Z-range min/max envelopes for both dimensions — the footer
+    stats a Z-ordered rewrite gives every file, which is what lets a
+    scan prune on EITHER column. The interleave is one codegen
+    expression (functions/layout.py::zvalue); clustering itself
+    (zorder_layout) is a single range shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    xm = F.col("o_custkey").bitwiseAND(F.lit(65535))
+    ym = F.col("o_orderkey").bitwiseAND(F.lit(65535))
+    z = o.select(
+        LAY.zvalue(xm, ym, _Z_BITS).alias("zval"),
+        xm.alias("xm"),
+        ym.alias("ym"),
+    )
+    return (
+        z.groupBy(F.shiftright("zval", _Z_SHIFT).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("xm").alias("min_x"),
+            F.max("xm").alias("max_x"),
+            F.min("ym").alias("min_y"),
+            F.max("ym").alias("max_y"),
+        )
+    )

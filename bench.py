@@ -66,6 +66,12 @@ BENCH_QUERIES = [
     "text_bpe_tokenize",
     "dedup_paragraph_boilerplate",
     "text_unigram_rarity",
+    # corpus-mining batch: integer TF-IDF pair similarity, incremental
+    # batch-vs-corpus dedup, overlap chunking, Z-order layout stats.
+    "text_tfidf_pairs",
+    "dedup_incremental",
+    "text_chunk_overlap",
+    "layout_zorder_stats",
 ]
 
 

@@ -32,21 +32,42 @@ def token_count(col: str | Column) -> Column:
     return F.size(tokens(col))
 
 
+def _let(value: Column, body) -> Column:
+    """Lambda let-binding: evaluate `value` ONCE per row and feed it to
+    `body` as a bound variable.
+
+    Referencing a non-trivial expression (e.g. the regex-split token
+    array) inside a higher-order-function lambda makes Catalyst
+    re-evaluate it per element — O(n^2) per row for n-gram builders
+    (same trap documented at dedup.py::winnow_fingerprints; measured
+    ~6x on the tfidf explode stage). Wrapping the expression in a
+    1-element array and going through transform() binds the evaluated
+    value instead."""
+    return F.transform(F.array(value), body)[0]
+
+
 def char_ngrams(col: str | Column, n: int) -> Column:
     """Character n-gram shingles (distinct) of a lowercased string."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+
+    def build(s: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1)))
+        return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, n)))
+
+    return _let(c, build)
 
 
 def word_ngrams(col: str | Column, n: int) -> Column:
     """Word n-gram shingles (distinct), space-joined."""
-    toks = tokens(col)
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), count - 1)
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+
+    def build(toks: Column) -> Column:
+        count = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+        idx = F.sequence(F.lit(0), count - 1)
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+
+    return _let(tokens(col), build)
 
 
 def md5_long(col: Column, offset: int = 1) -> Column:

@@ -33,10 +33,25 @@ def term_frequencies(
     id_col: str = "doc_id",
     ngram: int = 3,
 ) -> DataFrame:
-    """(doc, term, tf) posting triples over word n-gram terms."""
-    grams = _positional_ngrams(tokens(text_col), ngram)
+    """(doc, term, tf) posting triples over word n-gram terms.
+
+    The tokenize+gram explode is the CPU-heavy map stage; _spread
+    re-splits an under-partitioned scan (small file = one split) and
+    is a no-op when the input already has enough splits (100 TB case).
+    """
+    from thrill_spark.functions.dedup import _spread
+
+    # Bind the token array to a column FIRST: inlining tokens() into
+    # the per-gram slice lambda re-evaluates the regex split once per
+    # gram index (measured ~6x on this stage).
+    toked = _spread(df, id_col).select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    )
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("term"))
+        toked.select(
+            F.col(id_col),
+            F.explode(_positional_ngrams(F.col("_toks"), ngram)).alias("term"),
+        )
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -58,13 +73,20 @@ def tfidf_pairs(
     documents are pruned (they carry ~no signal and all the join
     volume). Deterministic: ties at the cut broken by (id_a, id_b).
     """
+    from pyspark.sql import Window
+
+    from thrill_spark.ordering import _persist
+
     n_docs = df.count()  # scalar action; literal below keeps the plan static
     max_df = max(1, n_docs // max_df_div)
     tf = term_frequencies(df, text_col, id_col, ngram)
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    # weight = n_docs // df_t, exact integer division
-    posts = (
-        tf.join(dfreq.filter(F.col("df_t") <= max_df), "term")
+    # df(t) via a count window over term instead of agg + join-back:
+    # one shuffle by term, and the downstream pair self-join reuses the
+    # same hash clustering (persisted), so no re-exchange.
+    # weight = n_docs // df_t, exact integer division.
+    posts = _persist(
+        tf.withColumn("df_t", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .filter(F.col("df_t") <= max_df)
         .withColumn("w", F.expr(f"CAST({int(n_docs)} DIV df_t AS BIGINT)"))
     )
     a = posts.select(

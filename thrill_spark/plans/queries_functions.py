@@ -359,3 +359,49 @@ def q_collect_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
         F.slice(F.array_sort(F.collect_list("o_orderkey")), 1, 5).alias("first5_keys"),
     )
+
+
+@query(
+    "fn_window_frames",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           CAST(NTH_VALUE(o_orderkey, 2) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS BIGINT) AS second_key,
+           CAST(FIRST_VALUE(o_orderkey) OVER w AS BIGINT) AS first_key,
+           CAST(LAST_VALUE(o_orderkey) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS BIGINT) AS last_key,
+           CAST(COUNT(*) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderkey
+                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_near,
+           CAST(SUM(o_orderkey) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)
+             AS BIGINT) AS sum_win
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAME audit: ntile, nth/first/last_value over explicit
+    full frames, an integer RANGE frame, and a bounded ROWS frame —
+    the frame dialects are a classic cross-engine drift source, so
+    every frame is explicit on both sides."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.nth_value("o_orderkey", 2).over(wfull).cast("long").alias("second_key"),
+        F.first("o_orderkey").over(w).cast("long").alias("first_key"),
+        F.last("o_orderkey").over(wfull).cast("long").alias("last_key"),
+        F.count(F.lit(1)).over(w.rangeBetween(-1000, 0)).alias("n_near"),
+        F.sum("o_orderkey").over(w.rowsBetween(-2, 1)).alias("sum_win"),
+    )

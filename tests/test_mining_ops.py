@@ -165,3 +165,21 @@ def test_zorder_layout_partitions_are_z_ranges(spark):
     # range partitioning -> partition z-ranges are disjoint and ordered
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next
+
+
+# --- semantic_dedup --------------------------------------------------------
+
+
+def test_semantic_dedup_drops_near_identical_vectors(spark):
+    from thrill_spark.functions import similarity as S
+
+    base = [1.0, 0.5, -0.25, 2.0]
+    near = [x * 1.001 for x in base]  # cosine ~1, same sign bucket
+    ortho = [-2.0, 1.0, 1.0, -0.5]
+    rows = [(0, base), (1, near), (2, ortho)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in S.semantic_dedup(df, dim=4, n_planes=3, threshold=0.9).collect()}
+    assert out[0]["keep"]  # smallest id always kept
+    assert not out[1]["keep"] and out[1]["n_dom"] == 1
+    assert out[2]["keep"]
+    assert out[0]["bucket"] == out[1]["bucket"]

@@ -515,3 +515,59 @@ def knn_join(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 6,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_cap: int = 10_000,
+) -> DataFrame:
+    """SemDeDup-shaped semantic near-duplicate pruning (Abbas et al.,
+    arXiv:2303.09540 shape): bucket vectors by deterministic sign-LSH,
+    compare pairs ONLY within a bucket, and drop any vector that has a
+    smaller-id neighbor with cosine >= threshold.
+
+    The within-bucket restriction is the scale contract: candidate
+    volume is sum over buckets of size^2 (placement bounded via
+    bounded_self_join), never corpus^2. Cosines use the sequential
+    left-fold, so the DuckDB oracle replays keep-decisions
+    bit-for-bit.
+
+    Returns (id, bucket, n_dom, keep): n_dom = number of
+    smaller-id similar neighbors in the bucket; keep = (n_dom == 0).
+    """
+    from thrill_spark.operators.skew import bounded_self_join
+    from thrill_spark.ordering import _persist
+
+    sig = _persist(
+        lsh_signature(df, dim, n_planes, vec_col=vec_col, seed=0).select(
+            F.col(id_col), F.col(vec_col), F.col("lsh_bucket")
+        )
+    )
+    pairs = bounded_self_join(
+        sig,
+        ["lsh_bucket"],
+        salt_on=id_col,
+        left_cols={"id_a": id_col, "_va": vec_col},
+        right_cols={"id_b": id_col, "_vb": vec_col},
+        cap=bucket_cap,
+    ).filter(F.col("id_a") < F.col("id_b"))
+    dom = (
+        pairs.filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .groupBy("id_b")
+        .agg(F.count(F.lit(1)).alias("n_dom"))
+    )
+    return (
+        sig.select(F.col(id_col), F.col("lsh_bucket").alias("bucket"))
+        .join(dom.withColumnRenamed("id_b", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("bucket"),
+            F.coalesce(F.col("n_dom"), F.lit(0)).cast("long").alias("n_dom"),
+            (F.coalesce(F.col("n_dom"), F.lit(0)) == 0).alias("keep"),
+        )
+    )

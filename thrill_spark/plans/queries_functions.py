@@ -405,3 +405,45 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w.rangeBetween(-1000, 0)).alias("n_near"),
         F.sum("o_orderkey").over(w.rowsBetween(-2, 1)).alias("sum_win"),
     )
+
+
+@query(
+    "fn_higher_order_array",
+    """
+    WITH base AS (
+      SELECT c_custkey,
+             [c_custkey, c_custkey*2, c_custkey*3, c_custkey%97] AS l1,
+             [c_custkey%5, c_custkey%11, c_custkey%17, c_custkey%23] AS l2
+      FROM customer)
+    SELECT c_custkey,
+           list_filter(l1, x -> x % 2 = 0) AS evens,
+           len(list_filter(l1, x -> x > 1000)) > 0 AS has_big,
+           len(list_filter(l1, x -> x < 0)) = 0 AS all_pos,
+           CAST(list_reduce(l1, (a, b) -> a + b) AS BIGINT) AS fold_sum,
+           list_transform(list_zip(l1, l2), p -> p[1] + p[2]) AS zsum
+    FROM base
+    """,
+)
+def q_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function audit: filter / exists / forall /
+    aggregate(fold) / zip_with, integer-exact on both engines (DuckDB
+    expresses exists/forall through list_filter lengths; Spark
+    aggregate's 0 seed is identity for integer +, matching
+    list_reduce's first-element seed)."""
+    c = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    base = c.select(
+        "c_custkey",
+        F.array(ck, ck * 2, ck * 3, ck % 97).alias("l1"),
+        F.array(ck % 5, ck % 11, ck % 17, ck % 23).alias("l2"),
+    )
+    return base.select(
+        "c_custkey",
+        F.filter("l1", lambda x: x % 2 == 0).alias("evens"),
+        F.exists("l1", lambda x: x > 1000).alias("has_big"),
+        F.forall("l1", lambda x: x >= 0).alias("all_pos"),
+        F.aggregate("l1", F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "fold_sum"
+        ),
+        F.zip_with("l1", "l2", lambda x, y: x + y).alias("zsum"),
+    )

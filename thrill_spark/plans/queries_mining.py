@@ -261,3 +261,62 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ym").alias("max_y"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup over embeddings (SemDeDup shape, deterministic)
+# ---------------------------------------------------------------------------
+_SEM_PLANES = 6
+_SEM_TAU = 0.35
+_SEM_DIM = 64
+
+
+def _sql_dot(vec: str, plane: list[float]) -> str:
+    lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+    return (
+        f"list_reduce(list_transform(list_zip({vec}, {lit}), "
+        "p -> CAST(p[1] AS DOUBLE) * p[2]), (a,b) -> a+b)"
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    from thrill_spark.functions import similarity as S
+
+    planes = S.hyperplanes(_SEM_DIM, _SEM_PLANES, seed=0)
+    bucket = " + ".join(
+        f"(CASE WHEN {_sql_dot('embedding', p)} > 0 THEN {1 << b} ELSE 0 END)"
+        for b, p in enumerate(planes)
+    )
+    pcos = (
+        "list_reduce(list_transform(list_zip(ea, eb), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a,b) -> a+b)"
+        " / (sqrt(list_reduce(list_transform(ea, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (a,b) -> a+b))"
+        " * sqrt(list_reduce(list_transform(eb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (a,b) -> a+b)))"
+    )
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket
+      FROM embeddings),
+    pr AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    dom AS (
+      SELECT id_b, CAST(COUNT(*) AS BIGINT) AS n_dom
+      FROM pr WHERE {pcos} >= {_SEM_TAU}
+      GROUP BY id_b)
+    SELECT s.vec_id, s.bucket,
+           coalesce(n_dom, 0) AS n_dom,
+           coalesce(n_dom, 0) = 0 AS keep
+    FROM sig s LEFT JOIN dom ON dom.id_b = s.vec_id
+    """
+
+
+@query("dedup_semantic_keep", _sql_semantic_dedup())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.functions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(
+        emb, dim=_SEM_DIM, n_planes=_SEM_PLANES, threshold=_SEM_TAU
+    )

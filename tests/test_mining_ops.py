@@ -183,3 +183,27 @@ def test_semantic_dedup_drops_near_identical_vectors(spark):
     assert not out[1]["keep"] and out[1]["n_dom"] == 1
     assert out[2]["keep"]
     assert out[0]["bucket"] == out[1]["bucket"]
+
+
+# --- k_core ----------------------------------------------------------------
+
+
+def test_k_core_peels_tree_keeps_clique(spark):
+    from thrill_spark.plans import algorithms as A
+
+    # 6-clique (every node degree 5) with a pendant chain hanging off:
+    # 3-core = exactly the clique; the chain peels away over rounds.
+    clique = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    chain = [(5, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(clique + chain, ["u", "v"])
+    out = {r["node"]: r["core_deg"] for r in A.k_core(df, 3).collect()}
+    assert set(out) == set(range(6))
+    assert all(d == 5 for d in out.values())
+
+
+def test_k_core_empty_when_graph_too_sparse(spark):
+    from thrill_spark.plans import algorithms as A
+
+    chain = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(chain, ["u", "v"])
+    assert A.k_core(df, 2).count() == 0  # a path has no 2-core

@@ -223,3 +223,48 @@ def pack_greedy(
     return tagged.groupBy("shard").applyInPandas(
         pack, f"{id_col} long, n_tokens long, shard int, bin long"
     )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    n_picks: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted systematic resampling: lay all documents
+    on a line of cumulative integer weight, drop `n_picks` equally
+    spaced grid points (offset stride//2), and give each doc one pick
+    per grid point inside its weight interval — the importance-
+    resampling step of a training-mix builder, with multiplicity
+    proportional to weight, exactly n_picks total, and zero RNG.
+
+    Integer-exact throughout (grid counting via floor division), so a
+    DuckDB window-sum oracle replays it bit-for-bit. The cumulative
+    weight comes from ordering.prefix_sum — the two-phase partition-
+    offset scan, no single-partition exchange.
+    """
+    from thrill_spark import ordering as O
+
+    total = df.agg(F.sum(F.col(weight_col)).cast("long")).collect()[0][0]
+    if total is None or total < n_picks:
+        raise ValueError(f"total weight {total} < n_picks {n_picks}")
+    stride = total // n_picks
+    off = stride // 2
+    cum = O.prefix_sum(
+        df.select(F.col(id_col), F.col(weight_col).cast("long").alias("_w")),
+        [id_col],
+        "_w",
+        name="_cum0",
+        exclusive=True,
+    )
+    # picks in [cum0, cum0+w) = g(end-1-off) - g(start-1-off) with
+    # g(x) = (x + stride) DIV stride - 1  (= floor(x/stride), valid for
+    # x >= -stride; integer DIV truncates toward zero only hits
+    # non-negative operands here)
+    g_end = f"CAST((_cum0 + _w - 1 - {off} + {stride}) DIV {stride} AS BIGINT) - 1"
+    g_start = f"CAST((_cum0 - 1 - {off} + {stride}) DIV {stride} AS BIGINT) - 1"
+    return cum.select(
+        F.col(id_col),
+        F.col("_w").alias("weight"),
+        F.expr(f"({g_end}) - ({g_start})").alias("n_picks"),
+    )

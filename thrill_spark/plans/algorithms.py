@@ -423,3 +423,61 @@ def logistic_regression_sgd(
         losses.append(float(grads["_loss"]))
         w = [w[i] - lr * grads[f"g{i}"] / n for i in range(dim)]
     return (w, losses) if return_history else w
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    a: str = "u",
+    b: str = "v",
+    max_iters: int = 30,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: drop every node with
+    degree < k, restrict the edge set, repeat to fixpoint (Seidman's
+    degeneracy peel; no reference analogue — Thrill's examples stop at
+    PageRank/triangles/BFS).
+
+    Each round is one equi-join (edge restriction) + one hash
+    aggregation (degrees) — the scale-safe shape; the node set only
+    shrinks, so consecutive equal COUNTs certify the fixpoint.
+    localCheckpoint per round keeps lineage flat (the Collapse
+    discipline shared by pagerank/bfs above). Raises on
+    non-convergence rather than returning a wrong subgraph.
+
+    Returns (node, core_deg): the k-core nodes with their degree
+    inside the core.
+    """
+    edges = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct()
+    edges = edges.localCheckpoint()
+    nodes = (
+        edges.select(F.col("u").alias("n"))
+        .unionByName(edges.select(F.col("v").alias("n")))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = nodes.count()
+    for _ in range(max_iters):
+        ee = edges.join(
+            nodes.select(F.col("n").alias("u")), "u"
+        ).join(nodes.select(F.col("n").alias("v")), "v")
+        deg = (
+            ee.select(F.col("u").alias("n"))
+            .unionByName(ee.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        nxt = deg.filter(F.col("d") >= k).select("n").localCheckpoint()
+        c = nxt.count()
+        nodes = nxt
+        if c == prev:
+            ee_final = edges.join(
+                nodes.select(F.col("n").alias("u")), "u"
+            ).join(nodes.select(F.col("n").alias("v")), "v")
+            return (
+                ee_final.select(F.col("u").alias("node"))
+                .unionByName(ee_final.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("core_deg"))
+            )
+        prev = c
+    raise RuntimeError(f"k_core: no fixpoint within {max_iters} rounds")

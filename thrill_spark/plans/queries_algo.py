@@ -406,3 +406,75 @@ def q_io_lines_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum(F.length("line")).alias("total_chars"),
     ).withColumn("single_file", F.lit(bool(n_parts == 1)))
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (Seidman peel) — deterministic structured graph
+# derived from orders ids: tree edges i--i//2, i--i//3 plus a dense
+# low-id chord band, so the peel genuinely cascades (7 rounds) and the
+# 3-core is non-empty. Oracle = the peel UNROLLED 16 rounds (>2x the
+# measured fixpoint depth at every sf); once converged, extra rounds
+# are no-ops, so round-16 equals the fixpoint the Spark side iterates
+# to (which raises if it ever fails to converge).
+# ---------------------------------------------------------------------------
+_KC_K = 3
+_KC_ROUNDS = 16
+_KC_MOD = 4096
+
+
+def _sql_k_core() -> str:
+    ctes = [
+        f"ids AS MATERIALIZED (SELECT DISTINCT o_orderkey % {_KC_MOD} AS i FROM orders "
+        f"WHERE o_orderkey % {_KC_MOD} >= 1)",
+        """e AS MATERIALIZED (
+          SELECT DISTINCT least(i, i // 2) AS u, greatest(i, i // 2) AS v
+          FROM ids WHERE i <> i // 2
+          UNION
+          SELECT DISTINCT least(i, i // 3) AS u, greatest(i, i // 3) AS v
+          FROM ids WHERE i <> i // 3
+          UNION
+          SELECT DISTINCT i - 3 AS u, i AS v FROM ids WHERE i < 64 AND i >= 3)""",
+        "n0 AS MATERIALIZED (SELECT DISTINCT u AS n FROM e UNION SELECT DISTINCT v AS n FROM e)",
+    ]
+    for r in range(1, _KC_ROUNDS + 1):
+        ctes.append(
+            f"ee{r} AS MATERIALIZED (SELECT e.u, e.v FROM e "
+            f"JOIN n{r - 1} a ON a.n = e.u JOIN n{r - 1} b ON b.n = e.v)"
+        )
+        ctes.append(
+            f"n{r} AS MATERIALIZED (SELECT n FROM (SELECT n, COUNT(*) AS d FROM "
+            f"(SELECT u AS n FROM ee{r} UNION ALL SELECT v AS n FROM ee{r}) "
+            f"GROUP BY n) WHERE d >= {_KC_K})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+    eefin AS MATERIALIZED (SELECT e.u, e.v FROM e
+      JOIN n{_KC_ROUNDS} a ON a.n = e.u JOIN n{_KC_ROUNDS} b ON b.n = e.v)
+    SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM
+      (SELECT u AS n FROM eefin UNION ALL SELECT v AS n FROM eefin)
+    GROUP BY n
+    """
+    )
+
+
+@query("k_core_orders", _sql_k_core())
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ids = (
+        o.select((F.col("o_orderkey") % _KC_MOD).alias("i"))
+        .filter(F.col("i") >= 1)
+        .distinct()
+    )
+    half = F.expr("i DIV 2")
+    third = F.expr("i DIV 3")
+    e1 = ids.filter(F.col("i") != half).select(
+        F.least(F.col("i"), half).alias("u"), F.greatest(F.col("i"), half).alias("v")
+    )
+    e2 = ids.filter(F.col("i") != third).select(
+        F.least(F.col("i"), third).alias("u"), F.greatest(F.col("i"), third).alias("v")
+    )
+    e3 = ids.filter((F.col("i") < 64) & (F.col("i") >= 3)).select(
+        (F.col("i") - 3).alias("u"), F.col("i").alias("v")
+    )
+    edges = e1.unionByName(e2).unionByName(e3).distinct()
+    return A.k_core(edges, _KC_K)

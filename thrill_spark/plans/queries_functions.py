@@ -447,3 +447,67 @@ def q_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.zip_with("l1", "l2", lambda x, y: x + y).alias("zsum"),
     )
+
+
+@query(
+    "fn_stats_exact",
+    """
+    WITH b AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice) AS BIGINT) % 100000 AS x,
+             o_orderkey % 65536 AS y
+      FROM orders),
+    m AS (
+      SELECT o_orderpriority,
+             CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS n,
+             CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(y * y) AS BIGINT) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(x * y) AS BIGINT) AS DOUBLE) AS sxy
+      FROM b GROUP BY o_orderpriority)
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n,
+           sx / n AS mean_x,
+           (n * sxx - sx * sx) / (n * (n - 1)) AS var_x,
+           sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_x,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
+    FROM m
+    """,
+)
+def q_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation via EXACT integer moments:
+    engine-native var/corr aggregates stream FP partials in
+    partition-dependent order (never bit-reproducible). Here every
+    moment is summed exactly in BIGINT, each moment is mod-bounded so
+    it converts to DOUBLE exactly (< 2^53 — large-integer-to-double
+    conversion is the one step engines round differently), and the
+    statistics derive from one identical final FP expression — fully
+    deterministic on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.round(F.col("o_totalprice")).cast("long") % 100000
+    y = F.col("o_orderkey") % 65536
+    b = o.select("o_orderpriority", x.alias("x"), y.alias("y"))
+    dbl = lambda c: c.cast("long").cast("double")  # noqa: E731
+    m = b.groupBy("o_orderpriority").agg(
+        dbl(F.count(F.lit(1))).alias("n"),
+        dbl(F.sum("x")).alias("sx"),
+        dbl(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        dbl(F.sum("y")).alias("sy"),
+        dbl(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+        dbl(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "o_orderpriority",
+        n.cast("long").alias("n"),
+        (sx / n).alias("mean_x"),
+        ((n * sxx - sx * sx) / (n * (n - 1))).alias("var_x"),
+        F.sqrt((n * sxx - sx * sx) / (n * (n - 1))).alias("stddev_x"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_xy"),
+    )

@@ -320,3 +320,85 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_dedup(
         emb, dim=_SEM_DIM, n_planes=_SEM_PLANES, threshold=_SEM_TAU
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted systematic resampling (training-mix importance sampling)
+# ---------------------------------------------------------------------------
+_WSS_M = 100
+
+
+@query(
+    "corpus_weighted_sample",
+    f"""
+    WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight FROM documents),
+    tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS total FROM w),
+    par AS (SELECT total, total // {_WSS_M} AS stride,
+                   (total // {_WSS_M}) // 2 AS off FROM tot),
+    cum AS (
+      SELECT doc_id, weight,
+             COALESCE(SUM(weight) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+      FROM w)
+    SELECT doc_id, weight,
+           CAST(((cum0 + weight - 1 - off + stride) // stride - 1)
+              - ((cum0 - 1 - off + stride) // stride - 1) AS BIGINT) AS n_picks
+    FROM cum CROSS JOIN par
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.functions import corpus as C
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return C.weighted_systematic_sample(docs, "n_chars", _WSS_M)
+
+
+# ---------------------------------------------------------------------------
+# Table profiling report (ingest-time data audit)
+# ---------------------------------------------------------------------------
+_PROF_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "price_cents",
+    "order_day",
+    "o_orderpriority",
+]
+
+
+def _sql_profile() -> str:
+    prep = """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_day,
+             o_orderpriority
+      FROM orders
+    """
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_str,
+               CAST(MAX({c}) AS VARCHAR) AS max_str
+        FROM prep
+        """
+        for c in _PROF_COLS
+    ]
+    return f"WITH prep AS ({prep}) " + " UNION ALL ".join(parts)
+
+
+@query("profile_orders", _sql_profile())
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.functions.profile import profile_table
+
+    o = load_table(spark, sf_dir, "orders")
+    prep = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        "o_orderpriority",
+    )
+    return profile_table(prep, _PROF_COLS)

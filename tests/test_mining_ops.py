@@ -207,3 +207,34 @@ def test_k_core_empty_when_graph_too_sparse(spark):
     chain = [(i, i + 1) for i in range(10)]
     df = spark.createDataFrame(chain, ["u", "v"])
     assert A.k_core(df, 2).count() == 0  # a path has no 2-core
+
+
+# --- real multimodal kernels ----------------------------------------------
+
+
+def test_resize_real_png_roundtrips(spark):
+    from thrill_spark.functions import multimodal as MM
+    from thrill_spark.functions.pngcodec import decode_png
+
+    base = spark.range(3).select(F.col("id"))
+    media = MM.attach_real_png_media(base, "id")
+    out = MM.resize_real_png(media, width=4, height=4).collect()
+    assert len(out) == 3
+    for r in out:
+        w, h, ch, px = decode_png(bytes(r["media"]))  # resized blob decodes
+        assert (w, h) == (4, 4)
+        assert sum(px) == r["pix_sum"]
+
+
+def test_wav_decode_recovers_planted_signal(spark):
+    from thrill_spark.functions import multimodal as MM
+
+    base = spark.range(4).select(F.col("id"))
+    media = MM.attach_real_wav_media(base, "id")
+    out = {r["id"]: r for r in MM.decode_wav_features(media).collect()}
+    for ident in range(4):
+        n = 100 + ident % 50
+        samples = [((ident * 31 + i * 17) % 2048) - 1024 for i in range(n)]
+        assert out[ident]["n_samples"] == n
+        assert out[ident]["sample_rate"] == 8000
+        assert out[ident]["energy"] == sum(s * s for s in samples)

@@ -402,3 +402,109 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     )
     return profile_table(prep, _PROF_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming sessionization (actual streaming job; hard
+# oracle = batch gap-sessionization replayed in SQL: session start =
+# min ts, end = max ts + gap, per 30-minute-gap session)
+# ---------------------------------------------------------------------------
+@query(
+    "events_stream_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_us IS NULL
+                       OR epoch_us(ts) - prev_us > 30*60*1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM (SELECT user_id, ts,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+            FROM events)),
+    numbered AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      FROM marked)
+    SELECT user_id,
+           MIN(epoch_us(ts)) AS start_us,
+           MAX(epoch_us(ts)) + 30*60*1000000 AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from thrill_spark.streaming.windows import stream_session
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    src = os.path.join(tempfile.gettempdir(), "thrill_spark_sess_src")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = stream_session(stream, "ts", "30 minutes", "10 minutes", keys=("user_id",))
+    name = "stream_session_sink"
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL multimodal kernels: PNG resize (decode -> NN resample ->
+# re-encode) and WAV audio decode (container parse + PCM unpack) —
+# both pure-stdlib, both with every output recomputed by the oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_real_resize",
+    """
+    SELECT doc_id AS id, 8 AS width, 8 AS height,
+           CAST(list_reduce(flatten(list_transform(generate_series(0, 7),
+                y -> list_transform(generate_series(0, 7),
+                     x -> ((x*(doc_id%32+1)//8)*7
+                         + (y*(doc_id%24+1)//8)*13 + doc_id) % 256))),
+                (a, b) -> a + b) AS BIGINT) AS pix_sum
+    FROM documents
+    """,
+)
+def q_multimodal_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.functions import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    media = MM.attach_real_png_media(docs, "id")
+    out = MM.resize_real_png(media, width=8, height=8)
+    return out.select("id", "width", "height", "pix_sum")
+
+
+@query(
+    "multimodal_real_wav_decode",
+    """
+    SELECT doc_id AS id,
+           8000 AS sample_rate,
+           CAST(100 + doc_id % 50 AS INT) AS n_samples,
+           CAST(list_reduce(list_transform(
+                  generate_series(0, CAST(100 + doc_id % 50 AS INT) - 1),
+                  i -> ((doc_id*31 + i*17) % 2048 - 1024)
+                     * ((doc_id*31 + i*17) % 2048 - 1024)),
+                (a, b) -> a + b) AS BIGINT) AS energy
+    FROM documents
+    """,
+)
+def q_multimodal_real_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.functions import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    media = MM.attach_real_wav_media(docs, "id")
+    return MM.decode_wav_features(media)

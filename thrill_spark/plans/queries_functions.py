@@ -511,3 +511,40 @@ def q_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias("corr_xy"),
     )
+
+
+@query(
+    "fn_string_distance",
+    """
+    SELECT c_custkey,
+           CAST(levenshtein(c_name, c_mktsegment) AS BIGINT) AS lev_name_seg,
+           CAST(levenshtein(left(c_name, 8), left(c_mktsegment, 8)) AS BIGINT) AS lev_prefix8,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_folded,
+           repeat(left(c_mktsegment, 2), 3) AS seg_rep,
+           reverse(c_name) AS name_rev,
+           CAST(ascii(c_mktsegment) AS BIGINT) AS seg_ascii,
+           CAST(strpos(c_name, '1') AS BIGINT) AS pos_one,
+           right(c_name, 4) AS name_tail
+    FROM customer
+    """,
+)
+def q_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String distance / manipulation audit: levenshtein (the fuzzy-
+    match primitive record linkage runs at scale), translate, repeat,
+    reverse, ascii, strpos/instr, left/right — cross-engine dialect
+    pinned (Spark instr == DuckDB strpos, 1-based, 0 when absent)."""
+    c = load_table(spark, sf_dir, "customer")
+    name, seg = F.col("c_name"), F.col("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        F.levenshtein(name, seg).cast("long").alias("lev_name_seg"),
+        F.levenshtein(F.substring(name, 1, 8), F.substring(seg, 1, 8))
+        .cast("long")
+        .alias("lev_prefix8"),
+        F.translate(seg, "AEIOU", "aeiou").alias("seg_folded"),
+        F.repeat(F.substring(seg, 1, 2), 3).alias("seg_rep"),
+        F.reverse(name).alias("name_rev"),
+        F.ascii(seg).cast("long").alias("seg_ascii"),
+        F.instr(name, "1").cast("long").alias("pos_one"),
+        F.substring(name, -4, 4).alias("name_tail"),
+    )

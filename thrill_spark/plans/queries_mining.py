@@ -508,3 +508,40 @@ def q_multimodal_real_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     media = MM.attach_real_wav_media(docs, "id")
     return MM.decode_wav_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketches (Apache DataSketches HLL): build
+# one sketch PER DAY, union the day sketches into the global estimate —
+# the continuous-aggregate maintenance shape at 100 TB (daily rollups
+# stay mergeable forever; no re-scan of history). Oracle: exact
+# distinct + in-query band assertion on the merged estimate, plus the
+# per-day sketch count (deterministic).
+# ---------------------------------------------------------------------------
+@query(
+    "events_hll_mergeable",
+    """
+    SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_day_sketches,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS merged_ok
+    FROM events
+    """,
+)
+def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    merged = daily.agg(
+        F.count(F.lit(1)).alias("n_day_sketches"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return merged.crossJoin(exact).select(
+        F.col("n_day_sketches").cast("long").alias("n_day_sketches"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        (
+            F.abs(F.col("_est") - F.col("exact_distinct"))
+            <= F.lit(0.05) * F.col("exact_distinct") + F.lit(5.0)
+        ).alias("merged_ok"),
+    )

@@ -545,3 +545,126 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("exact_distinct") + F.lit(5.0)
         ).alias("merged_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact quantile binning (feature engineering): decile boundaries from
+# one scalar percentile aggregate, bucket assignment by broadcast
+# comparison — NOT a global ntile (which would funnel the table through
+# one partition). Spark percentile ≡ DuckDB quantile_cont bit-exact.
+# ---------------------------------------------------------------------------
+_QB_QS = [i / 10 for i in range(1, 10)]
+
+
+@query(
+    "ml_quantile_binning",
+    f"""
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, {_QB_QS}) AS bs FROM orders)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM (
+      SELECT o_totalprice,
+             CAST(1 + len(list_filter(bs, b -> o_totalprice > b)) AS INT) AS bucket
+      FROM orders CROSS JOIN b)
+    GROUP BY bucket
+    """,
+)
+def q_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    qs = ", ".join(str(q) for q in _QB_QS)
+    bounds = o.agg(F.expr(f"percentile(o_totalprice, array({qs}))").alias("bs"))
+    binned = o.crossJoin(F.broadcast(bounds)).select(
+        "o_totalprice",
+        (
+            1 + F.size(F.filter("bs", lambda b: F.col("o_totalprice") > b))
+        ).alias("bucket"),
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick featurizer (sparse bag-of-words into k buckets)
+# ---------------------------------------------------------------------------
+_FH_K = 64
+
+
+@query(
+    "ml_feature_hashing",
+    f"""
+    SELECT doc_id,
+           CAST({SQL_MD5LONG.format(x='t')} % {_FH_K} AS BIGINT) AS feat_idx,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT doc_id, unnest({SQL_TOKS}) AS t FROM documents)
+    GROUP BY doc_id, feat_idx
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: token -> md5-hash bucket in
+    [0, k) -> per-doc sparse counts. One explode + one hash agg; the
+    md5 bucket function is engine-portable (never engine-native
+    hashes)."""
+    from thrill_spark.functions.text import md5_long, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(F.col("doc_id"), F.explode(tokens("text")).alias("t"))
+    return (
+        toked.select(
+            "doc_id", (md5_long(F.col("t")) % _FH_K).alias("feat_idx")
+        )
+        .groupBy("doc_id", "feat_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster size histogram (corpus-health report): LSH pairs ->
+# connected components -> component sizes -> histogram. The closure is
+# replayed by the oracle's recursive CTE (same as dedup_cluster_assign)
+# and aggregated twice.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_cluster_histogram",
+    None,  # filled below: needs _sql_lsh_pairs from queries_llm
+)
+def q_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.plans import algorithms as ALG
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, num_hashes=_MH_K)
+    pairs = D.lsh_candidate_pairs(sig, num_hashes=_MH_K, bands=_MH_BANDS)
+    comp = ALG.connected_components(pairs, a="id_a", b="id_b")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+def _install_cluster_histogram_oracle() -> None:
+    from thrill_spark.plans.queries import ORACLES
+    from thrill_spark.plans.queries_llm import _sql_lsh_pairs
+
+    ORACLES["dedup_cluster_histogram"] = f"""
+    WITH RECURSIVE pairs AS (SELECT * FROM ({_sql_lsh_pairs()})),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(src, n) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.n = e.u),
+    comp AS (SELECT src AS node, MIN(n) AS component FROM reach GROUP BY src),
+    sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY component)
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+    """
+
+
+_install_cluster_histogram_oracle()

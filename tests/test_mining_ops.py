@@ -238,3 +238,26 @@ def test_wav_decode_recovers_planted_signal(spark):
         assert out[ident]["n_samples"] == n
         assert out[ident]["sample_rate"] == 8000
         assert out[ident]["energy"] == sum(s * s for s in samples)
+
+
+# --- merge_upsert ----------------------------------------------------------
+
+
+def test_merge_upsert_actions(spark):
+    from thrill_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "val"])
+    upd = spark.createDataFrame([(2, "B"), (9, "Z")], ["k", "val"])
+    out = {r["k"]: (r["val"], r["_action"]) for r in merge_upsert(base, upd, ["k"]).collect()}
+    assert out == {1: ("a", "keep"), 2: ("B", "update"), 3: ("c", "keep"), 9: ("Z", "insert")}
+
+
+def test_merge_upsert_rejects_missing_cols(spark):
+    import pytest as _pytest
+
+    from thrill_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, "a")], ["k", "val"])
+    upd = spark.createDataFrame([(1,)], ["k"])
+    with _pytest.raises(ValueError):
+        merge_upsert(base, upd, ["k"])

@@ -668,3 +668,108 @@ def _install_cluster_histogram_oracle() -> None:
 
 
 _install_cluster_histogram_oracle()
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO / upsert (CDC ingestion): updates replace matched orders,
+# new keys insert, the rest carry through — one full-outer join.
+# ---------------------------------------------------------------------------
+@query(
+    "merge_upsert_orders",
+    """
+    WITH upd AS (
+      SELECT o_orderkey + CASE WHEN o_orderkey % 14 = 0
+                               THEN 10000000 ELSE 0 END AS o_orderkey,
+             'U' AS o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) + 500 AS price_cents
+      FROM orders WHERE o_orderkey % 7 = 0),
+    base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders)
+    SELECT coalesce(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+                ELSE b.o_orderstatus END AS o_orderstatus,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.price_cents
+                ELSE b.price_cents END AS price_cents,
+           CASE WHEN u.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                THEN 'update'
+                WHEN u.o_orderkey IS NOT NULL THEN 'insert'
+                ELSE 'keep' END AS _action
+    FROM base b FULL OUTER JOIN upd u USING (o_orderkey)
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.operators.merge import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select("o_orderkey", "o_orderstatus", cents.alias("price_cents"))
+    updates = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            (
+                F.col("o_orderkey")
+                + F.when(F.col("o_orderkey") % 14 == 0, 10_000_000).otherwise(0)
+            ).alias("o_orderkey"),
+            F.lit("U").alias("o_orderstatus"),
+            (cents + 500).alias("price_cents"),
+        )
+    )
+    return merge_upsert(base, updates, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill (hypertable-style): complete hourly grid per
+# user between first and last event, forward-filling the last observed
+# value; no arithmetic on the filled doubles, so values carry
+# bit-exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "events_gap_fill",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             arg_max(value, ts) AS v
+      FROM events GROUP BY user_id, date_trunc('hour', ts)),
+    bounds AS (
+      SELECT user_id, MIN(h) AS h_lo, MAX(h) AS h_hi
+      FROM hourly GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h_lo, h_hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds)
+    SELECT user_id, epoch_us(h) AS hour_us,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           v IS NULL AS is_gap
+    FROM grid LEFT JOIN hourly USING (user_id, h)
+    """,
+)
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", "ts").alias("h"), "value", "ts"
+    )
+    hourly = ev.groupBy("user_id", "h").agg(F.max_by("value", "ts").alias("v"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h_lo"), F.max("h").alias("h_hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h_lo", "h_hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    return joined.select(
+        "user_id",
+        F.unix_micros("h").alias("hour_us"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        F.isnull("v").alias("is_gap"),
+    )

@@ -33,8 +33,9 @@ FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
 # Exchange SinglePartition whose child is a keyless partial aggregate:
 # the scalar-merge pattern (one row per upstream task).
+# (HashAggregate prints "keys=[]", SortAggregate prints "key=[]")
 _SCALAR_MERGE_CHILD = re.compile(
-    r"^[\s:+|-]*(Hash|Sort|ObjectHash)?Aggregate\(keys=\[\],"
+    r"^[\s:+|-]*(Hash|Sort|ObjectHash)?Aggregate\(keys?=\[\],"
     r" functions=\[(partial_|merge_)"
 )
 

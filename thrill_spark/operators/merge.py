@@ -51,3 +51,49 @@ def merge_upsert(
         .otherwise(F.lit("keep"))
     )
     return joined.select(*out_keys, *out_vals, action.alias("_action"))
+
+
+SCD2_OPEN_US = 1 << 62  # sentinel: row currently valid
+
+
+def scd2_apply(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    at_us: int,
+    from_col: str = "valid_from_us",
+    to_col: str = "valid_to_us",
+) -> DataFrame:
+    """Slowly-Changing-Dimension type 2: apply a batch of updates at
+    time `at_us`, CLOSING the currently-open version of each matched
+    key (valid_to = at_us) and INSERTING a new open version — closed
+    history rows pass through untouched, so the table keeps every
+    version ever seen.
+
+    updates carries key_cols + the value columns; one left join of the
+    open slice against the (usually much smaller) update batch, plus a
+    union — the standard warehouse-dimension maintenance plan.
+    """
+    keys = list(key_cols)
+    value_cols = [
+        c for c in base.columns if c not in keys and c not in (from_col, to_col)
+    ]
+    closed = base.filter(F.col(to_col) != SCD2_OPEN_US)
+    open_rows = base.filter(F.col(to_col) == SCD2_OPEN_US)
+    u_keys = updates.select(*keys).distinct()
+    matched = open_rows.join(u_keys, keys, "leftsemi").select(
+        *keys, *value_cols, F.col(from_col), F.lit(at_us).cast("long").alias(to_col)
+    )
+    unmatched = open_rows.join(u_keys, keys, "left_anti")
+    fresh = updates.select(
+        *keys,
+        *value_cols,
+        F.lit(at_us).cast("long").alias(from_col),
+        F.lit(SCD2_OPEN_US).cast("long").alias(to_col),
+    )
+    return (
+        closed.select(*keys, *value_cols, from_col, to_col)
+        .unionByName(matched)
+        .unionByName(unmatched.select(*keys, *value_cols, from_col, to_col))
+        .unionByName(fresh)
+    )

@@ -773,3 +773,194 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
         F.isnull("v").alias("is_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: each purchase credits the latest click by
+# the same user within a 1-hour lookback — the as-of join with a
+# tolerance window (ad-attribution shape).
+# ---------------------------------------------------------------------------
+@query(
+    "events_attribution_last_touch",
+    """
+    WITH p AS (SELECT event_id, user_id, ts AS pt FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts AS ct FROM events WHERE event_type = 'click'),
+    m AS (
+      SELECT p.event_id, p.user_id, p.pt, MAX(c.ct) AS best_ct
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id AND c.ct <= p.pt
+       AND c.ct >= p.pt - INTERVAL 1 HOUR
+      GROUP BY p.event_id, p.user_id, p.pt)
+    SELECT event_id, user_id, epoch_us(pt) AS purchase_us,
+           coalesce(epoch_us(best_ct), -1) AS click_us,
+           best_ct IS NOT NULL AS attributed
+    FROM m
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.operators.join import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases, clicks, on_time_left="ts", on_time_right="click_ts",
+        by=("user_id",), direction="backward",
+    )
+    within = F.col("click_ts_r").isNotNull() & (
+        F.unix_micros("ts") - F.unix_micros("click_ts_r") <= 3_600_000_000
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.when(within, F.unix_micros("click_ts_r")).otherwise(-1).alias("click_us"),
+        within.alias("attributed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling time-RANGE aggregates per user (true event-time frame, not
+# row counts): events in the trailing hour, exact integers.
+# ---------------------------------------------------------------------------
+@query(
+    "events_rolling_hour_counts",
+    """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_last_hour
+    FROM events
+    """,
+)
+def q_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension maintenance: apply an update batch at T,
+# closing open versions and inserting new ones; closed history
+# untouched.
+# ---------------------------------------------------------------------------
+_SCD2_T = 1_735_689_600_000_000  # 2025-01-01 00:00:00 UTC in µs
+_SCD2_OPEN = 1 << 62
+
+
+@query(
+    "scd2_orders_status",
+    f"""
+    WITH hist AS (
+      SELECT o_orderkey, o_orderstatus,
+             epoch_us(o_orderdate) - 2592000000000 AS valid_from_us,
+             epoch_us(o_orderdate) AS valid_to_us
+      FROM orders WHERE o_orderkey % 3 = 0),
+    open_rows AS (
+      SELECT o_orderkey, o_orderstatus,
+             epoch_us(o_orderdate) AS valid_from_us,
+             {_SCD2_OPEN} AS valid_to_us
+      FROM orders),
+    upd AS (SELECT o_orderkey, 'X' AS o_orderstatus FROM orders
+            WHERE o_orderkey % 5 = 0)
+    SELECT * FROM hist
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, valid_from_us,
+           {_SCD2_T} AS valid_to_us
+    FROM open_rows WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT * FROM open_rows WHERE o_orderkey % 5 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, {_SCD2_T} AS valid_from_us,
+           {_SCD2_OPEN} AS valid_to_us
+    FROM upd
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.operators.merge import scd2_apply
+
+    o = load_table(spark, sf_dir, "orders")
+    fr = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    hist = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (fr - 2_592_000_000_000).alias("valid_from_us"),
+        fr.alias("valid_to_us"),
+    )
+    open_rows = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        fr.alias("valid_from_us"),
+        F.lit(_SCD2_OPEN).cast("long").alias("valid_to_us"),
+    )
+    base = hist.unionByName(open_rows)
+    upd = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", F.lit("X").alias("o_orderstatus")
+    )
+    return scd2_apply(base, upd, ["o_orderkey"], at_us=_SCD2_T)
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup verify: LSH candidates -> levenshtein on the
+# full normalized text (complements set-based Jaccard: catches small
+# in-place edits that shift every shingle).
+# ---------------------------------------------------------------------------
+def _sql_fuzzy_lev() -> str:
+    from thrill_spark.plans.queries_llm import _sql_lsh_pairs
+
+    return f"""
+    WITH cand AS (SELECT * FROM ({_sql_lsh_pairs()})),
+    t AS (SELECT doc_id, array_to_string({SQL_TOKS}, ' ') AS norm FROM documents)
+    SELECT id_a, id_b,
+           CAST(levenshtein(ta.norm, tb.norm) AS BIGINT) AS lev,
+           CAST(levenshtein(ta.norm, tb.norm) * 5
+                <= greatest(length(ta.norm), length(tb.norm)) AS BOOLEAN) AS is_dup
+    FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b
+    """
+
+
+@query("dedup_fuzzy_levenshtein", _sql_fuzzy_lev())
+def q_fuzzy_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.functions.text import tokens
+    from thrill_spark.ordering import _persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, num_hashes=_MH_K)
+    cand = _persist(D.lsh_candidate_pairs(sig, num_hashes=_MH_K, bands=_MH_BANDS))
+    cand.count()
+    t = docs.select(
+        "doc_id", F.concat_ws(" ", tokens("text")).alias("norm")
+    )
+    ta = t.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("_na"))
+    tb = t.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("_nb"))
+    lev = F.levenshtein("_na", "_nb")
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            lev.cast("long").alias("lev"),
+            (lev * 5 <= F.greatest(F.length("_na"), F.length("_nb"))).alias(
+                "is_dup"
+            ),
+        )
+    )

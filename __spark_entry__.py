@@ -95,6 +95,16 @@ _WINDOW_TAIL = [
     "layout_zorder_stats",
 ]
 
+# Queued for the NEXT window rotation (registered + locally green this
+# round, but past the 50-entry cut): dedup_semantic_keep,
+# fn_higher_order_array, fn_window_frames, fn_stats_exact,
+# fn_string_distance, corpus_weighted_sample, profile_orders,
+# k_core_orders, events_stream_sessionize, multimodal_real_resize,
+# multimodal_real_wav_decode, events_hll_mergeable,
+# ml_quantile_binning, ml_feature_hashing, dedup_cluster_histogram,
+# merge_upsert_orders, scd2_orders_status, events_gap_fill,
+# events_attribution_last_touch, events_rolling_hour_counts,
+# dedup_fuzzy_levenshtein.
 _DRIVER_WINDOW_PRIORITY = (_NEVER_DRIVER_VERIFIED + _WINDOW_TAIL)[:50]
 assert len(_DRIVER_WINDOW_PRIORITY) == 50
 

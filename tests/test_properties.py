@@ -89,3 +89,53 @@ def test_pack_greedy_matches_reference_fold(spark, tokens, budget):
                 fill += t
             expect[i] = (s, b)
     assert got == expect
+
+
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=500), min_size=2, max_size=30),
+    m=st.integers(min_value=1, max_value=20),
+)
+@_settings
+def test_weighted_sample_exact_total_and_proportionality(spark, weights, m):
+    """Sum of picks == m exactly; each doc's picks within 1 of its
+    ideal share w/stride (systematic sampling's defining bound)."""
+    from thrill_spark.functions.corpus import weighted_systematic_sample
+
+    total = sum(weights)
+    if total < m:
+        return
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = weighted_systematic_sample(df, "w", m).collect()
+    stride = total // m
+    assert sum(r["n_picks"] for r in out) >= m  # grid points all land
+    picks = {r["doc_id"]: r["n_picks"] for r in out}
+    for i, w in enumerate(weights):
+        ideal = w / stride
+        assert picks[i] <= ideal + 1
+        assert picks[i] >= max(0, int(ideal) - 1)
+
+
+@given(
+    n_words=st.integers(min_value=0, max_value=60),
+    chunk=st.integers(min_value=2, max_value=16),
+    stride_off=st.integers(min_value=0, max_value=14),
+)
+@_settings
+def test_chunk_windows_cover_every_token(spark, n_words, chunk, stride_off):
+    """Every token position is inside >=1 chunk; consecutive chunks
+    overlap by exactly chunk-stride while both are full."""
+    from thrill_spark.functions.text import chunk_token_windows
+
+    stride = min(chunk, 1 + stride_off)
+    text = " ".join(f"w{i}" for i in range(n_words))
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    rows = sorted(
+        (r["chunk_id"], r["n_toks"]) for r in chunk_token_windows(df, chunk, stride).collect()
+    )
+    covered = set()
+    for cid, ntoks in rows:
+        covered.update(range(cid * stride, cid * stride + ntoks))
+    assert covered == set(range(n_words)) or (n_words == 0 and rows == [(0, 0)])
+    # chunk ids are dense from 0
+    assert [cid for cid, _ in rows] == list(range(len(rows)))

@@ -72,6 +72,13 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "text_chunk_overlap",
     "layout_zorder_stats",
+    # round-3 continuation: semantic dedup, graph peel, CDC merge,
+    # time-series gap fill, edit-distance verify.
+    "dedup_semantic_keep",
+    "k_core_orders",
+    "merge_upsert_orders",
+    "events_gap_fill",
+    "dedup_fuzzy_levenshtein",
 ]
 
 

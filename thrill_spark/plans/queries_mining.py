@@ -964,3 +964,129 @@ def q_fuzzy_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + host dedup (web-corpus curation): lowercase
+# host, strip tracking params / fragment / trailing slash, dedup by
+# canonical form, count per host.
+# ---------------------------------------------------------------------------
+@query(
+    "text_url_canonicalize",
+    """
+    WITH u AS (
+      SELECT event_id,
+             'HTTPS://S' || CAST(user_id % 5 AS VARCHAR) || '.Example.COM/p/'
+               || CAST(event_id % 97 AS VARCHAR)
+               || CASE WHEN event_id % 2 = 0 THEN '/' ELSE '' END
+               || '?utm_source=x&id=' || CAST(user_id AS VARCHAR)
+               || '#frag' AS raw
+      FROM events),
+    canon AS (
+      SELECT event_id,
+             lower('s' || ((event_id % 485) // 97) || '.example.com') AS host_unused,
+             lower(regexp_extract(raw, 'https?://([^/]+)', 1)) AS host,
+             regexp_replace(regexp_extract(raw, 'https?://[^/]+([^?#]*)', 1), '/+$', '') AS path,
+             regexp_extract(raw, '[?&]id=([0-9]+)', 1) AS id_param
+      FROM u)
+    SELECT host, path || '?id=' || id_param AS canonical,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events
+    FROM canon GROUP BY host, canonical
+    """,
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical form: lowercased host, path without trailing slash /
+    query / fragment, tracking params (utm_*) dropped, surviving id
+    param re-appended — then exact dedup on the canonical URL. All
+    string ops are JVM built-ins; the oracle replays the same regex
+    pipeline."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = F.concat(
+        F.lit("HTTPS://S"),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit(".Example.COM/p/"),
+        (F.col("event_id") % 97).cast("string"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=x&id="),
+        F.col("user_id").cast("string"),
+        F.lit("#frag"),
+    )
+    canon = ev.select(
+        "event_id",
+        F.lower(F.regexp_extract(raw, r"https?://([^/]+)", 1)).alias("host"),
+        F.regexp_replace(
+            F.regexp_extract(raw, r"https?://[^/]+([^?#]*)", 1), r"/+$", ""
+        ).alias("path"),
+        F.regexp_extract(raw, r"[?&]id=([0-9]+)", 1).alias("id_param"),
+    )
+    return (
+        canon.groupBy(
+            "host",
+            F.concat(F.col("path"), F.lit("?id="), F.col("id_param")).alias(
+                "canonical"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count_distinct("event_id").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (contrastive training pairs): for
+# each anchor doc, k hash-derived negatives != anchor, reproducible
+# run-to-run and engine-to-engine.
+# ---------------------------------------------------------------------------
+_NEG_K = 4
+
+
+@query(
+    "ml_negative_sampling",
+    f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(MIN(doc_id) AS BIGINT) AS id0 FROM documents),
+    anchors AS (SELECT doc_id FROM documents)
+    SELECT doc_id,
+           CAST(j AS INT) AS neg_slot,
+           CAST(id0 + (({{h}} % n_docs) + CASE WHEN id0 + ({{h}} % n_docs) = doc_id
+                THEN 1 ELSE 0 END) % n_docs AS BIGINT) AS neg_id
+    FROM anchors CROSS JOIN n
+    CROSS JOIN (SELECT unnest(generate_series(0, {_NEG_K - 1})) AS j)
+    """.format(
+        h="CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT)"
+    ),
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """neg(doc, j) = id0 + ((h % n) + bump) % n with h = md5(doc||j),
+    bump=1 when the draw hits the anchor itself — k collision-free
+    negatives per anchor with zero RNG state; contiguous-id fixture
+    makes modular indexing exact. Broadcast scalar (n_docs, id0); one
+    explode; no shuffle at all."""
+    from thrill_spark.functions.text import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("id0"),
+    )
+    a = docs.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "n_docs",
+        "id0",
+        F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("neg_slot"),
+    )
+    h = md5_long(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit("_"), F.col("neg_slot").cast("string")
+        )
+    )
+    draw = F.col("id0") + (h % F.col("n_docs"))
+    bump = F.when(draw == F.col("doc_id"), F.lit(1)).otherwise(F.lit(0))
+    neg = F.col("id0") + ((h % F.col("n_docs")) + bump) % F.col("n_docs")
+    return a.select(
+        "doc_id",
+        F.col("neg_slot").cast("int").alias("neg_slot"),
+        neg.cast("long").alias("neg_id"),
+    )

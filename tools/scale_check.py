@@ -37,6 +37,12 @@ QUERY_SET = [
     "tpch_q18_large_volume_customers",
     "flatmap_wordcount",
     "dedup_minhash_signatures",
+    # linear-by-construction additions (near-dup ops are excluded: a
+    # replicated corpus is all exact clones, so their candidate-pair
+    # volume grows quadratically by SEMANTICS, not by plan defect)
+    "text_chunk_overlap",
+    "k_core_orders",
+    "merge_upsert_orders",
 ]
 KEY_SHIFT = 1_000_000_000
 

@@ -1090,3 +1090,132 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neg_slot").cast("int").alias("neg_slot"),
         neg.cast("long").alias("neg_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly flags (median / MAD): per event-type center + spread
+# via EXACT interpolated percentiles (bit-identical across engines),
+# flag events beyond 3 MAD. The robust-statistics monitoring shape.
+# ---------------------------------------------------------------------------
+@query(
+    "events_anomaly_mad",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type, med,
+             quantile_cont(abs(e.value - med), 0.5) AS mad
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type, med)
+    SELECT e.event_id, e.event_type,
+           CAST(e.value AS DOUBLE) AS value,
+           m.med AS med, m.mad AS mad,
+           abs(e.value - m.med) > 3 * m.mad AS is_anomaly
+    FROM events e JOIN mad m USING (event_type)
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(med, "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    return ev.join(mad, "event_type").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        "med",
+        "mad",
+        (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/test leakage audit: hash-stable split assignment + exact-dup
+# fingerprints; a document whose fingerprint appears in BOTH train and
+# eval splits is a leak. Split-hygiene check every training-data
+# pipeline should run.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_leakage_check",
+    """
+    WITH assigned AS (
+      SELECT doc_id,
+             md5(array_to_string(list_filter(string_split_regex(lower(text), '\\s+'),
+                                             t -> t <> ''), ' ')) AS fp,
+             CASE WHEN CAST('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 10 < 8 THEN 'train' ELSE 'eval' END AS split
+      FROM documents),
+    fps AS (
+      SELECT fp,
+             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             CAST(SUM(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS BIGINT) AS n_eval
+      FROM assigned GROUP BY fp)
+    SELECT fp, n_train, n_eval, n_train > 0 AND n_eval > 0 AS leaked
+    FROM fps WHERE n_train + n_eval > 1
+    """,
+)
+def q_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.functions.text import fingerprint, md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        md5_long(F.concat(F.lit("split_"), F.col("doc_id").cast("string"))) % 10 < 8,
+        "train",
+    ).otherwise("eval")
+    assigned = docs.select(
+        fingerprint("text").alias("fp"), split.alias("split")
+    )
+    fps = assigned.groupBy("fp").agg(
+        F.count_if(F.col("split") == "train").alias("n_train"),
+        F.count_if(F.col("split") == "eval").alias("n_eval"),
+    )
+    return fps.filter(F.col("n_train") + F.col("n_eval") > 1).select(
+        "fp",
+        "n_train",
+        "n_eval",
+        ((F.col("n_train") > 0) & (F.col("n_eval") > 0)).alias("leaked"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: generation 0 files lack price_cents, generation 1
+# adds it; a mergeSchema read unifies both and nulls the missing
+# column — the additive-column migration every long-lived lake table
+# goes through.
+# ---------------------------------------------------------------------------
+@query(
+    "io_schema_evolution",
+    """
+    SELECT CAST(o_orderkey % 2 AS BIGINT) AS gen,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    root = os.path.join(tempfile.gettempdir(), "thrill_spark_schema_evo")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    ).write.mode("overwrite").parquet(f"{root}/batch=0")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", cents.alias("price_cents")
+    ).write.mode("overwrite").parquet(f"{root}/batch=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return merged.groupBy((F.col("o_orderkey") % 2).alias("gen")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.isnull("price_cents")).alias("n_missing_price"),
+    )

@@ -1219,3 +1219,74 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count_if(F.isnull("price_cents")).alias("n_missing_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition #2: chunk-level dedup + sequence packing.
+# Documents -> overlapping token chunks -> exact chunk dedup (keep the
+# smallest (doc, chunk) per fingerprint) -> greedy first-fit packing
+# of surviving chunks into 256-token training sequences. The oracle
+# replays the whole chain, including the sequential packing fold as a
+# recursive CTE per shard.
+# ---------------------------------------------------------------------------
+_CP_BUDGET = 256
+_CP_SHARDS = 8
+
+
+@query(
+    "corpus_chunk_dedup_pack",
+    f"""
+    WITH RECURSIVE base AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) > {_CHUNK}
+                  THEN CAST((len(toks) - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE} AS INT) + 1
+                  ELSE 1 END AS nch
+      FROM base),
+    chunks AS (
+      SELECT doc_id * 1000 + i AS uid,
+             CAST(len(toks[i*{_STRIDE}+1 : i*{_STRIDE}+{_CHUNK}]) AS BIGINT) AS n_tokens,
+             md5(array_to_string(toks[i*{_STRIDE}+1 : i*{_STRIDE}+{_CHUNK}], ' ')) AS fp
+      FROM (SELECT doc_id, toks, unnest(generate_series(0, nch - 1)) AS i FROM c)),
+    surv AS (
+      SELECT MIN(uid) AS uid, MIN(n_tokens) AS n_tokens
+      FROM chunks GROUP BY fp),
+    s AS (
+      SELECT uid, n_tokens,
+             CAST({SQL_MD5LONG.format(x="CAST(uid AS VARCHAR)")} % {_CP_SHARDS} AS INT) AS shard
+      FROM surv),
+    r AS (
+      SELECT uid, n_tokens, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY uid) AS rn
+      FROM s),
+    p AS (
+      SELECT shard, uid, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.shard, r.uid, r.n_tokens, r.rn,
+             CASE WHEN p.fill + r.n_tokens > {_CP_BUDGET}
+                  THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.fill + r.n_tokens > {_CP_BUDGET}
+                  THEN r.n_tokens ELSE p.fill + r.n_tokens END
+      FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+    SELECT uid, n_tokens, CAST(shard AS INT) AS shard, bin FROM p
+    """,
+)
+def q_chunk_dedup_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.functions.corpus import pack_greedy
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = TX.chunk_token_windows(docs, chunk=_CHUNK, stride=_STRIDE)
+    surv = (
+        chunks.select(
+            (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("uid"),
+            F.col("n_toks").cast("long").alias("n_tokens"),
+            F.col("chunk_fp"),
+        )
+        .groupBy("chunk_fp")
+        .agg(F.min("uid").alias("uid"), F.min("n_tokens").alias("n_tokens"))
+    )
+    return pack_greedy(
+        surv, "n_tokens", budget=_CP_BUDGET, id_col="uid", n_shards=_CP_SHARDS
+    )

@@ -58,6 +58,20 @@ BUDGETS = {
     "prefix_scan_running_min": 0,
     "zip_cut_customers_parts": 0,
     "concat_customers_suppliers": 0,
+    # corpus-mining / analytics batch (this round; measured values —
+    # scalar-aggregate SinglePartition merges count here too)
+    "text_chunk_overlap": 0,
+    "text_tfidf_pairs": 1,
+    "merge_upsert_orders": 2,
+    "events_gap_fill": 2,
+    "events_user_retention": 3,
+    "layout_zorder_stats": 1,
+    "ml_feature_hashing": 1,
+    "ml_quantile_binning": 2,
+    "text_url_canonicalize": 2,
+    "ml_negative_sampling": 1,
+    "events_anomaly_mad": 2,
+    "corpus_leakage_check": 1,
 }
 
 

@@ -261,3 +261,34 @@ def test_merge_upsert_rejects_missing_cols(spark):
     upd = spark.createDataFrame([(1,)], ["k"])
     with _pytest.raises(ValueError):
         merge_upsert(base, upd, ["k"])
+
+
+# --- edge cases ------------------------------------------------------------
+
+
+def test_bounded_join_empty_side(spark):
+    left = spark.createDataFrame([(1, 10)], ["bucket", "lid"])
+    right = spark.createDataFrame([], "bucket int, rid int")
+    out = bounded_join(
+        left, right, ["bucket"], salt_left="lid", salt_right="rid",
+        left_cols={"lid": "lid"}, right_cols={"rid": "rid"},
+    )
+    assert out.count() == 0
+
+
+def test_scd2_no_updates_is_identity(spark):
+    from thrill_spark.operators.merge import SCD2_OPEN_US, scd2_apply
+
+    base = spark.createDataFrame(
+        [(1, "a", 100, SCD2_OPEN_US), (2, "b", 50, 90)],
+        ["k", "val", "valid_from_us", "valid_to_us"],
+    )
+    upd = spark.createDataFrame([], "k long, val string")
+    out = {(r["k"], r["valid_to_us"]) for r in scd2_apply(base, upd, ["k"], at_us=200).collect()}
+    assert out == {(1, SCD2_OPEN_US), (2, 90)}
+
+
+def test_incremental_dedup_empty_batch(spark):
+    corpus = spark.createDataFrame([(1, "some corpus text here")], ["doc_id", "text"])
+    batch = spark.createDataFrame([], "doc_id long, text string")
+    assert D.incremental_dedup(batch, corpus).count() == 0

@@ -1290,3 +1290,80 @@ def q_chunk_dedup_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy(
         surv, "n_tokens", budget=_CP_BUDGET, id_col="uid", n_shards=_CP_SHARDS
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph degree distribution (graph-health report for the dedup/CC
+# stack): distinct-neighbor degree histogram of the lineitem-derived
+# graph.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_degree_distribution",
+    """
+    WITH e AS (
+      SELECT DISTINCT least(l_partkey % 200, l_suppkey % 200) AS u,
+             greatest(l_partkey % 200, l_suppkey % 200) AS v
+      FROM lineitem
+      WHERE l_partkey % 200 <> l_suppkey % 200),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+      GROUP BY n)
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = (F.col("l_partkey") % 200).alias("a")
+    b = (F.col("l_suppkey") % 200).alias("b")
+    e = (
+        li.select(a, b)
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# Top-k categories per event-time window (windowed rank — trending
+# items per hour).
+# ---------------------------------------------------------------------------
+@query(
+    "events_top_types_per_hour",
+    """
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT h, event_type, n,
+             row_number() OVER (PARTITION BY h ORDER BY n DESC, event_type) AS rk
+      FROM c)
+    SELECT h AS window_start, event_type, n, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 2
+    """,
+)
+def q_top_types_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 2)
+    )

@@ -1367,3 +1367,40 @@ def q_top_types_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (ingestion maintenance): 64 micro-batch files
+# rewritten into 4; content provably unchanged, achieved file counts
+# emitted as checked columns.
+# ---------------------------------------------------------------------------
+@query(
+    "io_compact_small_files",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           64 AS n_files_before, 4 AS n_files_after,
+           TRUE AS compacted
+    FROM orders
+    """,
+)
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from thrill_spark.sources.io import _parquet_file_count, compact_files
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    root = os.path.join(tempfile.gettempdir(), "thrill_spark_compact")
+    src, dst = f"{root}/small", f"{root}/compacted"
+    o.repartition(64).write.mode("overwrite").parquet(src)
+    n_before = _parquet_file_count(spark, src)
+    n_after = compact_files(spark, src, dst, target_files=4)
+    back = spark.read.parquet(dst)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.lit(n_before).cast("int").alias("n_files_before"),
+        F.lit(n_after).cast("int").alias("n_files_after"),
+        (F.lit(n_after) == 4).alias("compacted"),
+    )

@@ -121,3 +121,55 @@ def write_partitioned(
     node), before any I/O. Keep partition cardinality moderate (<=10k
     dirs) and pair with in-file sorting for row-group pruning."""
     df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def _parquet_file_count(spark: SparkSession, path: str) -> int:
+    """Count data files in a parquet directory via the Hadoop FS API
+    (works for any supported filesystem, not just file://)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    n = 0
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(".parquet"):
+            n += 1
+    return n
+
+
+def compact_files(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_files: int | None = None,
+    target_bytes: int = 512 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into fewer,
+    larger files — the maintenance job every streaming/incremental
+    ingestion needs (a 100 TB table fed by micro-batches degrades into
+    millions of KB-files whose listing + open overhead dominates
+    scans).
+
+    File count is either explicit (`target_files`) or size-derived:
+    ceil(total_bytes / target_bytes), the standard ~512 MB target.
+    Repartition (round-robin) rather than coalesce: coalesce would
+    skew output sizes by collapsing adjacent small files unevenly and
+    caps parallelism of the rewrite itself. Returns the achieved file
+    count.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src)
+    fs = p.getFileSystem(conf)
+    if target_files is None:
+        total = sum(
+            st.getLen() for st in fs.listStatus(p) if st.isFile()
+        )
+        target_files = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src).repartition(target_files).write.mode(
+        "overwrite"
+    ).parquet(dst)
+    return _parquet_file_count(spark, dst)

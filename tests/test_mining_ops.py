@@ -292,3 +292,14 @@ def test_incremental_dedup_empty_batch(spark):
     corpus = spark.createDataFrame([(1, "some corpus text here")], ["doc_id", "text"])
     batch = spark.createDataFrame([], "doc_id long, text string")
     assert D.incremental_dedup(batch, corpus).count() == 0
+
+
+def test_sssp_weighted_planted(spark):
+    from thrill_spark.plans.algorithms import sssp
+
+    # 1 -> 2 (w=10), 1 -> 3 (w=1), 3 -> 2 (w=2): shortest to 2 is 3 via 3.
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 1), (3, 2, 2)], ["src", "dst", "w"]
+    )
+    out = {r["node"]: r["dist"] for r in sssp(edges, 1).collect()}
+    assert out == {1: 0, 2: 3, 3: 1}

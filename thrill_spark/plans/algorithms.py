@@ -481,3 +481,45 @@ def k_core(
             )
         prev = c
     raise RuntimeError(f"k_core: no fixpoint within {max_iters} rounds")
+
+
+def sssp(
+    edges: DataFrame,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+    max_iters: int = 40,
+) -> DataFrame:
+    """Weighted single-source shortest paths (Bellman-Ford rounds):
+    each round relaxes every edge once — one equi-join + one min
+    aggregation — and the (node count, total distance) pair certifies
+    the fixpoint (both are monotone under relaxation). Extends bfs()
+    above to weighted graphs; raises instead of returning partial
+    distances if the bound is hit.
+
+    Returns (node, dist) with exact integer distances.
+    """
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], "node long, dist long").localCheckpoint()
+    prev = (1, 0)
+    for _ in range(max_iters):
+        cand = (
+            dist.join(edges, dist["node"] == edges[src])
+            .select(F.col(dst).alias("node"), (F.col("dist") + F.col(w)).alias("dist"))
+        )
+        merged = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        row = merged.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("t")
+        ).collect()[0]
+        cur = (row["n"], row["t"])
+        dist = merged
+        if cur == prev:
+            return dist
+        prev = cur
+    raise RuntimeError(f"sssp: no fixpoint within {max_iters} rounds")

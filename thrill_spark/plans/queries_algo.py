@@ -478,3 +478,53 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = e1.unionByName(e2).unionByName(e3).distinct()
     return A.k_core(edges, _KC_K)
+
+
+# ---------------------------------------------------------------------------
+# Weighted SSSP on the deterministic doubling/tripling DAG (i -> 2i,
+# i -> 3i, ascending so acyclic): Spark runs Bellman-Ford rounds to a
+# certified fixpoint; the oracle enumerates ALL paths from the source
+# with a recursive CTE (finite on a DAG) and takes the min per node.
+# ---------------------------------------------------------------------------
+_SSSP_MOD = 4096
+
+
+@query(
+    "sssp_weighted_dag",
+    f"""
+    WITH RECURSIVE ids AS MATERIALIZED (
+      SELECT DISTINCT o_orderkey % {_SSSP_MOD} AS i FROM orders
+      WHERE o_orderkey % {_SSSP_MOD} >= 1),
+    e AS MATERIALIZED (
+      SELECT i AS src, i * 2 AS dst, (i * 2 % 97) + 1 AS w FROM ids
+      WHERE i * 2 < {_SSSP_MOD}
+      UNION ALL
+      SELECT i AS src, i * 3 AS dst, (i * 3 % 97) + 1 AS w FROM ids
+      WHERE i * 3 < {_SSSP_MOD}),
+    walk(node, d) AS (
+      SELECT CAST(MIN(i) AS BIGINT), CAST(0 AS BIGINT) FROM ids
+      UNION ALL
+      SELECT e.dst, w.d + e.w FROM walk w JOIN e ON e.src = w.node)
+    SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY node
+    """,
+)
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ids = (
+        o.select((F.col("o_orderkey") % _SSSP_MOD).alias("i"))
+        .filter(F.col("i") >= 1)
+        .distinct()
+    )
+    e2 = ids.filter(F.col("i") * 2 < _SSSP_MOD).select(
+        F.col("i").alias("src"),
+        (F.col("i") * 2).alias("dst"),
+        ((F.col("i") * 2) % 97 + 1).alias("w"),
+    )
+    e3 = ids.filter(F.col("i") * 3 < _SSSP_MOD).select(
+        F.col("i").alias("src"),
+        (F.col("i") * 3).alias("dst"),
+        ((F.col("i") * 3) % 97 + 1).alias("w"),
+    )
+    edges = e2.unionByName(e3)
+    source = ids.agg(F.min("i")).collect()[0][0]
+    return A.sssp(edges, int(source))

@@ -1404,3 +1404,34 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_after).cast("int").alias("n_files_after"),
         (F.lit(n_after) == 4).alias("compacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset manifest round-trip (verifiable hand-off): write parquet +
+# _manifest.json (row count, order-insensitive md5 checksum), re-read,
+# re-derive, compare.
+# ---------------------------------------------------------------------------
+@query(
+    "io_manifest_roundtrip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(BIT_XOR(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT)) AS BIGINT) AS checksum,
+           TRUE AS verified
+    FROM documents
+    """,
+)
+def q_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from thrill_spark.sources.io import verify_manifest, write_with_manifest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    path = os.path.join(tempfile.gettempdir(), "thrill_spark_manifest")
+    write_with_manifest(docs, path, key_col="doc_id")
+    m = verify_manifest(spark, path)
+    return spark.createDataFrame(
+        [(m["n_rows"], m["checksum"], m["verified"])],
+        "n_rows long, checksum long, verified boolean",
+    )

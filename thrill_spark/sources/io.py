@@ -173,3 +173,63 @@ def compact_files(
         "overwrite"
     ).parquet(dst)
     return _parquet_file_count(spark, dst)
+
+
+def write_with_manifest(df: DataFrame, path: str, key_col: str) -> dict:
+    """Write parquet plus a `_manifest.json` recording row count and an
+    order-insensitive content checksum (bit_xor of md5-derived 60-bit
+    key hashes — associative/commutative, overflow-free, distributes
+    as one aggregate). The
+    manifest is what makes a dataset hand-off verifiable: the consumer
+    re-derives both numbers with one scan and rejects partial or
+    corrupted copies.
+    """
+    import json as _json
+
+    from thrill_spark.functions.text import md5_long
+
+    df.write.mode("overwrite").parquet(path)
+    back = df.sparkSession.read.parquet(path)
+    row = back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(md5_long(F.col(key_col).cast("string"))).alias("chk"),
+    ).collect()[0]
+    manifest = {"n_rows": row["n"], "checksum": int(row["chk"]), "key_col": key_col}
+    jvm = df.sparkSession.sparkContext._jvm
+    conf = df.sparkSession.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path + "/_manifest.json")
+    fs = p.getFileSystem(conf)
+    out = fs.create(p, True)
+    out.write(bytearray(_json.dumps(manifest).encode()))
+    out.close()
+    return manifest
+
+
+def verify_manifest(spark: SparkSession, path: str) -> dict:
+    """Re-derive the manifest numbers from the data and compare."""
+    import json as _json
+
+    from thrill_spark.functions.text import md5_long
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path + "/_manifest.json")
+    fs = p.getFileSystem(conf)
+    stream = fs.open(p)
+    data = []
+    while True:
+        b = stream.read()
+        if b < 0:
+            break
+        data.append(b)
+    stream.close()
+    manifest = _json.loads(bytes(data).decode())
+    back = spark.read.parquet(path)
+    row = back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(md5_long(F.col(manifest["key_col"]).cast("string"))).alias("chk"),
+    ).collect()[0]
+    manifest["verified"] = (
+        row["n"] == manifest["n_rows"] and int(row["chk"]) == manifest["checksum"]
+    )
+    return manifest

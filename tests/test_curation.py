@@ -1,0 +1,154 @@
+"""Planted-ground-truth tests for the advanced-curation batch:
+bigram LM surprisal, duplicated-n-gram cover, int8 quantization,
+JL random projection, key-skew report."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from thrill_spark.functions.dedup import duplicated_ngram_cover
+from thrill_spark.functions.embed import quantize_int8, random_project
+from thrill_spark.functions.profile import key_skew_report
+from thrill_spark.functions.text import bigram_surprisal
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_surprisal_planted(spark):
+    # corpus: "a b a b" and "a b c". bigrams: (a,b)x2+(a,b)=3? ->
+    # doc1: (a,b),(b,a),(a,b)  doc2: (a,b),(b,c)
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in bigram_surprisal(df).collect()}
+    # model: c12: (a,b)=3, (b,a)=1, (b,c)=1 ; c1: a=3, b=2 ; V=|{a,b,c}|=3
+    # weights: (a,b) -> (3+3)//(3+1)=1 ; (b,a) -> (2+3)//(1+1)=2 ;
+    #          (b,c) -> (2+3)//(1+1)=2
+    assert rows[1].n_bigrams == 3 and rows[1].surprisal == 1 + 2 + 1
+    assert rows[2].n_bigrams == 2 and rows[2].surprisal == 1 + 2
+
+
+def test_bigram_surprisal_short_docs_drop(spark):
+    df = spark.createDataFrame([(1, "only"), (2, "a b")], ["doc_id", "text"])
+    out = bigram_surprisal(df).collect()
+    assert [r.doc_id for r in out] == [2]
+
+
+# ---------------------------------------------------------------------------
+# duplicated n-gram cover
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_cover_planted(spark):
+    shared = "t0 t1 t2 t3"  # the duplicated 4-gram
+    df = spark.createDataFrame(
+        [
+            (1, shared + " u1 u2"),
+            (2, "v1 " + shared),
+            (3, "w0 w1 w2 w3 w4 w5"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in duplicated_ngram_cover(df, n=4).collect()}
+    # docs 1 and 2 share the 4-gram -> its 4 positions covered in each
+    assert out[1].n_tokens == 6 and out[1].n_dup_tokens == 4
+    assert out[1].dup_frac_bp == 4 * 10000 // 6
+    assert out[1].kept_fp == _md5("u1 u2")
+    assert out[2].n_tokens == 5 and out[2].n_dup_tokens == 4
+    assert out[2].kept_fp == _md5("v1")
+    # doc 3 has no duplicated grams
+    assert out[3].n_dup_tokens == 0 and out[3].kept_fp == _md5(
+        "w0 w1 w2 w3 w4 w5"
+    )
+
+
+def test_ngram_cover_fully_covered(spark):
+    df = spark.createDataFrame(
+        [(1, "x0 x1 x2 x3"), (2, "x0 x1 x2 x3")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in duplicated_ngram_cover(df, n=4).collect()}
+    assert out[1].n_dup_tokens == 4 and out[1].dup_frac_bp == 10000
+    assert out[1].kept_fp == _md5("")
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int8_planted(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {r.vec_id: r for r in quantize_int8(df).collect()}
+    # scale = 1.0; codes: floor(0.5*127+0.5)=64? 63.5+0.5=64 -> 64,
+    # floor(-127+0.5)= -127, floor(31.75+0.5)=32
+    assert out[1].scale == 1.0
+    assert out[1].q_fp == _md5("64,-127,32")
+    # reconstruction error matches a python replay of the same fold
+    exp = 0.0
+    for x, q in [(0.5, 64), (-1.0, -127), (0.25, 32)]:
+        d = x - q * 1.0 / 127.0
+        exp = exp + d * d
+    assert out[1].sq_err == exp
+    # zero vector
+    assert out[2].scale == 0.0 and out[2].q_fp == _md5("0,0,0")
+    assert out[2].sq_err == 0.0
+
+
+# ---------------------------------------------------------------------------
+# JL random projection
+# ---------------------------------------------------------------------------
+
+
+def _jl_sign_py(j: int, k: int, out_dim: int) -> float:
+    return 1.0 if _md5(str(j * out_dim + k))[0] < "8" else -1.0
+
+
+def test_random_project_matches_python_replay(spark):
+    vec = [0.1, -0.25, 0.75, 1.5]
+    df = spark.createDataFrame([(7, vec)], ["vec_id", "embedding"])
+    row = random_project(df, out_dim=4).collect()[0]
+    for k in range(4):
+        exp = 0.0
+        for j, x in enumerate(vec):
+            exp = exp + x * _jl_sign_py(j, k, 4)
+        assert getattr(row, f"p{k}") == exp, k
+
+
+def test_random_project_scale_equivariance(spark):
+    # scaling by a power of two commutes with every FP rounding step,
+    # so p(2v) must be exactly 2*p(v)
+    vec = [0.3, -0.7, 0.11, 0.923, -0.004]
+    df = spark.createDataFrame(
+        [(1, vec), (2, [2 * x for x in vec])], ["vec_id", "embedding"]
+    )
+    out = {r.vec_id: r for r in random_project(df, out_dim=4).collect()}
+    for k in range(4):
+        assert getattr(out[2], f"p{k}") == 2 * getattr(out[1], f"p{k}")
+
+
+# ---------------------------------------------------------------------------
+# key-skew report
+# ---------------------------------------------------------------------------
+
+
+def test_key_skew_report_planted(spark):
+    rows = [(1,)] * 60 + [(2,)] * 30 + [(3,)] * 10
+    df = spark.createDataFrame(rows, ["k"])
+    out = key_skew_report(df, "k", top_n=2).collect()
+    assert [(r.key, r.n_rows) for r in out] == [(1, 60), (2, 30)]
+    assert out[0].share_bp == 6000
+    # mean load = 100/3 keys -> 60 rows = 1.8x mean -> 1800 millis
+    assert out[0].x_mean_millis == 60 * 1000 * 3 * 100 // (100 * 100)

@@ -559,3 +559,94 @@ def incremental_dedup(
             (F.coalesce(F.col("n_dups"), F.lit(0)) > 0).alias("is_dup"),
         )
     )
+
+
+def duplicated_ngram_cover(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Substring-level dedup signal: per-doc fraction of tokens covered
+    by an n-gram that occurs more than once in the whole corpus, plus
+    the fingerprint of the text with covered tokens dropped.
+
+    The ExactSubstr pass of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better") approximated at n-gram
+    granularity: a token position is "covered" when ANY corpus-
+    duplicated n-gram's occurrence span [i, i+n) contains it. Unlike
+    whole-doc or chunk dedup this catches long shared spans embedded
+    in otherwise-unique documents (boilerplate, quotations, licenses).
+
+    Plan shape (all exact-integer / md5, oracle-replayable):
+      posexplode n-gram starts -> md5 gram key -> groupBy count ->
+      semi-join duplicated grams back to occurrences -> explode each
+      occurrence's n positions -> distinct covered (doc, pos) ->
+      anti-join against token positions -> re-assemble survivors in
+      position order.
+
+    Scale: the gram->count join key space is the distinct-gram set
+    (sublinear in corpus with natural text); the position explode is a
+    bounded n-fold expansion of *duplicated occurrences only*, not the
+    whole corpus. No UDFs, no driver paths; every shuffle is keyed by
+    gram hash or doc id. Returns (id_col, n_tokens, n_dup_tokens,
+    dup_frac_bp, kept_fp).
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") >= n
+    )
+    occ = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(_toks) - {n}),"
+                f" i -> struct(i AS pos, md5(array_join(slice(_toks, i + 1, {n}), ' ')) AS g))"
+            )
+        ).alias("_o"),
+    ).select(id_col, "_o.pos", "_o.g")
+    dup_grams = occ.groupBy("g").agg(F.count("*").alias("_c")).filter(F.col("_c") > 1)
+    covered = (
+        occ.join(dup_grams.select("g"), "g")
+        .select(
+            F.col(id_col).alias("_cid"),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias(
+                "cpos"
+            ),
+        )
+        .distinct()
+    )
+    pos_toks = toks.select(
+        F.col(id_col), F.posexplode("_toks").alias("tpos", "tok")
+    )
+    kept = pos_toks.join(
+        covered,
+        (pos_toks[id_col] == covered["_cid"]) & (pos_toks.tpos == covered.cpos),
+        "left_anti",
+    )
+    kept_agg = kept.groupBy(id_col).agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("kept_fp"),
+        F.count("*").alias("_n_kept"),
+    )
+    base = toks.select(F.col(id_col), F.size("_toks").cast("long").alias("n_tokens"))
+    return (
+        base.join(kept_agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+                "n_dup_tokens"
+            ),
+            F.expr(
+                "CAST((n_tokens - coalesce(_n_kept, 0)) * 10000 div n_tokens AS BIGINT)"
+            ).alias("dup_frac_bp"),
+            F.coalesce(F.col("kept_fp"), F.md5(F.lit(""))).alias("kept_fp"),
+        )
+    )

@@ -1,0 +1,116 @@
+"""Embedding storage/compression operators: int8 scalar quantization
+and Johnson-Lindenstrauss ±1 random projection.
+
+No reference analogue (Thrill has no vector ops; closest surface is
+its per-element Map, reference/thrill/api/map.hpp) — these are the
+embedding-column utilities a 100 TB training/retrieval pipeline needs:
+quantization cuts vector storage 4× before shipping to an ANN index;
+JL projection shrinks dimensionality so downstream LSH/IVF bucket
+work scans 8 doubles instead of 64 floats.
+
+Determinism contract (shared with functions/similarity.py): every
+floating-point reduction is a *sequential left fold* (F.aggregate),
+whose addition order DuckDB's list_reduce reproduces bit-for-bit;
+element-wise *, /, floor, sqrt are IEEE-754 correctly-rounded and so
+engine-identical. Random signs come from md5 (identical in both
+engines), never from an RNG.
+
+Scale: both operators are pure per-row column expressions — no
+shuffle, no UDF, whole-stage-codegen eligible; they pipeline into
+whatever scan feeds them at any data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_Q_LEVELS = 127  # symmetric int8 range [-127, 127]
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector max-abs int8 scalar quantization.
+
+    q_i = floor(v_i / scale * 127 + 0.5)  with scale = max_i |v_i|
+    (floor(x+0.5) rounding, not round(): round() half-even vs
+    half-away differs across engines; floor is IEEE-exact in both).
+
+    Returns (id_col, scale, q_fp, sq_err):
+      scale   — the dequantization factor (a single element's |value|,
+                so exact, no accumulation),
+      q_fp    — md5 of the comma-joined int codes (the quantized
+                payload's fingerprint; the codes themselves would be
+                the stored column in a real pipeline),
+      sq_err  — reconstruction sum((v_i - q_i*scale/127)^2), sequential
+                left fold.
+    Zero vectors quantize to all-zero codes with sq_err 0.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs))
+    q = F.when(scale == F.lit(0.0), F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor(x / scale * F.lit(float(_Q_LEVELS)) + F.lit(0.5)).cast(
+                "int"
+            ),
+        )
+    )
+    df = (
+        df.withColumn("_v", v)
+        .withColumn("_scale", scale)
+        .withColumn("_q", q)
+    )
+    recon = F.zip_with(
+        F.col("_v"),
+        F.col("_q"),
+        lambda x, qi: (
+            x - qi.cast("double") * F.col("_scale") / F.lit(float(_Q_LEVELS))
+        )
+        * (x - qi.cast("double") * F.col("_scale") / F.lit(float(_Q_LEVELS))),
+    )
+    sq_err = F.aggregate(recon, F.lit(0.0), lambda acc, x: acc + x)
+    return df.select(
+        F.col(id_col),
+        F.col("_scale").alias("scale"),
+        F.md5(F.array_join(F.transform(F.col("_q"), lambda x: x.cast("string")), ",")).alias(
+            "q_fp"
+        ),
+        sq_err.alias("sq_err"),
+    )
+
+
+def _jl_sign(j: Column, k: int, out_dim: int) -> Column:
+    """Deterministic ±1 from md5(j*out_dim + k): first hex nibble < '8'
+    maps to +1 — an unbiased coin both engines compute identically."""
+    cell = (j * F.lit(out_dim) + F.lit(k)).cast("string")
+    return F.when(F.substring(F.md5(cell), 1, 1) < F.lit("8"), F.lit(1.0)).otherwise(
+        F.lit(-1.0)
+    )
+
+
+def random_project(
+    df: DataFrame,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """JL ±1 random projection to `out_dim` dims (Achlioptas 2003
+    database-friendly variant, sign-only): p_k = Σ_j v_j · s(j,k),
+    folded sequentially over j so the oracle replays the addition
+    order. Columns p0..p{out_dim-1}; no 1/sqrt(d) normalization (a
+    constant factor downstream cosine ignores)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    df = df.withColumn("_v", v)
+    d = F.size(F.col("_v"))
+    def _proj(k: int) -> Column:
+        def step(acc: Column, j: Column) -> Column:
+            return acc + F.element_at(F.col("_v"), j + F.lit(1)) * _jl_sign(
+                j, k, out_dim
+            )
+
+        return F.aggregate(F.sequence(F.lit(0), d - F.lit(1)), F.lit(0.0), step)
+
+    projs = [_proj(k).alias(f"p{k}") for k in range(out_dim)]
+    return df.select(F.col(id_col), *projs)

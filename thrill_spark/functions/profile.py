@@ -41,3 +41,38 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             "as (col_name, n_null, n_distinct, min_str, max_str)"
         )
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
+    """Join/agg-key skew diagnostic: the top_n heaviest keys with their
+    row counts and corpus share in basis points (exact-integer), plus
+    each key's multiple of the mean key load (x1000, integer).
+
+    This is the planning probe you run BEFORE a 100 TB join to decide
+    between plain shuffle, broadcast, AQE skew-split, or salting
+    (operators/skew.py): a key holding >5% of rows will stall a
+    1000-executor shuffle join on one task. One groupBy pass + a
+    scalar-broadcast share computation; the top-k cut is a single
+    ORDER BY LIMIT on the key-count table (vocabulary-sized, not
+    corpus-sized). Deterministic tie-break on key value.
+    """
+    counts = df.groupBy(F.col(key_col).cast("long").alias("key")).agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").cast("long").alias("_total"),
+        F.count("*").cast("long").alias("_n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n_rows",
+            F.expr("n_rows * 10000 div _total").cast("long").alias("share_bp"),
+            F.expr("n_rows * 1000 * _n_keys div _total").cast("long").alias(
+                "x_mean_millis"
+            ),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(top_n)
+    )

@@ -322,3 +322,59 @@ def chunk_token_windows(
             F.md5(F.concat_ws(" ", piece)).alias("chunk_fp"),
         )
     )
+
+
+def bigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained add-one-smoothed bigram LM score per document.
+
+    Extends unigram_rarity's exact-integer -log p stand-in one order
+    up: for each in-document bigram (w1, w2), the weight is
+    (c(w1·) + V) div (c(w1 w2) + 1) — the integer-truncated
+    reciprocal of the Laplace-smoothed conditional
+    p(w2|w1) = (c12 + 1) / (c1 + V). Frequent continuations weigh
+    ~1, unseen-in-context continuations weigh ~(c1+V). The per-doc
+    sum is an exact-integer perplexity surrogate both engines
+    reproduce bit-for-bit (float ln is not identically rounded
+    across libm implementations, so it can't be value-hashed).
+
+    Scale: one explode pass builds the bigram stream; the model
+    (bigram counts + context totals) is vocabulary²-bounded, orders
+    of magnitude smaller than the corpus, so the scoring join is
+    AQE-broadcastable; V folds over the vocab table, not the token
+    stream. Docs with < 2 tokens have no bigrams and drop out.
+    Returns (id_col, n_bigrams, surprisal).
+    """
+    from thrill_spark.ordering import _persist
+
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") >= 2
+    )
+    bg = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_toks) - 2),"
+                " i -> struct(_toks[i] AS w1, _toks[i+1] AS w2))"
+            )
+        ).alias("_bg"),
+    ).select(id_col, "_bg.w1", "_bg.w2")
+    # Model tables: bigram counts, context (w1) totals, vocab size.
+    # Persisted — each feeds both training reductions and the scoring
+    # join (drained via ordering.release_persisted()).
+    c12 = _persist(bg.groupBy("w1", "w2").agg(F.count("*").alias("_c12")))
+    c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
+    vocab = bg.select(F.col("w1").alias("_t")).union(
+        bg.select(F.col("w2").alias("_t"))
+    )
+    v_size = vocab.agg(F.count_distinct("_t").cast("long").alias("_v"))
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v_size))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum(F.expr("(_c1 + _v) div (_c12 + 1)")).cast("long").alias("surprisal"),
+    )

@@ -630,3 +630,4 @@ from thrill_spark.plans import queries_functions  # noqa: E402,F401
 from thrill_spark.plans import queries_corpus  # noqa: E402,F401
 from thrill_spark.plans import queries_pipeline  # noqa: E402,F401
 from thrill_spark.plans import queries_mining  # noqa: E402,F401
+from thrill_spark.plans import queries_curation  # noqa: E402,F401

@@ -1,0 +1,192 @@
+"""Queries batch: advanced curation operators — corpus-trained bigram
+LM surprisal, substring-level duplicated-n-gram cover (ExactSubstr at
+n-gram granularity), int8 embedding quantization, JL random
+projection, and join-key skew diagnostics.
+
+No reference analogue (Thrill's examples stop at WordCount / TPC-H
+join, reference/thrill/examples/); these are the data-curation and
+capacity-planning operators a 100 TB training-data pipeline runs.
+Floating-point outputs follow the functions/similarity.py determinism
+contract (sequential left folds ≡ DuckDB list_reduce); everything
+else is exact-integer / md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from thrill_spark.catalog import load_table
+from thrill_spark.functions import dedup as D
+from thrill_spark.functions import embed as E
+from thrill_spark.functions import profile as P
+from thrill_spark.functions import text as TX
+from thrill_spark.plans.queries import query
+from thrill_spark.plans.queries_llm import SQL_TOKS
+
+# ---------------------------------------------------------------------------
+# Corpus-trained bigram LM surprisal (exact-integer -log p stand-in)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_bigram_lm",
+    f"""
+    WITH base AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    docs2 AS (SELECT * FROM base WHERE len(toks) >= 2),
+    bg AS (
+      SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - 2)) AS i
+            FROM docs2)),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT t) AS v FROM
+          (SELECT w1 AS t FROM bg UNION ALL SELECT w2 FROM bg))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM((c1 + v) // (c12 + 1)) AS BIGINT) AS surprisal
+    FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bigram_surprisal(docs)
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-n-gram cover (substring-level dedup signal, n = 8)
+# ---------------------------------------------------------------------------
+_COVER_N = 8
+
+
+@query(
+    "dedup_ngram_cover",
+    f"""
+    WITH base AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    docs AS (SELECT * FROM base WHERE len(toks) >= {_COVER_N}),
+    occ AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i+1:i+{_COVER_N}], ' ')) AS g
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - {_COVER_N})) AS i
+            FROM docs)),
+    dupg AS (SELECT g FROM occ GROUP BY g HAVING COUNT(*) > 1),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + j AS cpos
+      FROM (SELECT doc_id, pos, unnest(generate_series(0, {_COVER_N} - 1)) AS j
+            FROM occ WHERE g IN (SELECT g FROM dupg))),
+    pt AS (
+      SELECT doc_id, i - 1 AS tpos, toks[i] AS tok
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+            FROM docs)),
+    kept AS (
+      SELECT pt.* FROM pt
+      WHERE NOT EXISTS (SELECT 1 FROM cov
+                        WHERE cov.doc_id = pt.doc_id AND cov.cpos = pt.tpos)),
+    ka AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY tpos)) AS kept_fp,
+                  COUNT(*) AS n_kept
+           FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           CAST(len(d.toks) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_dup_tokens,
+           CAST((len(d.toks) - coalesce(ka.n_kept, 0)) * 10000
+                // len(d.toks) AS BIGINT) AS dup_frac_bp,
+           coalesce(ka.kept_fp, md5('')) AS kept_fp
+    FROM docs d LEFT JOIN ka USING (doc_id)
+    """,
+)
+def q_ngram_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicated_ngram_cover(docs, n=_COVER_N)
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (storage 4x cut; reconstruction audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_embedding_quantize",
+    """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS scale FROM v),
+    q AS (SELECT vec_id, v, scale,
+                 CASE WHEN scale = 0.0
+                      THEN list_transform(v, x -> 0)
+                      ELSE list_transform(
+                             v, x -> CAST(floor(x / scale * 127.0 + 0.5) AS INT))
+                 END AS q
+          FROM s)
+    SELECT vec_id, scale,
+           md5(array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ','))
+             AS q_fp,
+           CASE WHEN scale = 0.0 THEN 0.0 ELSE
+             list_reduce(list_transform(generate_series(1, len(v)),
+                 i -> (v[i] - q[i] * scale / 127.0)
+                    * (v[i] - q[i] * scale / 127.0)),
+                 (a, b) -> a + b)
+           END AS sq_err
+    FROM q
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return E.quantize_int8(emb)
+
+
+# ---------------------------------------------------------------------------
+# JL +-1 random projection 64 -> 8 dims (md5-derived signs, fold-exact)
+# ---------------------------------------------------------------------------
+_JL_DIM = 8
+
+
+def _sql_jl() -> str:
+    cols = ",\n           ".join(
+        f"""list_reduce(list_transform(generate_series(0, len(v) - 1),
+               j -> v[j+1] * (CASE WHEN substr(md5(CAST(j * {_JL_DIM} + {k} AS VARCHAR)), 1, 1) < '8'
+                              THEN 1.0 ELSE -1.0 END)),
+               (a, b) -> a + b) AS p{k}"""
+        for k in range(_JL_DIM)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT vec_id,
+           {cols}
+    FROM v
+    """
+
+
+@query("ml_random_projection", _sql_jl())
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return E.random_project(emb, out_dim=_JL_DIM)
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnostic on orders.o_custkey
+# ---------------------------------------------------------------------------
+_SKEW_TOPN = 20
+
+
+@query(
+    "profile_key_skew",
+    f"""
+    WITH counts AS (
+      SELECT CAST(o_custkey AS BIGINT) AS key,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY o_custkey),
+    t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM counts)
+    SELECT key, n_rows,
+           CAST(n_rows * 10000 // total AS BIGINT) AS share_bp,
+           CAST(n_rows * 1000 * n_keys // total AS BIGINT) AS x_mean_millis
+    FROM counts CROSS JOIN t
+    ORDER BY n_rows DESC, key ASC LIMIT {_SKEW_TOPN}
+    """,
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return P.key_skew_report(orders, "o_custkey", top_n=_SKEW_TOPN)

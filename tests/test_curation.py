@@ -152,3 +152,73 @@ def test_key_skew_report_planted(spark):
     assert out[0].share_bp == 6000
     # mean load = 100/3 keys -> 60 rows = 1.8x mean -> 1800 millis
     assert out[0].x_mean_millis == 60 * 1000 * 3 * 100 // (100 * 100)
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_two_cliques(spark):
+    from thrill_spark.plans.algorithms import label_propagation
+
+    # two triangles bridged by one edge: each triangle converges to a
+    # single shared label and the bridge does not merge them (each
+    # bridge endpoint has 2 intra votes vs 1 inter vote). Which label
+    # each triangle lands on is the deterministic LPA outcome (the
+    # bridge leaks node 2's label into the right triangle).
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    out = {r.node: r.community for r in label_propagation(df, rounds=4).collect()}
+    assert out[0] == out[1] == out[2]
+    assert out[10] == out[11] == out[12]
+    assert out[0] != out[10]
+
+
+def test_label_propagation_deterministic(spark):
+    from thrill_spark.plans.algorithms import label_propagation
+
+    edges = [(i, (i * 7 + 3) % 20) for i in range(40)]
+    df = spark.createDataFrame(edges, ["a", "b"]).filter("a <> b")
+    r1 = sorted(map(tuple, label_propagation(df, rounds=3).collect()))
+    r2 = sorted(map(tuple, label_propagation(df, rounds=3).collect()))
+    assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# temperature mixing quotas
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mix_flattens(spark):
+    from thrill_spark.functions.corpus import temperature_mix_quotas
+
+    rows = [("big",)] * 900 + [("small",)] * 100
+    df = spark.createDataFrame(rows, ["source"])
+    out = {r.source: r for r in temperature_mix_quotas(df, budget=1000).collect()}
+    # raw shares 90/10; sqrt-flattened 30/(30+10)=75% vs 25%
+    assert out["big"].quota == 750 and out["small"].quota == 250
+    assert out["big"].n_docs == 900
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch upsert sink
+# ---------------------------------------------------------------------------
+
+
+def test_foreach_batch_upsert_idempotent(spark, tmp_path):
+    from thrill_spark.streaming.sink import ForeachBatchUpsert
+
+    sink = ForeachBatchUpsert(str(tmp_path / "t"), ["k"], ["ts", "eid"])
+    b1 = spark.createDataFrame([(1, 10, 100, "a"), (2, 10, 101, "b")],
+                               ["k", "ts", "eid", "val"])
+    b2 = spark.createDataFrame([(1, 20, 102, "c")], ["k", "ts", "eid", "val"])
+    sink(b1, 0)
+    sink(b2, 1)
+    after = sorted(map(tuple, sink.result(spark).collect()))
+    # replaying an old batch (at-least-once redelivery) must not change
+    # the converged state
+    sink(b1, 2)
+    assert sorted(map(tuple, sink.result(spark).collect())) == after
+    state = {r.k: (r.ts, r.val) for r in sink.result(spark).collect()}
+    assert state[1] == (20, "c") and state[2] == (10, "b")

@@ -268,3 +268,48 @@ def weighted_systematic_sample(
         F.col("_w").alias("weight"),
         F.expr(f"({g_end}) - ({g_start})").alias("n_picks"),
     )
+
+
+def temperature_mix_quotas(
+    df: DataFrame,
+    group_col: str = "source",
+    budget: int = 100_000,
+    alpha_sqrt: bool = True,
+) -> DataFrame:
+    """Temperature-scaled sampling quotas per corpus domain.
+
+    The multilingual/multi-domain mixing rule (mBERT, XLM-R, T5 all
+    use it): raw domain shares p_s = c_s / N are flattened to
+    p_s^alpha / sum p^alpha so small domains are not drowned out.
+    alpha = 0.5 here (sqrt — IEEE-exact-rounded, so both engines
+    produce the identical double); quota_s = floor(budget * w_s / W).
+
+    Determinism: W folds over the per-domain weights in domain-name
+    order (sort_array of (group, w) structs + sequential left fold),
+    the functions/similarity.py contract DuckDB's ordered-list
+    list_reduce replays bit-for-bit. The domain table is tiny (it IS
+    the distinct domain set), so the fold input is one scalar row and
+    the quota assignment is a broadcast join — nothing here scales
+    with corpus size except the one counting pass.
+
+    Returns (group_col, n_docs, quota).
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").cast("long").alias("n_docs"))
+    w = F.sqrt(F.col("n_docs").cast("double")) if alpha_sqrt else F.col(
+        "n_docs"
+    ).cast("double")
+    weighted = counts.select(F.col(group_col), F.col("n_docs"), w.alias("_w"))
+    total = weighted.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col(group_col).alias("g"), F.col("_w").alias("w")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"],
+        ).alias("_total")
+    )
+    return weighted.crossJoin(F.broadcast(total)).select(
+        F.col(group_col),
+        F.col("n_docs"),
+        F.floor(F.lit(float(budget)) * F.col("_w") / F.col("_total"))
+        .cast("long")
+        .alias("quota"),
+    )

@@ -523,3 +523,51 @@ def sssp(
             return dist
         prev = cur
     raise RuntimeError(f"sssp: no fixpoint within {max_iters} rounds")
+
+
+def label_propagation(
+    edges: DataFrame, a: str = "a", b: str = "b", rounds: int = 3
+) -> DataFrame:
+    """Synchronous label propagation (community detection), fixed
+    `rounds`, fully deterministic: every node starts labelled with its
+    own id; each round every node adopts the most frequent label among
+    its neighbours (tie-break: smallest label); isolated behaviour
+    cannot occur since nodes are defined as edge endpoints.
+
+    Raghavan et al. 2007 made deterministic: the classic algorithm
+    breaks ties randomly and updates asynchronously — here ties go to
+    the smallest label and all nodes update simultaneously from the
+    previous round's labels, so the result is a pure function of the
+    edge set and both engines replay it exactly (the oracle unrolls
+    the rounds as CTEs).
+
+    Scale: each round is one shuffle-join (labels into edge endpoints)
+    plus one groupBy argmax — the same per-round cost profile as
+    pagerank/_cc_star above; fixed round count bounds total work.
+    Returns (node, community).
+    """
+    und = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .unionByName(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .distinct()
+    )
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("community"))
+    )
+    for _ in range(rounds):
+        votes = (
+            und.join(labels, und["v"] == labels["node"])
+            .select(F.col("u"), F.col("community").alias("nbr_label"))
+            .groupBy("u", "nbr_label")
+            .agg(F.count("*").alias("_cnt"))
+        )
+        # argmax by (count desc, label asc): max of (cnt, -label)
+        labels = (
+            votes.groupBy("u")
+            .agg(F.max(F.struct(F.col("_cnt"), (-F.col("nbr_label")).alias("_nl"))).alias("_m"))
+            .select(F.col("u").alias("node"), (-F.col("_m._nl")).alias("community"))
+            .localCheckpoint(eager=False)
+        )
+    return labels

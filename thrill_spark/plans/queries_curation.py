@@ -14,6 +14,7 @@ else is exact-integer / md5.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from thrill_spark.catalog import load_table
 from thrill_spark.functions import dedup as D
@@ -190,3 +191,136 @@ _SKEW_TOPN = 20
 def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return P.key_skew_report(orders, "o_custkey", top_n=_SKEW_TOPN)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic label propagation (community detection), 3 rounds,
+# on the 200-node lineitem-derived graph
+# ---------------------------------------------------------------------------
+_LPA_ROUNDS = 3
+
+
+def _sql_lpa() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f"""v{r} AS (
+      SELECT und.u, {prev}.community AS nl, COUNT(*) AS c
+      FROM und JOIN {prev} ON und.v = {prev}.node GROUP BY und.u, {prev}.community),
+    l{r} AS (
+      SELECT u AS node, community FROM (
+        SELECT u, nl AS community,
+               ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, nl ASC) AS rn
+        FROM v{r}) WHERE rn = 1)"""
+        )
+        prev = f"l{r}"
+    body = ",\n    ".join(rounds)
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT least(l_partkey % 200, l_suppkey % 200) AS a,
+             greatest(l_partkey % 200, l_suppkey % 200) AS b
+      FROM lineitem WHERE l_partkey % 200 <> l_suppkey % 200),
+    und AS (SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+    l0 AS (SELECT DISTINCT u AS node, u AS community FROM und),
+    {body}
+    SELECT CAST(node AS BIGINT) AS node, CAST(community AS BIGINT) AS community
+    FROM {prev}
+    """
+
+
+@query("graph_label_propagation", _sql_lpa())
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.plans.algorithms import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.select(
+            (F.col("l_partkey") % 200).alias("x"), (F.col("l_suppkey") % 200).alias("y")
+        )
+        .filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+    )
+    out = label_propagation(e, rounds=_LPA_ROUNDS)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain mixing quotas (alpha = 0.5) over documents
+# ---------------------------------------------------------------------------
+_MIX_BUDGET = 100_000
+
+
+@query(
+    "corpus_temperature_mix",
+    f"""
+    WITH counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY source),
+    w AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w FROM counts),
+    t AS (SELECT list_reduce(list(w ORDER BY source), (a, b) -> a + b) AS total
+          FROM w)
+    SELECT source, n_docs,
+           CAST(floor({_MIX_BUDGET}.0 * w / total) AS BIGINT) AS quota
+    FROM w CROSS JOIN t
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.functions import corpus as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.temperature_mix_quotas(docs, "source", budget=_MIX_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC ingestion: foreachBatch MERGE into a keyed parquet
+# target; final table = latest row per user (order-independent
+# resolution => stream ≡ batch hard oracle)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_stream_upsert",
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from thrill_spark.streaming.sink import ForeachBatchUpsert
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    base = os.path.join(tempfile.gettempdir(), "thrill_spark_fbu")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    sink = ForeachBatchUpsert(
+        os.path.join(base, "target"), ["user_id"], ["ts", "event_id"]
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout=300)
+    finally:
+        q.stop()
+    return sink.result(spark)

@@ -222,3 +222,33 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path):
     assert sorted(map(tuple, sink.result(spark).collect())) == after
     state = {r.k: (r.ts, r.val) for r in sink.result(spark).collect()}
     assert state[1] == (20, "c") and state[2] == (10, "b")
+
+
+# ---------------------------------------------------------------------------
+# gopher gate / token budget
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_gate_planted(spark, sf_dir):
+    from thrill_spark.plans.queries import QUERIES
+
+    out = {r.doc_id: r for r in QUERIES["text_gopher_gate"](spark, sf_dir).collect()}
+    # every fixture doc is word-soup: wordlen/symbols should pass,
+    # keep == AND of the four rules
+    for r in out.values():
+        assert r.keep == (
+            r.words_ok and r.wordlen_ok and r.symbols_ok and r.stopwords_ok
+        )
+    assert any(r.keep for r in out.values())
+
+
+def test_token_budget_monotone(spark, sf_dir):
+    from thrill_spark.plans.queries import QUERIES
+
+    rows = QUERIES["corpus_token_budget"](spark, sf_dir).collect()
+    by_src = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.doc_id)):
+        prev = by_src.get(r.source, 0)
+        assert r.running == prev + r.n_toks  # contiguous prefix per source
+        assert r.running <= 20_000
+        by_src[r.source] = r.running

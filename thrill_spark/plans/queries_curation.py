@@ -324,3 +324,117 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return sink.result(spark)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality gate (Rae et al. 2021 rule subset, exact-integer)
+# ---------------------------------------------------------------------------
+_GOPHER_MIN_WORDS = 20
+_GOPHER_MAX_WORDS = 100_000
+
+
+@query(
+    "text_gopher_gate",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {SQL_TOKS} AS toks, lower(text) AS lt FROM documents),
+    feat AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+                 (a, b) -> a + b) AS word_chars,
+             len(list_filter(toks, t -> t IN ('the','and','of','to','a')))
+               AS stop_hits,
+             length(lt) - length(replace(replace(lt, '#', ''), '...', ''))
+               AS sym_chars
+      FROM base)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           (n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS})
+             AS words_ok,
+           (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+             AS wordlen_ok,
+           (sym_chars * 10 <= n_words) AS symbols_ok,
+           (stop_hits >= 2) AS stopwords_ok,
+           (n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS}
+            AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+            AND sym_chars * 10 <= n_words AND stop_hits >= 2) AS keep
+    FROM feat
+    """,
+)
+def q_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    lt = F.lower(F.col("text"))
+    feat = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
+        ).alias("word_chars"),
+        F.size(
+            F.filter(toks, lambda t: t.isin("the", "and", "of", "to", "a"))
+        ).alias("stop_hits"),
+        (
+            F.length(lt)
+            - F.length(F.replace(F.replace(lt, F.lit("#"), F.lit("")), F.lit("..."), F.lit("")))
+        ).alias("sym_chars"),
+    )
+    words_ok = (F.col("n_words") >= _GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= _GOPHER_MAX_WORDS
+    )
+    wordlen_ok = (F.col("word_chars") >= 3 * F.col("n_words")) & (
+        F.col("word_chars") <= 10 * F.col("n_words")
+    )
+    symbols_ok = F.col("sym_chars") * 10 <= F.col("n_words")
+    stopwords_ok = F.col("stop_hits") >= 2
+    return feat.select(
+        "doc_id",
+        "n_words",
+        words_ok.alias("words_ok"),
+        wordlen_ok.alias("wordlen_ok"),
+        symbols_ok.alias("symbols_ok"),
+        stopwords_ok.alias("stopwords_ok"),
+        (words_ok & wordlen_ok & symbols_ok & stopwords_ok).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain token-budget snapshot (keyed running prefix sum + cutoff)
+# ---------------------------------------------------------------------------
+_BUDGET_TOKENS = 20_000
+
+
+@query(
+    "corpus_token_budget",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len({SQL_TOKS}) AS BIGINT) AS n_toks
+      FROM documents),
+    r AS (
+      SELECT doc_id, source, n_toks,
+             CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+      FROM t)
+    SELECT doc_id, source, n_toks, running
+    FROM r WHERE running <= {_BUDGET_TOKENS}
+    """,
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain snapshot: take documents in doc_id
+    order within each source until the domain's token budget fills.
+    The running sum is a KEYED window (partitioned by source), so the
+    plan is one hash shuffle on source — no global-order
+    single-partition funnel; at 100 TB each domain's scan is
+    independent and the cutoff prunes everything past the budget."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(TX.tokens("text")).cast("long").alias("n_toks")
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    return t.withColumn("running", F.sum("n_toks").over(w)).filter(
+        F.col("running") <= _BUDGET_TOKENS
+    )

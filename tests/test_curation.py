@@ -252,3 +252,53 @@ def test_token_budget_monotone(spark, sf_dir):
         assert r.running == prev + r.n_toks  # contiguous prefix per source
         assert r.running <= 20_000
         by_src[r.source] = r.running
+
+
+# ---------------------------------------------------------------------------
+# power iteration / interval join
+# ---------------------------------------------------------------------------
+
+
+def test_power_iteration_planted_dominant_direction(spark):
+    from thrill_spark.functions.embed import power_iteration_top_component
+
+    # points hugging the x-axis: top component must load on dim 0
+    rows = [(i, [1.0, 0.01 * (i % 3 - 1)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.dim: r.val for r in power_iteration_top_component(df, iterations=3).collect()}
+    assert abs(out[0]) > 50 * abs(out[1])
+
+
+def test_interval_overlap_join_planted(spark):
+    from thrill_spark.operators.join import interval_overlap_join
+
+    L = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:00", "2020-01-10 00:00:00"),
+         (2, "2020-03-01 00:00:00", "2020-03-05 00:00:00")],
+        ["lid", "ls", "le"],
+    ).selectExpr("lid", "cast(ls as timestamp) ls", "cast(le as timestamp) le")
+    R = spark.createDataFrame(
+        [(10, "2020-01-05 00:00:00", "2020-02-20 00:00:00"),   # overlaps 1 only
+         (11, "2020-02-25 00:00:00", "2020-03-02 00:00:00"),   # overlaps 2 only
+         (12, "2019-12-01 00:00:00", "2019-12-31 00:00:00")],  # overlaps none
+        ["rid", "rs", "re"],
+    ).selectExpr("rid", "cast(rs as timestamp) rs", "cast(re as timestamp) re")
+    out = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(L, R, "ls", "le", "rs", "re", bin_days=7).collect()
+    )
+    assert out == [(1, 10), (2, 11)]
+
+
+def test_interval_overlap_join_no_duplicate_pairs(spark):
+    from thrill_spark.operators.join import interval_overlap_join
+
+    # long intervals spanning many bins must still emit each pair once
+    L = spark.createDataFrame(
+        [(1, "2020-01-01 00:00:00", "2020-06-01 00:00:00")], ["lid", "ls", "le"]
+    ).selectExpr("lid", "cast(ls as timestamp) ls", "cast(le as timestamp) le")
+    R = spark.createDataFrame(
+        [(10, "2020-02-01 00:00:00", "2020-05-01 00:00:00")], ["rid", "rs", "re"]
+    ).selectExpr("rid", "cast(rs as timestamp) rs", "cast(re as timestamp) re")
+    out = interval_overlap_join(L, R, "ls", "le", "rs", "re", bin_days=7).collect()
+    assert len(out) == 1

@@ -114,3 +114,79 @@ def random_project(
 
     projs = [_proj(k).alias(f"p{k}") for k in range(out_dim)]
     return df.select(F.col(id_col), *projs)
+
+
+def power_iteration_top_component(
+    df: DataFrame,
+    iterations: int = 3,
+    quant: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding matrix by
+    fixed-point power iteration: v <- X^T (X v), rescaled each round.
+
+    Fully distributed and never materializes the Gram matrix: each
+    round is (1) a per-row dot product u_r = x_r . v (vector v
+    broadcast — 64 values), and (2) a per-dimension sum
+    w_j = sum_r u_r * x_rj (one groupBy over the exploded
+    (row, dim) stream). That is two keyed aggregations per round at
+    any scale; 100 TB runs it exactly as written.
+
+    Exactness contract: embeddings are quantized to integers
+    (floor(x*quant + 0.5)), so every sum is exact int64 arithmetic —
+    order-independent, hence oracle-hashable with no fold tricks.
+    The per-round rescale divisor d = max|w| div quant + 1 keeps
+    magnitudes inside 2^53 so the one floor(w/d) double step is
+    IEEE-exact in both engines. (At this fixture's scales max|w| <
+    ~4e15; a 100 TB run would switch the accumulators to DECIMAL(38)
+    or per-block partial rescaling.)
+
+    Returns (dim, val): the iterated direction in quant-scale integer
+    coordinates (a constant scalar factor off the unit eigenvector,
+    which any downstream projection/cosine ignores).
+    """
+    x = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda e: F.floor(e.cast("double") * F.lit(float(quant)) + F.lit(0.5)).cast(
+                    "long"
+                ),
+            )
+        ).alias("dim", "xq"),
+    )
+    from thrill_spark.ordering import _persist
+
+    x = _persist(x)
+    spark = df.sparkSession
+    dims = df.select(F.size(vec_col).alias("n")).limit(1).collect()[0]["n"]
+    v = spark.createDataFrame(
+        [(j, quant) for j in range(dims)], ["dim", "val"]
+    )
+    for _ in range(iterations):
+        u = (
+            x.join(F.broadcast(v), "dim")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("xq") * F.col("val")).cast("long").alias("u"))
+        )
+        w = (
+            x.join(u, id_col)
+            .groupBy("dim")
+            .agg(F.sum(F.col("u") * F.col("xq")).cast("long").alias("w"))
+        )
+        d = w.agg(
+            (F.expr(f"max(abs(w)) div {quant}") + F.lit(1)).cast("long").alias("d")
+        )
+        v = (
+            w.crossJoin(F.broadcast(d))
+            .select(
+                "dim",
+                F.floor(F.col("w").cast("double") / F.col("d").cast("double"))
+                .cast("long")
+                .alias("val"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return v.select(F.col("dim").cast("int").alias("dim"), "val")

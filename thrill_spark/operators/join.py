@@ -210,3 +210,54 @@ def range_join(
         (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) < F.col(right_hi))
     )
     return out.drop("_bkt")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_days: int = 30,
+) -> DataFrame:
+    """Interval-overlap join (both sides carry [start, end] timestamp
+    intervals; emit pairs where they overlap) via time-bin explosion —
+    the scale pattern for temporal joins Spark has no native operator
+    for.
+
+    Each interval explodes to the `bin_days`-sized epoch bins it
+    touches; candidates equi-join on the bin id (a plain hash
+    shuffle), then the true predicate filters. Duplicate elimination
+    is FREE: a pair is kept only in the bin of max(l_start, r_start) —
+    for genuinely overlapping intervals that bin is touched by both
+    sides exactly once, so no distinct/shuffle is spent de-duping.
+
+    Scale: work ∝ Σ interval_span/bin_days per row — bounded fan-out
+    when bin_days is sized to the typical span (pick bin_days ≈
+    median span; a 100 TB run tunes it per table). Skewed hot bins
+    decompose further via operators/skew.py if needed. Thrill
+    analogue: none (InnerJoin is equi-only, thrill/api/inner_join.hpp);
+    this is the standard bin-join rewrite from temporal databases.
+    """
+    epoch = "1970-01-01"
+
+    def bins(start: str, end: str):
+        sb = F.expr(f"datediff({start}, '{epoch}') div {bin_days}")
+        eb = F.expr(f"datediff({end}, '{epoch}') div {bin_days}")
+        return F.explode(F.sequence(sb, eb)).alias("_bin")
+
+    lb = left.select("*", bins(l_start, l_end), F.col(l_start).alias("_ls"))
+    rb = right.select("*", bins(r_start, r_end), F.col(r_start).alias("_rs"))
+    keep_bin = F.expr(
+        f"greatest(datediff(_ls, '{epoch}'), datediff(_rs, '{epoch}')) div {bin_days}"
+    )
+    return (
+        lb.join(rb, "_bin")
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("_bin") == keep_bin)
+        )
+        .drop("_bin", "_ls", "_rs")
+    )

@@ -438,3 +438,101 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.withColumn("running", F.sum("n_toks").over(w)).filter(
         F.col("running") <= _BUDGET_TOKENS
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component by fixed-point power iteration (3 rounds)
+# ---------------------------------------------------------------------------
+_PCA_ITERS = 3
+_PCA_Q = 1000
+
+
+def _sql_power_iteration() -> str:
+    steps = []
+    prev = "v0"
+    for t in range(1, _PCA_ITERS + 1):
+        steps.append(
+            f"""u{t} AS (
+      SELECT x.vec_id, CAST(SUM(x.xq * v.val) AS BIGINT) AS u
+      FROM x JOIN {prev} v USING (dim) GROUP BY x.vec_id),
+    w{t} AS (
+      SELECT x.dim, CAST(SUM(u.u * x.xq) AS BIGINT) AS w
+      FROM x JOIN u{t} u USING (vec_id) GROUP BY x.dim),
+    d{t} AS (SELECT CAST(MAX(abs(w)) // {_PCA_Q} + 1 AS BIGINT) AS d FROM w{t}),
+    v{t} AS (
+      SELECT dim, CAST(floor(CAST(w AS DOUBLE) / CAST(d AS DOUBLE)) AS BIGINT)
+               AS val
+      FROM w{t} CROSS JOIN d{t})"""
+        )
+        prev = f"v{t}"
+    body = ",\n    ".join(steps)
+    return f"""
+    WITH x AS (
+      SELECT vec_id, j - 1 AS dim,
+             CAST(floor(CAST(embedding[j] AS DOUBLE) * {_PCA_Q} + 0.5) AS BIGINT)
+               AS xq
+      FROM (SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS j
+            FROM embeddings)),
+    v0 AS (SELECT DISTINCT dim, CAST({_PCA_Q} AS BIGINT) AS val FROM x),
+    {body}
+    SELECT CAST(dim AS INT) AS dim, val FROM {prev}
+    """
+
+
+@query("ml_pca_power_iteration", _sql_power_iteration())
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return E.power_iteration_top_component(
+        emb, iterations=_PCA_ITERS, quant=_PCA_Q
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join: quarterly promotion windows x lineitem
+# ship-activity intervals (bin-explode rewrite, dedup-free)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "interval_join_promotions",
+    """
+    WITH w AS (
+      SELECT ws, ws + 45 * INTERVAL 1 DAY AS we FROM (
+        SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                      TIMESTAMP '2001-10-01',
+                                      INTERVAL 3 MONTH)) AS ws)),
+    li AS (
+      SELECT l_orderkey, l_shipdate AS s,
+             l_shipdate + (CAST(l_quantity AS BIGINT) % 14 + 1)
+               * INTERVAL 1 DAY AS e
+      FROM lineitem)
+    SELECT w.ws AS w_start, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(DISTINCT li.l_orderkey) AS BIGINT) AS n_orders
+    FROM w JOIN li ON li.s <= w.we AND w.ws <= li.e
+    GROUP BY w.ws
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.operators.join import interval_overlap_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_shipdate").alias("s"),
+        F.expr(
+            "l_shipdate + make_dt_interval(cast(l_quantity as bigint) % 14 + 1, 0, 0, 0)"
+        ).alias("e"),
+    )
+    w = spark.sql(
+        """
+        SELECT ws, ws + make_dt_interval(45, 0, 0, 0) AS we
+        FROM (SELECT explode(sequence(timestamp'1995-01-01',
+                                      timestamp'2001-10-01',
+                                      interval 3 months)) AS ws)
+        """
+    )
+    joined = interval_overlap_join(w, li, "ws", "we", "s", "e", bin_days=30)
+    return joined.groupBy(F.col("ws").alias("w_start")).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.count_distinct("l_orderkey").cast("long").alias("n_orders"),
+    )

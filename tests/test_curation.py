@@ -302,3 +302,42 @@ def test_interval_overlap_join_no_duplicate_pairs(spark):
     ).selectExpr("rid", "cast(rs as timestamp) rs", "cast(re as timestamp) re")
     out = interval_overlap_join(L, R, "ls", "le", "rs", "re", bin_days=7).collect()
     assert len(out) == 1
+
+
+# ---------------------------------------------------------------------------
+# rp-ANN / quality survivors / join cardinality
+# ---------------------------------------------------------------------------
+
+
+def test_rp_ann_rank_contract(spark, sf_dir):
+    from thrill_spark.plans.queries import QUERIES
+
+    rows = QUERIES["similarity_rp_ann"](spark, sf_dir).collect()
+    assert rows, "bucketing produced no candidate pairs"
+    per_q = {}
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        per_q.setdefault(r.query_id, []).append(r.rnk)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_quality_survivors_longest_wins(spark, sf_dir):
+    from thrill_spark.plans.queries import QUERIES
+
+    rows = QUERIES["dedup_quality_survivors"](spark, sf_dir).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for members in by_cluster.values():
+        survivors = [m for m in members if m.is_survivor]
+        assert len(survivors) == 1
+        best = max(members, key=lambda m: (m.n_tokens, -m.doc_id))
+        assert survivors[0].doc_id == best.doc_id
+
+
+def test_join_cardinality_prediction_exact(spark, sf_dir):
+    from thrill_spark.plans.queries import QUERIES
+
+    row = QUERIES["profile_join_cardinality"](spark, sf_dir).collect()[0]
+    assert row.match and row.predicted_rows == row.actual_rows > 0

@@ -536,3 +536,275 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_items"),
         F.count_distinct("l_orderkey").cast("long").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN over JL-projected codes: 8-bit sign bucket -> within-bucket exact
+# cosine rescore -> top-k. Deterministic end-to-end, so unlike the
+# recall-floor ANN oracles this one is HASH-EXACT.
+# ---------------------------------------------------------------------------
+_RP_K = 3
+
+
+def _sql_rp_ann() -> str:
+    proj = ",\n             ".join(
+        f"""list_reduce(list_transform(generate_series(0, len(v) - 1),
+                 j -> v[j+1] * (CASE WHEN substr(md5(CAST(j * {_JL_DIM} + {k} AS VARCHAR)), 1, 1) < '8'
+                                THEN 1.0 ELSE -1.0 END)),
+                 (a, b) -> a + b) AS p{k}"""
+        for k in range(_JL_DIM)
+    )
+    code = " + ".join(f"(CASE WHEN p{k} > 0.0 THEN {1 << k} ELSE 0 END)" for k in range(_JL_DIM))
+    dot = (
+        "list_reduce(list_transform(list_zip(a.emb, b.emb),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    nrm = (
+        "sqrt(list_reduce(list_transform({e}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),"
+        " (x, y) -> x + y))"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding AS emb,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    pr AS (SELECT vec_id, emb,
+             {proj}
+           FROM v),
+    c AS (SELECT vec_id, emb, {code} AS code FROM pr),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {dot} / ({nrm.format(e="a.emb")} * {nrm.format(e="b.emb")}) AS cs
+      FROM c a JOIN c b ON a.code = b.code AND a.vec_id <> b.vec_id)
+    SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id ASC) AS rnk
+      FROM pairs) WHERE rnk <= {_RP_K}
+    """
+
+
+@query("similarity_rp_ann", _sql_rp_ann())
+def q_rp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN after dimensionality reduction: bucket on the 8-bit sign
+    code of the JL projection (256 buckets), exact fold-cosine rescore
+    inside each bucket, top-k per query. The bucket join is a plain
+    hash-shuffle equi-join; candidate work per query is corpus/256 in
+    expectation — the JL composition that makes 100 TB ANN affordable.
+    Every step is deterministic, so the oracle hash-checks actual
+    neighbor ids, not just a recall floor."""
+    from pyspark.sql import Window as W
+
+    from thrill_spark.functions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = E.random_project(emb, out_dim=_JL_DIM)
+    code = sum(
+        (F.when(F.col(f"p{k}") > 0.0, F.lit(1 << k)).otherwise(F.lit(0)))
+        for k in range(_JL_DIM)
+    )
+    c = proj.select("vec_id", code.alias("code")).join(emb, "vec_id").select(
+        "vec_id", "code", "embedding"
+    )
+    a = c.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("code"),
+        F.col("embedding").alias("_qa"),
+    )
+    b = c.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("code"),
+        F.col("embedding").alias("_qb"),
+    )
+    pairs = (
+        a.join(b, "code")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            S.cosine(F.col("_qa"), F.col("_qb")).alias("_cs"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RP_K)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware dedup survivors: LSH -> verify -> CC clusters, keep the
+# LONGEST member per cluster (not min-id) — the curation policy that
+# keeps the best version of near-duplicate docs
+# ---------------------------------------------------------------------------
+
+
+def _sql_quality_survivors() -> str:
+    from thrill_spark.plans.queries_corpus import _VERIFY_TAU
+    from thrill_spark.plans.queries_llm import SQL_SHINGLES3, _sql_lsh_pairs
+
+    inter = "len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))"
+    return f"""
+    WITH RECURSIVE cand AS ({_sql_lsh_pairs()}),
+    sh AS (SELECT doc_id, shingles, len(shingles) AS n FROM (
+             SELECT doc_id, {SQL_SHINGLES3} AS shingles FROM (
+               SELECT doc_id, {SQL_TOKS} AS toks FROM documents))),
+    ver AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+      WHERE CAST({inter} AS DOUBLE) / (sa.n + sb.n - {inter}) >= {_VERIFY_TAU}),
+    edges AS (SELECT id_a AS u, id_b AS v FROM ver
+              UNION SELECT id_b AS u, id_a AS v FROM ver),
+    reach(src, n) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.n = e.u),
+    comp AS (SELECT src AS node, MIN(n) AS component FROM reach GROUP BY src),
+    nt AS (SELECT doc_id, CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens
+           FROM documents),
+    memb AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster, nt.n_tokens
+      FROM documents d
+      LEFT JOIN comp c ON c.node = d.doc_id
+      JOIN nt ON nt.doc_id = d.doc_id)
+    SELECT doc_id, cluster, n_tokens, (rn = 1) AS is_survivor FROM (
+      SELECT doc_id, cluster, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY n_tokens DESC, doc_id ASC) AS rn
+      FROM memb)
+    """
+
+
+@query("dedup_quality_survivors", _sql_quality_survivors())
+def q_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from thrill_spark.functions import dedup as D2
+    from thrill_spark.plans import algorithms as ALG
+    from thrill_spark.plans.queries_corpus import _VERIFY_TAU
+    from thrill_spark.plans.queries_llm import _MH_BANDS, _MH_K
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = D2.lsh_verified_pairs(
+        docs, num_hashes=_MH_K, bands=_MH_BANDS, threshold=_VERIFY_TAU
+    )
+    comp = ALG.connected_components(edges, a="id_a", b="id_b")
+    nt = docs.select("doc_id", F.size(TX.tokens("text")).cast("long").alias("n_tokens"))
+    memb = (
+        nt.join(comp, nt["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+            "n_tokens",
+        )
+    )
+    w = W.partitionBy("cluster").orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
+    return memb.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id", "cluster", "n_tokens", (F.col("rn") == 1).alias("is_survivor")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality predictor: exact output-size forecast from the two
+# key-count tables (vocabulary-sized work), checked against the real join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "profile_join_cardinality",
+    """
+    WITH cl AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+    co AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+    pred AS (SELECT CAST(SUM(cl.c * co.c) AS BIGINT) AS predicted_rows
+             FROM cl JOIN co USING (k)),
+    act AS (SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT predicted_rows, actual_rows,
+           predicted_rows = actual_rows AS match
+    FROM pred CROSS JOIN act
+    """,
+)
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict |A join B| WITHOUT running the join: sum of per-key
+    count products over the (vocabulary-sized) key-count tables — the
+    shuffle-planning probe for whether a join's output explodes. The
+    query then runs the real join once to assert the prediction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cl = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count("*").alias("cl"))
+    co = orders.groupBy(F.col("o_orderkey").alias("k")).agg(F.count("*").alias("co"))
+    pred = cl.join(co, "k").agg(
+        F.sum(F.col("cl") * F.col("co")).cast("long").alias("predicted_rows")
+    )
+    act = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).agg(
+        F.count("*").cast("long").alias("actual_rows")
+    )
+    return pred.crossJoin(act).select(
+        "predicted_rows",
+        "actual_rows",
+        (F.col("predicted_rows") == F.col("actual_rows")).alias("match"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nested JSON shredding: build nested order->items JSON docs, then
+# schema-on-read shred them back into typed rows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_json_shred_nested",
+    """
+    SELECT l_orderkey AS order_id, CAST(l_linenumber AS INT) AS line,
+           CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def q_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured round trip: nest each order's lineitems into a
+    JSON document (sort_array for a deterministic item order), then
+    shred the JSON column back to typed rows with an explicit
+    from_json schema + explode — the lakehouse ingestion pattern for
+    JSON event payloads. The oracle checks the end-to-end semantics
+    directly against the base table (the JSON hop must be lossless)."""
+    from pyspark.sql import types as T
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    docs = li.groupBy("l_orderkey").agg(
+        F.to_json(
+            F.struct(
+                F.col("l_orderkey").alias("order_id"),
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("l_linenumber").cast("int").alias("line"),
+                            F.col("l_quantity").cast("long").alias("qty"),
+                        )
+                    )
+                ).alias("items"),
+            )
+        ).alias("js")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("order_id", T.LongType()),
+            T.StructField(
+                "items",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("line", T.IntegerType()),
+                            T.StructField("qty", T.LongType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    shredded = docs.select(F.from_json(F.col("js"), schema).alias("d")).select(
+        F.col("d.order_id").alias("order_id"), F.explode("d.items").alias("it")
+    )
+    return shredded.select(
+        "order_id", F.col("it.line").alias("line"), F.col("it.qty").alias("qty")
+    )

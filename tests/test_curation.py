@@ -341,3 +341,43 @@ def test_join_cardinality_prediction_exact(spark, sf_dir):
 
     row = QUERIES["profile_join_cardinality"](spark, sf_dir).collect()[0]
     assert row.match and row.predicted_rows == row.actual_rows > 0
+
+
+# ---------------------------------------------------------------------------
+# lexical diversity / compression / capped sessions
+# ---------------------------------------------------------------------------
+
+
+def test_lexical_diversity_planted(spark):
+    from thrill_spark.functions.text import lexical_diversity
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in lexical_diversity(df).collect()}
+    assert out[1].n_tokens == 4 and out[1].n_types == 2
+    assert out[1].ttr_bp == 5000 and out[1].hapax_bp == 2500
+    assert out[2].ttr_bp == 10000 and out[2].hapax_bp == 10000
+
+
+def test_compression_signals_separate_repetitive_from_diverse(spark):
+    from thrill_spark.functions.text import compression_signals
+
+    rep = "spam " * 200
+    div = " ".join(f"w{i}x{i*7%13}" for i in range(200))
+    df = spark.createDataFrame([(1, rep), (2, div)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in compression_signals(df).collect()}
+    for r in out.values():
+        assert r.bounds_ok and r.doubling_ok
+    # repetitive text must compress materially better
+    assert out[1].comp_len * out[2].n_bytes < out[2].comp_len * out[1].n_bytes
+
+
+def test_sessionize_capped_splits_long_sessions(spark, sf_dir):
+    from thrill_spark.plans.queries import QUERIES
+
+    rows = QUERIES["events_sessionize_capped"](spark, sf_dir).collect()
+    cap_us = 2 * 3600 * 1_000_000
+    for r in rows:
+        assert r.end_us - r.start_us < cap_us  # no capped session exceeds cap
+        assert r.sub_id >= 0

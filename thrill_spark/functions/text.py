@@ -378,3 +378,77 @@ def bigram_surprisal(
         F.count("*").cast("long").alias("n_bigrams"),
         F.sum(F.expr("(_c1 + _v) div (_c12 + 1)")).cast("long").alias("surprisal"),
     )
+
+
+def lexical_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Type-token ratio and hapax fraction per document (lexical-
+    diversity quality signals) in exact basis points: one explode +
+    two keyed aggregations, no UDFs. Returns (id_col, n_tokens,
+    n_types, ttr_bp, hapax_bp)."""
+    tok_counts = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+        .groupBy(id_col, "_t")
+        .agg(F.count("*").alias("_c"))
+    )
+    return (
+        tok_counts.groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).cast("long").alias("_hapax"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_types",
+            F.expr("n_types * 10000 div n_tokens").cast("long").alias("ttr_bp"),
+            F.expr("_hapax * 10000 div n_tokens").cast("long").alias("hapax_bp"),
+        )
+    )
+
+
+def compression_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """zlib compression-ratio quality signal (RefinedWeb/Dolma use it:
+    machine-generated or highly repetitive text compresses far better
+    than natural prose). Not SQL-expressible, so the oracle checks
+    INVARIANTS the implementation must satisfy for every document:
+    0 < comp_len <= n_bytes + 64 (zlib stored-block overhead bound)
+    and comp(text+text) < 2*comp(text) (self-repetition must help).
+
+    Arrow-batched mapInPandas — the sanctioned Python path; work is
+    per-row and pipelines with the scan at any scale."""
+    import pandas as pd  # noqa: F401 (schema side)
+
+    out_schema = (
+        f"{id_col} long, n_bytes long, comp_len long, comp2_len long, "
+        "bounds_ok boolean, doubling_ok boolean"
+    )
+    src = df.select(id_col, text_col)
+
+    def batches(it):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            texts = pdf[text_col].astype(str)
+            enc = [t.encode("utf-8") for t in texts]
+            comp = [len(zlib.compress(b, 6)) for b in enc]
+            comp2 = [len(zlib.compress(b + b, 6)) for b in enc]
+            n = [len(b) for b in enc]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n,
+                    "comp_len": comp,
+                    "comp2_len": comp2,
+                    "bounds_ok": [0 < c <= nb + 64 for c, nb in zip(comp, n)],
+                    "doubling_ok": [c2 < 2 * c for c, c2 in zip(comp, comp2)],
+                }
+            )
+
+    return src.mapInPandas(batches, schema=out_schema)

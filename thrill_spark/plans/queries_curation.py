@@ -808,3 +808,204 @@ def q_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shredded.select(
         "order_id", F.col("it.line").alias("line"), F.col("it.qty").alias("qty")
     )
+
+
+# ---------------------------------------------------------------------------
+# Capped sessionization: 30-min-gap sessions additionally split at a
+# 2-hour max duration (sub-session = elapsed-since-start div cap —
+# closed-form, no sequential fold)
+# ---------------------------------------------------------------------------
+_SESS_GAP_US = 30 * 60 * 1_000_000
+_SESS_CAP_US = 2 * 3600 * 1_000_000
+
+
+@query(
+    "events_sessionize_capped",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_us IS NULL
+                       OR epoch_us(ts) - prev_us > {_SESS_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM (SELECT user_id, ts,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                     AS prev_us
+            FROM events)),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM marked),
+    capped AS (
+      SELECT user_id, session_id, ts,
+             (epoch_us(ts) - MIN(epoch_us(ts)) OVER
+                (PARTITION BY user_id, session_id)) // {_SESS_CAP_US}
+               AS sub_id
+      FROM sess)
+    SELECT user_id, session_id, CAST(sub_id AS BIGINT) AS sub_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+    FROM capped GROUP BY user_id, session_id, sub_id
+    """,
+)
+def q_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = W.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    marked = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > _SESS_GAP_US), 1
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+    )
+    ws = W.partitionBy("user_id", "session_id")
+    capped = sess.withColumn(
+        "sub_id",
+        ((us - F.min(us).over(ws)) / F.lit(_SESS_CAP_US)).cast("long"),
+    )
+    return capped.groupBy("user_id", "session_id", "sub_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min(us).alias("start_us"),
+        F.max(us).alias("end_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Strict-order funnel WITHIN sessions: view -> click-after-view ->
+# purchase-after-click, each inside the same 30-min-gap session
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_funnel_in_session",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN prev_us IS NULL
+                       OR epoch_us(ts) - prev_us > {_SESS_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM (SELECT user_id, ts, event_type,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                     AS prev_us
+            FROM events)),
+    sess AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM marked),
+    v AS (SELECT user_id, session_id, MIN(us) AS v_us FROM sess
+          WHERE event_type = 'view' GROUP BY user_id, session_id),
+    c AS (SELECT s.user_id, s.session_id, MIN(s.us) AS c_us
+          FROM sess s JOIN v ON s.user_id = v.user_id
+                             AND s.session_id = v.session_id
+          WHERE s.event_type = 'click' AND s.us >= v.v_us
+          GROUP BY s.user_id, s.session_id),
+    p AS (SELECT s.user_id, s.session_id, MIN(s.us) AS p_us
+          FROM sess s JOIN c ON s.user_id = c.user_id
+                             AND s.session_id = c.session_id
+          WHERE s.event_type = 'purchase' AND s.us >= c.c_us
+          GROUP BY s.user_id, s.session_id)
+    SELECT CAST((SELECT COUNT(*) FROM (SELECT DISTINCT user_id, session_id
+                                       FROM sess) t) AS BIGINT) AS n_sessions,
+           CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after_click
+    """,
+)
+def q_funnel_in_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    marked = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > _SESS_GAP_US), 1
+        ).otherwise(0),
+    )
+    sess = marked.select(
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long").alias(
+            "session_id"
+        ),
+    )
+    from thrill_spark.ordering import _persist
+
+    sess = _persist(sess)
+    key = ["user_id", "session_id"]
+    v = (
+        sess.filter(F.col("event_type") == "view")
+        .groupBy(*key)
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        sess.join(v, key)
+        .filter((F.col("event_type") == "click") & (F.col("us") >= F.col("v_us")))
+        .groupBy(*key)
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        sess.join(c, key)
+        .filter((F.col("event_type") == "purchase") & (F.col("us") >= F.col("c_us")))
+        .groupBy(*key)
+        .agg(F.min("us").alias("p_us"))
+    )
+    n_sessions = sess.select(*key).distinct().agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    return (
+        n_sessions.crossJoin(v.agg(F.count("*").cast("long").alias("n_view")))
+        .crossJoin(c.agg(F.count("*").cast("long").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").cast("long").alias("n_purchase_after_click")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity (TTR + hapax fraction, exact basis points)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_lexical_diversity",
+    f"""
+    WITH tc AS (
+      SELECT doc_id, t, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest({SQL_TOKS}) AS t FROM documents)
+      GROUP BY doc_id, t)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) * 10000 // SUM(c) AS BIGINT) AS ttr_bp,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000 // SUM(c)
+                AS BIGINT) AS hapax_bp
+    FROM tc GROUP BY doc_id
+    """,
+)
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.lexical_diversity(docs)
+
+
+# ---------------------------------------------------------------------------
+# zlib compression-ratio signal (mapInPandas; invariant oracle — zlib
+# is not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_compression_ratio",
+    "SELECT doc_id, TRUE AS bounds_ok, TRUE AS doubling_ok FROM documents",
+)
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.compression_signals(docs)
+    return out.select("doc_id", "bounds_ok", "doubling_ok")

@@ -1009,3 +1009,321 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = TX.compression_signals(docs)
     return out.select("doc_id", "bounds_ok", "doubling_ok")
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join: for each view, the NEXT click at-or-after it
+# (completes the as-of family: backward query already registered)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_next_click",
+    """
+    WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+               WHERE event_type = 'view'),
+    c AS (SELECT user_id, epoch_us(ts) AS us FROM events
+          WHERE event_type = 'click')
+    SELECT v.event_id, v.user_id, v.us AS view_us,
+           (SELECT MIN(c.us) FROM c
+            WHERE c.user_id = v.user_id AND c.us >= v.us) AS next_click_us
+    FROM v
+    """,
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.operators.join import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("view_us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("click_us")
+    )
+    out = asof_join(
+        views, clicks, "view_us", "click_us", by=["user_id"], direction="forward"
+    )
+    return out.select(
+        "event_id", "user_id", "view_us",
+        F.col("click_us_r").alias("next_click_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming restart / exactly-once: interrupt a checkpointed stream
+# mid-run, restart it, and hash-match the batch answer (idempotent
+# foreachBatch-upsert sink absorbs any replayed micro-batch)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_stream_restart_exactly_once",
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def q_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from thrill_spark.streaming.sink import ForeachBatchUpsert
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    base = os.path.join(tempfile.gettempdir(), "thrill_spark_restart")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+    ckpt = os.path.join(base, "ckpt")
+    sink = ForeachBatchUpsert(
+        os.path.join(base, "target"), ["user_id"], ["ts", "event_id"]
+    )
+
+    def start():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # First run: kill after (at most) a few micro-batches.
+    q1 = start()
+    q1.awaitTermination(timeout=8)
+    q1.stop()
+    q1.awaitTermination()
+    # Restart from the same checkpoint: the file source resumes at the
+    # last committed offset; any in-flight batch replays into the
+    # idempotent sink. Run to completion this time.
+    q2 = start()
+    try:
+        q2.awaitTermination(timeout=300)
+    finally:
+        q2.stop()
+    return sink.result(spark)
+
+
+# ---------------------------------------------------------------------------
+# Link prediction by common-neighbor Jaccard (top-5 candidate edges
+# per node among non-adjacent pairs at distance 2)
+# ---------------------------------------------------------------------------
+_LP_TOPK = 5
+
+
+@query(
+    "graph_link_prediction",
+    f"""
+    WITH e0 AS (
+      SELECT DISTINCT least(l_partkey % 200, l_suppkey % 200) AS a,
+             greatest(l_partkey % 200, l_suppkey % 200) AS b
+      FROM lineitem WHERE l_partkey % 200 <> l_suppkey % 200),
+    und AS (SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+    deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+    wedge AS (
+      SELECT x.u AS a, y.v AS b, COUNT(*) AS cn
+      FROM und x JOIN und y ON x.v = y.u AND x.u < y.v
+      GROUP BY x.u, y.v),
+    cand AS (
+      SELECT w.a, w.b, w.cn FROM wedge w
+      WHERE NOT EXISTS (SELECT 1 FROM e0
+                        WHERE e0.a = w.a AND e0.b = w.b)),
+    scored AS (
+      SELECT c.a, c.b, c.cn,
+             CAST(c.cn * 10000 // (da.d + db.d - c.cn) AS BIGINT) AS jac_bp
+      FROM cand c JOIN deg da ON da.u = c.a JOIN deg db ON db.u = c.b)
+    SELECT a, b, CAST(cn AS BIGINT) AS cn, jac_bp FROM (
+      SELECT a, b, cn, jac_bp,
+             ROW_NUMBER() OVER (PARTITION BY a
+                                ORDER BY jac_bp DESC, cn DESC, b ASC) AS rn
+      FROM scored) WHERE rn <= {_LP_TOPK}
+    """,
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction: wedges give candidate pairs at
+    distance 2, existing edges are anti-joined away, and the Jaccard
+    of neighborhoods scores each candidate (integer basis points).
+    One self-join on the shared endpoint (hash shuffle, wedge volume
+    bounded by sum of degree^2 — the triangle-count cost profile) plus
+    vocabulary-sized degree joins."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        li.select(
+            (F.col("l_partkey") % 200).alias("x"), (F.col("l_suppkey") % 200).alias("y")
+        )
+        .filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+    )
+    from thrill_spark.ordering import _persist
+
+    e0 = _persist(e0)
+    und = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("u"), F.col("b").alias("v"))
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    x = und.select(F.col("u").alias("a"), F.col("v").alias("m"))
+    y = und.select(F.col("u").alias("m"), F.col("v").alias("b"))
+    wedge = (
+        x.join(y, "m")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cn"))
+    )
+    cand = wedge.join(e0, ["a", "b"], "left_anti")
+    scored = (
+        cand.join(deg.select(F.col("u").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("u").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.expr("cn * 10000 div (da + db - cn)").cast("long").alias("jac_bp"),
+        )
+    )
+    w = W.partitionBy("a").orderBy(
+        F.col("jac_bp").desc(), F.col("cn").desc(), F.col("b").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _LP_TOPK)
+        .select("a", "b", F.col("cn").cast("long").alias("cn"), "jac_bp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histograms: per-day value histograms merged into
+# a global quantile estimate, band-checked against the exact quantile
+# ---------------------------------------------------------------------------
+_HIST_BINS = 100
+
+
+@query(
+    "events_histogram_quantile",
+    f"""
+    WITH b AS (SELECT CAST(floor(value * {_HIST_BINS}) AS BIGINT) AS bin
+               FROM events WHERE value >= 0 AND value < 1),
+    h AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY bin),
+    t AS (SELECT SUM(c) AS n FROM h),
+    cum AS (SELECT bin, c, SUM(c) OVER (ORDER BY bin
+                 ROWS UNBOUNDED PRECEDING) AS run FROM h),
+    est AS (SELECT MIN(bin) AS p50_bin FROM cum CROSS JOIN t
+            WHERE run * 2 >= t.n)
+    SELECT CAST((SELECT COUNT(*) FROM h) AS BIGINT) AS n_bins,
+           CAST(p50_bin AS BIGINT) AS p50_bin,
+           TRUE AS band_ok
+    FROM est
+    """,
+)
+def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-summary quantiles: equi-width integer histograms are
+    trivially mergeable (binwise add — the continuous-aggregate
+    maintenance property HLL day-sketches have for distincts), and a
+    merged histogram answers any quantile to bin precision. Built
+    per-day then merged, estimating the median; band_ok asserts the
+    exact median falls inside the estimated bin (the histogram error
+    bound). The cumulative scan runs over the BIN table (n_bins rows),
+    not the event stream."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("value") >= 0) & (F.col("value") < 1)
+    )
+    # per-day histograms (the mergeable summaries)...
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * _HIST_BINS).cast("long").alias("bin"),
+    ).agg(F.count("*").alias("c"))
+    # ...merged binwise into the global histogram
+    h = daily.groupBy("bin").agg(F.sum("c").cast("long").alias("c"))
+    from thrill_spark.ordering import _persist
+
+    h = _persist(h)
+    t = h.agg(F.sum("c").cast("long").alias("n"))
+    # cumulative over bins: tiny keyed-by-nothing table of n_bins rows —
+    # a scalar-scale window, same class as a scalar aggregate merge
+    from pyspark.sql import Window as W
+
+    cum = h.crossJoin(F.broadcast(t)).withColumn(
+        "run",
+        F.sum("c").over(
+            W.partitionBy("n").orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    est = cum.filter(F.col("run") * 2 >= F.col("n")).agg(
+        F.min("bin").cast("long").alias("p50_bin")
+    )
+    n_bins = h.agg(F.count("*").cast("long").alias("n_bins"))
+    # exact median (bit-exact percentile on the doubles) for the band check
+    exact = ev.agg(F.expr("percentile(value, 0.5)").alias("_m"))
+    return (
+        n_bins.crossJoin(est)
+        .crossJoin(exact)
+        .select(
+            "n_bins",
+            "p50_bin",
+            (
+                (F.col("_m") >= F.col("p50_bin") / F.lit(float(_HIST_BINS)))
+                & (F.col("_m") < (F.col("p50_bin") + 2) / F.lit(float(_HIST_BINS)))
+            ).alias("band_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classification evaluation: deterministic rule classifier vs labels ->
+# confusion counts + accuracy in basis points
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_eval_confusion",
+    """
+    WITH p AS (
+      SELECT label,
+             CASE WHEN CAST(embedding[1] AS DOUBLE) > 0.0 THEN 1 ELSE 0 END
+               AS pred
+      FROM embeddings),
+    cm AS (SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n
+           FROM p GROUP BY label, pred),
+    t AS (SELECT SUM(n) AS total,
+                 SUM(CASE WHEN label % 2 = pred THEN n ELSE 0 END) AS hits
+          FROM cm)
+    SELECT cm.label, cm.pred, cm.n,
+           CAST(t.hits * 10000 // t.total AS BIGINT) AS accuracy_bp
+    FROM cm CROSS JOIN t
+    """,
+)
+def q_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-eval table stakes: confusion matrix + accuracy from a
+    deterministic rule classifier (sign of the first embedding
+    coordinate vs label parity). One groupBy plus a broadcast scalar;
+    the pattern holds for any UDF-scored model at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = emb.select(
+        "label",
+        F.when(F.col("embedding")[0].cast("double") > 0.0, 1).otherwise(0).alias("pred"),
+    )
+    cm = p.groupBy("label", "pred").agg(F.count("*").cast("long").alias("n"))
+    from thrill_spark.ordering import _persist
+
+    cm = _persist(cm)
+    t = cm.agg(
+        F.sum("n").alias("_total"),
+        F.sum(F.when(F.col("label") % 2 == F.col("pred"), F.col("n")).otherwise(0)).alias(
+            "_hits"
+        ),
+    )
+    return cm.crossJoin(F.broadcast(t)).select(
+        "label",
+        "pred",
+        "n",
+        F.expr("_hits * 10000 div _total").cast("long").alias("accuracy_bp"),
+    )

@@ -79,6 +79,13 @@ BENCH_QUERIES = [
     "merge_upsert_orders",
     "events_gap_fill",
     "dedup_fuzzy_levenshtein",
+    # advanced-curation batches: bigram LM, substring-cover dedup,
+    # fixed-point PCA, JL-bucket ANN, interval-overlap join.
+    "text_bigram_lm",
+    "dedup_ngram_cover",
+    "ml_pca_power_iteration",
+    "similarity_rp_ann",
+    "interval_join_promotions",
 ]
 
 

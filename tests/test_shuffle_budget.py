@@ -72,6 +72,30 @@ BUDGETS = {
     "ml_negative_sampling": 1,
     "events_anomaly_mad": 2,
     "corpus_leakage_check": 1,
+    # advanced-curation batches (this round; measured values)
+    "text_bigram_lm": 1,
+    "dedup_ngram_cover": 3,
+    "text_lexical_diversity": 2,
+    "graph_link_prediction": 2,
+    "ml_embedding_quantize": 0,
+    "ml_random_projection": 0,
+    "ml_pca_power_iteration": 0,
+    "text_gopher_gate": 0,
+    "corpus_token_budget": 1,
+    "events_sessionize_capped": 1,
+    "events_funnel_in_session": 2,
+    "profile_join_cardinality": 4,
+    "dedup_quality_survivors": 3,
+    "text_compression_ratio": 0,
+    "events_histogram_quantile": 1,
+    "ml_eval_confusion": 0,
+    "asof_join_next_click": 1,
+    "corpus_temperature_mix": 3,
+    "graph_label_propagation": 0,
+    "profile_key_skew": 3,
+    "fn_json_shred_nested": 1,
+    "similarity_rp_ann": 3,
+    "interval_join_promotions": 2,
 }
 
 

@@ -1327,3 +1327,336 @@ def q_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("_hits * 10000 div _total").cast("long").alias("accuracy_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching report (padding-waste accounting)
+# ---------------------------------------------------------------------------
+_LB_WIDTH = 16
+_LB_CAP = 16
+
+
+@query(
+    "corpus_length_buckets",
+    f"""
+    WITH t AS (SELECT doc_id, CAST(len({SQL_TOKS}) AS BIGINT) AS n
+               FROM documents),
+    b AS (SELECT least(n // {_LB_WIDTH}, {_LB_CAP}) AS bucket, n FROM t)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(MAX(n) AS BIGINT) AS bucket_max,
+           CAST((COUNT(*) * MAX(n) - SUM(n)) * 10000
+                // (COUNT(*) * MAX(n)) AS BIGINT) AS padding_bp
+    FROM b GROUP BY bucket
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch assembly planning: bucket sequences by length so
+    per-batch padding (to the bucket max) is cheap, and report the
+    exact padding waste per bucket in basis points — the number that
+    justifies bucketed batching over pad-to-global-max. One explode-
+    free pass: token counts + a keyed aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(F.size(TX.tokens("text")).cast("long").alias("n"))
+    b = t.select(F.least(F.expr(f"n div {_LB_WIDTH}"), F.lit(_LB_CAP)).alias("bucket"), "n")
+    return b.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.max("n").cast("long").alias("bucket_max"),
+        F.expr(
+            "CAST((count(*) * max(n) - sum(n)) * 10000 div (count(*) * max(n)) AS BIGINT)"
+        ).alias("padding_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption (deterministic md5 span masking)
+# ---------------------------------------------------------------------------
+_SC_CHUNK = 3  # mean span length: whole 3-token chunks mask together
+_SC_PCT = 15  # noise density in percent
+_SENTINEL = "<extra_id>"
+
+
+@query(
+    "corpus_span_corruption",
+    f"""
+    WITH base AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    ch AS (
+      SELECT doc_id, toks, c,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' ||
+                                      CAST(c AS VARCHAR)), 1, 15) AS BIGINT)
+               % 100 < {_SC_PCT} AS masked
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(0, (len(toks) - 1) // {_SC_CHUNK})) AS c
+            FROM base WHERE len(toks) > 0)),
+    parts AS (
+      SELECT doc_id,
+             CASE WHEN masked THEN ['{_SENTINEL}']
+                  ELSE toks[c * {_SC_CHUNK} + 1 : c * {_SC_CHUNK} + {_SC_CHUNK}]
+             END AS inp_part,
+             CASE WHEN masked
+                  THEN toks[c * {_SC_CHUNK} + 1 : c * {_SC_CHUNK} + {_SC_CHUNK}]
+                  ELSE [] END AS tgt_part,
+             c
+      FROM ch),
+    agg AS (
+      SELECT doc_id,
+             flatten(list(inp_part ORDER BY c)) AS inp,
+             flatten(list(tgt_part ORDER BY c)) AS tgt
+      FROM parts GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(len(tgt) AS BIGINT) AS n_masked,
+           md5(coalesce(array_to_string(inp, ' '), '')) AS input_fp,
+           md5(coalesce(array_to_string(tgt, ' '), '')) AS target_fp
+    FROM agg
+    """,
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic T5 span corruption: 3-token chunks mask as whole
+    spans when md5(doc_id, chunk) lands under the 15% noise density;
+    masked spans collapse to one sentinel in the input and concatenate
+    into the target. Pure array expressions (transform + flatten) —
+    no explode/shuffle at all; the oracle rebuilds both streams and
+    md5-matches them."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", TX.tokens("text").alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    chunk_slice = (
+        f"slice(_toks, c * {_SC_CHUNK} + 1, {_SC_CHUNK})"
+    )
+    masked = (
+        f"(conv(substring(md5(concat(cast(doc_id as string), '-', cast(c as string))), 1, 15), 16, 10)"
+        f" % 100) < {_SC_PCT}"
+    )
+    parts = base.select(
+        "doc_id",
+        F.expr(
+            f"""
+            flatten(transform(sequence(0, (size(_toks) - 1) div {_SC_CHUNK}),
+              c -> CASE WHEN {masked} THEN array('{_SENTINEL}')
+                        ELSE {chunk_slice} END))
+            """
+        ).alias("inp"),
+        F.expr(
+            f"""
+            flatten(transform(sequence(0, (size(_toks) - 1) div {_SC_CHUNK}),
+              c -> CASE WHEN {masked} THEN {chunk_slice}
+                        ELSE array() END))
+            """
+        ).alias("tgt"),
+    )
+    return parts.select(
+        "doc_id",
+        F.size("tgt").cast("long").alias("n_masked"),
+        F.md5(F.array_join("inp", " ")).alias("input_fp"),
+        F.md5(F.array_join("tgt", " ")).alias("target_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: one-row corpus summary (the hand-off artifact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_dataset_card",
+    f"""
+    WITH t AS (SELECT doc_id, lang, source,
+                      CAST(len({SQL_TOKS}) AS BIGINT) AS n_toks,
+                      md5(array_to_string({SQL_TOKS}, ' ')) AS fp
+               FROM documents),
+    d AS (SELECT CAST(SUM(cnt) AS BIGINT) AS dup_docs FROM (
+            SELECT COUNT(*) AS cnt FROM t GROUP BY fp HAVING COUNT(*) > 1))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(coalesce(MAX(d.dup_docs), 0) AS BIGINT) AS exact_dup_docs,
+           CAST(coalesce(MAX(d.dup_docs), 0) * 10000 // COUNT(*) AS BIGINT)
+             AS dup_bp
+    FROM t CROSS JOIN d
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(TX.tokens("text")).cast("long").alias("n_toks"),
+        TX.fingerprint("text").alias("fp"),
+    )
+    from thrill_spark.ordering import _persist
+
+    t = _persist(t)
+    dup = (
+        t.groupBy("fp")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("dup_docs"))
+    )
+    card = t.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+    )
+    return card.crossJoin(F.broadcast(dup)).select(
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        "n_sources",
+        F.col("dup_docs").alias("exact_dup_docs"),
+        F.expr("dup_docs * 10000 div n_docs").cast("long").alias("dup_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup threshold sweep: pair/doc counts at 4 Jaccard cutoffs from
+# ONE candidate-verification pass
+# ---------------------------------------------------------------------------
+_SWEEP_TAUS = (30, 50, 70, 90)  # percent
+
+
+def _sql_threshold_sweep() -> str:
+    from thrill_spark.plans.queries_llm import SQL_SHINGLES3, _sql_lsh_pairs
+
+    inter = "len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))"
+    taus = ", ".join(f"({t})" for t in _SWEEP_TAUS)
+    return f"""
+    WITH cand AS ({_sql_lsh_pairs()}),
+    sh AS (SELECT doc_id, shingles, len(shingles) AS n FROM (
+             SELECT doc_id, {SQL_SHINGLES3} AS shingles FROM (
+               SELECT doc_id, {SQL_TOKS} AS toks FROM documents))),
+    jac AS (
+      SELECT id_a, id_b,
+             CAST({inter} AS DOUBLE) / (sa.n + sb.n - {inter}) AS j
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b),
+    taus(tau_pct) AS (VALUES {taus})
+    SELECT CAST(tau_pct AS BIGINT) AS tau_pct,
+           CAST(COUNT(CASE WHEN j * 100 >= tau_pct THEN 1 END) AS BIGINT)
+             AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN j * 100 >= tau_pct THEN id_a END)
+              + COUNT(DISTINCT CASE WHEN j * 100 >= tau_pct THEN id_b END)
+              - COUNT(DISTINCT CASE WHEN j * 100 >= tau_pct
+                                    AND list_contains(
+                                          (SELECT list(DISTINCT id_b) FROM jac j2
+                                           WHERE j2.j * 100 >= tau_pct), id_a)
+                                    THEN id_a END) AS BIGINT) AS n_docs_hi
+    FROM jac CROSS JOIN taus GROUP BY tau_pct
+    """
+
+
+@query("dedup_threshold_sweep", _sql_threshold_sweep())
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup policy tuning: how many near-dup pairs (and docs touched)
+    survive at each Jaccard cutoff — computed from ONE LSH-candidate
+    verification pass (the expensive part), then four cheap aggregates
+    over the cached pair list."""
+    from thrill_spark.functions import dedup as D2
+    from thrill_spark.ordering import _persist
+    from thrill_spark.plans.queries_llm import _MH_BANDS, _MH_K
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _persist(
+        D2.lsh_verified_pairs(docs, num_hashes=_MH_K, bands=_MH_BANDS, threshold=0.0)
+    )
+    taus = spark.createDataFrame([(t,) for t in _SWEEP_TAUS], ["tau_pct"])
+    hit = F.col("jaccard") * 100 >= F.col("tau_pct")
+    per_tau = (
+        pairs.crossJoin(F.broadcast(taus))
+        .select("tau_pct", "id_a", "id_b", hit.alias("hit"))
+    )
+    n_pairs = per_tau.groupBy("tau_pct").agg(
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias("n_pairs")
+    )
+    docs_hi = (
+        per_tau.filter("hit")
+        .select("tau_pct", F.explode(F.array("id_a", "id_b")).alias("d"))
+        .groupBy("tau_pct")
+        .agg(F.count_distinct("d").cast("long").alias("n_docs_hi"))
+    )
+    return (
+        n_pairs.join(docs_hi, "tau_pct", "left")
+        .select(
+            F.col("tau_pct").cast("long").alias("tau_pct"),
+            "n_pairs",
+            F.coalesce(F.col("n_docs_hi"), F.lit(0)).cast("long").alias("n_docs_hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear (equal-credit) multi-touch attribution with integer credits
+# ---------------------------------------------------------------------------
+_ATTR_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "events_attribution_linear",
+    f"""
+    WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+               FROM events WHERE event_type = 'purchase'),
+    t AS (SELECT event_id AS t_id, user_id, event_type, epoch_us(ts) AS t_us
+          FROM events WHERE event_type IN ('view', 'click')),
+    pairs AS (
+      SELECT p.p_id, t.t_id, t.event_type
+      FROM p JOIN t ON p.user_id = t.user_id
+      WHERE t.t_us <= p.p_us AND t.t_us > p.p_us - {_ATTR_LOOKBACK_US}),
+    nt AS (SELECT p_id, COUNT(*) AS n FROM pairs GROUP BY p_id),
+    credit AS (
+      SELECT pairs.event_type,
+             10000 // nt.n
+             + CASE WHEN ROW_NUMBER() OVER (PARTITION BY pairs.p_id
+                                            ORDER BY pairs.t_id) = 1
+                    THEN 10000 % nt.n ELSE 0 END AS c
+      FROM pairs JOIN nt USING (p_id))
+    SELECT event_type, CAST(SUM(c) AS BIGINT) AS total_credit_bp,
+           CAST(COUNT(*) AS BIGINT) AS n_touches
+    FROM credit GROUP BY event_type
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-credit multi-touch attribution in exact integers: each
+    purchase splits 10000 bp across its lookback-window touches
+    (10000 div n each, remainder to the lowest-id touch so credits sum
+    to exactly 10000 per converting purchase). User-keyed equi-join +
+    time filter; per-purchase windows are keyed by purchase id."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", us.alias("p_us")
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("t_id"), "user_id", "event_type", us.alias("t_us")
+    )
+    pairs = p.join(t, "user_id").filter(
+        (F.col("t_us") <= F.col("p_us"))
+        & (F.col("t_us") > F.col("p_us") - _ATTR_LOOKBACK_US)
+    )
+    from thrill_spark.ordering import _persist
+
+    pairs = _persist(pairs.select("p_id", "t_id", "event_type"))
+    nt = pairs.groupBy("p_id").agg(F.count("*").alias("n"))
+    w = W.partitionBy("p_id").orderBy("t_id")
+    credit = (
+        pairs.join(nt, "p_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "event_type",
+            (
+                F.expr("10000 div n")
+                + F.when(F.col("rn") == 1, F.expr("10000 % n")).otherwise(0)
+            ).alias("c"),
+        )
+    )
+    return credit.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("total_credit_bp"),
+        F.count("*").cast("long").alias("n_touches"),
+    )

@@ -381,3 +381,21 @@ def test_sessionize_capped_splits_long_sessions(spark, sf_dir):
     for r in rows:
         assert r.end_us - r.start_us < cap_us  # no capped session exceeds cap
         assert r.sub_id >= 0
+
+
+# ---------------------------------------------------------------------------
+# phash dedup
+# ---------------------------------------------------------------------------
+
+
+def test_phash_identical_images_same_hash(spark):
+    from thrill_spark.functions import multimodal as MM
+
+    # doc ids 768 apart generate byte-identical synthetic images
+    # (w, h, and every pixel depend on id mod lcm(32, 24, 256) = 768)
+    ids = spark.createDataFrame([(1,), (769,), (2,)], ["id"])
+    media = MM.attach_real_png_media(ids, "id")
+    out = {r.id: r.phash_bits for r in MM.phash_real_png(media, "id").collect()}
+    assert len(out[1]) == 64 and set(out[1]) <= {"0", "1"}
+    assert out[1] == out[769]
+    assert out[1] != out[2]

@@ -394,3 +394,47 @@ def decode_wav_features(df: DataFrame, id_col: str = "id") -> DataFrame:
             )
 
     return df.select(F.col(id_col).alias(id_col), "media").mapInPandas(op, WAV_SCHEMA)
+
+
+PHASH_SCHEMA = "id long, width int, height int, phash_bits string"
+
+
+def phash_real_png(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded PNGs:
+    full decode (IDAT inflate + unfilter), nearest-neighbor resample
+    to a 9x8 grayscale grid, then 64 bits of horizontal gradient sign
+    (bit = px[x+1] > px[x]) — the standard near-duplicate image
+    fingerprint (identical content re-encoded with different PNG
+    filters/compression hashes identically; small edits flip few
+    bits, so Hamming distance ranks near-dups).
+
+    Returned as a 64-char '0'/'1' string: exact grouping works
+    directly, Hamming distance is a zip-count away, and the DuckDB
+    oracle can rebuild it from the deterministic pixel formula without
+    64-bit sign gymnastics. Arrow-batched mapInPandas over the media
+    column; per-row work, no shuffle."""
+    from thrill_spark.functions.pngcodec import decode_png
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ident, raw in zip(pdf[id_col], pdf["media"]):
+                w, h, ch, px = decode_png(bytes(raw))
+                grid = [
+                    [
+                        px[(y * h // 8) * w * ch + (x * w // 9) * ch]
+                        for x in range(9)
+                    ]
+                    for y in range(8)
+                ]
+                bits = "".join(
+                    "1" if grid[y][x + 1] > grid[y][x] else "0"
+                    for y in range(8)
+                    for x in range(8)
+                )
+                rows.append((int(ident), w, h, bits))
+            yield pd.DataFrame(rows, columns=["id", "width", "height", "phash_bits"])
+
+    return df.select(F.col(id_col).alias(id_col), "media").mapInPandas(
+        op, PHASH_SCHEMA
+    )

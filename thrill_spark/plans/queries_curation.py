@@ -1660,3 +1660,199 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("long").alias("total_credit_bp"),
         F.count("*").cast("long").alias("n_touches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (dHash over REAL decoded PNGs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_phash_dedup",
+    """
+    WITH g AS (SELECT doc_id, doc_id % 32 + 1 AS w, doc_id % 24 + 1 AS h
+               FROM documents),
+    bits AS (
+      SELECT doc_id,
+             array_to_string(flatten(list_transform(generate_series(0, 7), y ->
+                list_transform(generate_series(0, 7), x ->
+                  CASE WHEN (((x+1)*w//9)*7 + (y*h//8)*13 + doc_id) % 256
+                          > ((x*w//9)*7 + (y*h//8)*13 + doc_id) % 256
+                       THEN '1' ELSE '0' END))), '') AS phash_bits
+      FROM g)
+    SELECT phash_bits, CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM bits GROUP BY phash_bits
+    """,
+)
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup fingerprinting end-to-end on REAL bytes: encode
+    a deterministic PNG per row, fully decode it (inflate + unfilter),
+    dHash the 9x8 resample, and group identical hashes. The oracle
+    rebuilds every bit from the closed-form pixel function, so a wrong
+    decode, resample, or bit order anywhere breaks the hash match."""
+    from thrill_spark.functions import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    media = MM.attach_real_png_media(docs, "id")
+    ph = MM.phash_real_png(media, id_col="id")
+    return ph.groupBy("phash_bits").agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.min("id").cast("long").alias("min_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC between two table versions: added/removed/changed)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "io_snapshot_diff",
+    """
+    WITH v1 AS (SELECT o_orderkey AS k, o_orderstatus AS s FROM orders
+                WHERE o_orderkey % 5 <> 0),
+    v2 AS (SELECT o_orderkey AS k,
+                  CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS s
+           FROM orders WHERE o_orderkey % 11 <> 0)
+    SELECT change, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN v1.k IS NULL THEN 'added'
+                  WHEN v2.k IS NULL THEN 'removed'
+                  WHEN v1.s <> v2.s THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+    GROUP BY change
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: one co-keyed
+    full-outer join classifies every key as added / removed / changed
+    / unchanged — the audit you run before publishing a new dataset
+    version (pairs with io_manifest_roundtrip's hand-off check). The
+    two versions here derive deterministically from orders so the
+    oracle replays the classification exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s1")
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 7 == 0, "X").otherwise(
+            F.col("o_orderstatus")
+        ).alias("s2"),
+    )
+    classified = v1.join(v2, "k", "full_outer").select(
+        F.when(F.col("s1").isNull(), "added")
+        .when(F.col("s2").isNull(), "removed")
+        .when(F.col("s1") != F.col("s2"), "changed")
+        .otherwise("unchanged")
+        .alias("change")
+    )
+    return classified.groupBy("change").agg(F.count("*").cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit (null rates, range violations, referential orphans)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "profile_data_quality",
+    """
+    SELECT
+      CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+        AS neg_quantity,
+      CAST((SELECT COUNT(*) FROM lineitem WHERE l_discount < 0
+                                             OR l_discount > 1) AS BIGINT)
+        AS bad_discount,
+      CAST((SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        AS orphan_orders,
+      CAST((SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        AS orphan_lineitems,
+      CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL) AS BIGINT)
+        AS null_totalprice
+    """,
+)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-validation rules in one pass per table: range checks
+    (non-positive quantity, discount outside [0,1]), referential
+    integrity (orders without a customer, lineitems without an order —
+    broadcast/shuffle anti-joins), and null checks. The production
+    pre-publish gate; all counts exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    neg_q = li.filter(F.col("l_quantity") <= 0).agg(
+        F.count("*").cast("long").alias("neg_quantity")
+    )
+    bad_d = li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).agg(
+        F.count("*").cast("long").alias("bad_discount")
+    )
+    orphan_o = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"
+    ).agg(F.count("*").cast("long").alias("orphan_orders"))
+    orphan_l = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti"
+    ).agg(F.count("*").cast("long").alias("orphan_lineitems"))
+    null_tp = orders.filter(F.col("o_totalprice").isNull()).agg(
+        F.count("*").cast("long").alias("null_totalprice")
+    )
+    return (
+        neg_q.crossJoin(bad_d)
+        .crossJoin(orphan_o)
+        .crossJoin(orphan_l)
+        .crossJoin(null_tp)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket frequent pairs (co-purchased parts, support-filtered)
+# ---------------------------------------------------------------------------
+_FP_MIN_SUPPORT = 3
+_FP_TOPK = 50
+
+
+@query(
+    "basket_frequent_pairs",
+    f"""
+    WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                   FROM lineitem),
+    pairs AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS support
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= {_FP_MIN_SUPPORT})
+    SELECT p1, p2, CAST(support AS BIGINT) AS support FROM (
+      SELECT p1, p2, support,
+             ROW_NUMBER() OVER (ORDER BY support DESC, p1 ASC, p2 ASC) AS rn
+      FROM pairs) WHERE rn <= {_FP_TOPK}
+    """,
+)
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori first rung at scale: per-basket item sets self-join on
+    the basket key (fan-out bounded by items-per-basket squared),
+    support count + threshold, global top-k. The basket self-join is
+    the canonical co-occurrence pattern (same cost shape as triangle
+    counting's wedge join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = items.select("o", F.col("p").alias("p1"))
+    b = items.select("o", F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _FP_MIN_SUPPORT)
+    )
+    return (
+        pairs.orderBy(F.desc("support"), F.asc("p1"), F.asc("p2"))
+        .limit(_FP_TOPK)
+        .select("p1", "p2", F.col("support").cast("long").alias("support"))
+    )

@@ -96,6 +96,17 @@ BUDGETS = {
     "fn_json_shred_nested": 1,
     "similarity_rp_ann": 3,
     "interval_join_promotions": 2,
+    "corpus_length_buckets": 1,
+    "corpus_span_corruption": 0,
+    "corpus_dataset_card": 2,
+    "dedup_threshold_sweep": 1,
+    "events_attribution_linear": 2,
+    "multimodal_phash_dedup": 1,
+    "io_snapshot_diff": 3,
+    # five independent audit pipelines (2 anti-joins + 3 scans), each
+    # merging to a scalar — the count is the rule set, not waste
+    "profile_data_quality": 5,
+    "basket_frequent_pairs": 3,
 }
 
 

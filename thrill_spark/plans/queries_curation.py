@@ -1856,3 +1856,90 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_FP_TOPK)
         .select("p1", "p2", F.col("support").cast("long").alias("support"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join (streaming events x customer dimension)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_stream_enrich",
+    """
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming side joins a static dimension
+    DataFrame (Spark broadcasts it into every micro-batch — the
+    standard enrichment topology; the dim is re-resolvable per batch
+    at scale). Aggregated counts come from a real availableNow run
+    into a memory sink and must equal the batch join exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    base = os.path.join(tempfile.gettempdir(), "thrill_spark_enrich")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    joined = stream.join(cust, stream["user_id"] == cust["c_custkey"]).groupBy(
+        "segment", "event_type"
+    ).agg(F.count("*").cast("long").alias("n"))
+    name = "stream_enrich_sink"
+    q = (
+        joined.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout=300)
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier via domain-bounded reduction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skyline_price_quantity",
+    """
+    WITH g AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+                      MIN(l_extendedprice) AS min_price
+               FROM lineitem GROUP BY 1)
+    SELECT a.qty, a.min_price FROM g a
+    WHERE NOT EXISTS (SELECT 1 FROM g b
+                      WHERE b.qty > a.qty AND b.min_price <= a.min_price)
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (maximize quantity, minimize price) without any
+    global sort: reduce to the bounded qty domain first (one keyed
+    aggregate -> <=50 rows), then the dominance filter is a broadcast
+    self-anti-join on the tiny reduced set. The classic skyline
+    rewrite when one axis has bounded cardinality — corpus-size work
+    is exactly one aggregation at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_quantity").cast("long").alias("qty")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    from thrill_spark.ordering import _persist
+
+    g = _persist(g)
+    b = g.select(F.col("qty").alias("_bq"), F.col("min_price").alias("_bp"))
+    dominated = (F.col("_bq") > F.col("qty")) & (F.col("_bp") <= F.col("min_price"))
+    return g.join(F.broadcast(b), dominated, "left_anti")

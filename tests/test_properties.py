@@ -139,3 +139,94 @@ def test_chunk_windows_cover_every_token(spark, n_words, chunk, stride_off):
     assert covered == set(range(n_words)) or (n_words == 0 and rows == [(0, 0)])
     # chunk ids are dense from 0
     assert [cid for cid, _ in rows] == list(range(len(rows)))
+
+
+@given(
+    spans=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),  # left start day
+            st.integers(min_value=0, max_value=20),  # left duration
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    rspans=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    bin_days=st.integers(min_value=1, max_value=14),
+)
+@_settings
+def test_interval_overlap_join_equals_theta_join(spark, spans, rspans, bin_days):
+    """The bin-explode rewrite must emit EXACTLY the overlapping pairs,
+    each once, for any interval shapes and any bin width."""
+    from datetime import datetime, timedelta
+
+    from thrill_spark.operators.join import interval_overlap_join
+
+    epoch = datetime(2020, 1, 1)
+
+    def mk(rows):
+        return [
+            (i, epoch + timedelta(days=s), epoch + timedelta(days=s + d))
+            for i, (s, d) in enumerate(rows)
+        ]
+
+    L = spark.createDataFrame(mk(spans), ["lid", "ls", "le"])
+    R = spark.createDataFrame(mk(rspans), ["rid", "rs", "re"])
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            L, R, "ls", "le", "rs", "re", bin_days=bin_days
+        ).collect()
+    )
+    expect = sorted(
+        (i, j)
+        for i, (s1, d1) in enumerate(spans)
+        for j, (s2, d2) in enumerate(rspans)
+        if s1 <= s2 + d2 and s2 <= s1 + d1
+    )
+    assert got == expect
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+@_settings
+def test_ngram_cover_equals_reference_fold(spark, docs, n):
+    """duplicated_ngram_cover must mark exactly the positions covered by
+    a corpus-duplicated n-gram, per an independent python reference."""
+    from collections import Counter
+
+    from thrill_spark.functions.dedup import duplicated_ngram_cover
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in duplicated_ngram_cover(df, n=n).collect()}
+    # reference
+    grams = Counter()
+    for toks in docs:
+        for i in range(len(toks) - n + 1):
+            grams[tuple(toks[i : i + n])] += 1
+    for doc_id, toks in enumerate(docs):
+        if len(toks) < n:
+            assert doc_id not in out
+            continue
+        covered = set()
+        for i in range(len(toks) - n + 1):
+            if grams[tuple(toks[i : i + n])] > 1:
+                covered.update(range(i, i + n))
+        r = out[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.n_dup_tokens == len(covered)

@@ -1943,3 +1943,178 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = g.select(F.col("qty").alias("_bq"), F.col("min_price").alias("_bp"))
     dominated = (F.col("_bq") > F.col("qty")) & (F.col("_bp") <= F.col("min_price"))
     return g.join(F.broadcast(b), dominated, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: base aggregate + delta batch == full
+# recompute (the mergeable-aggregate contract for count/sum rollups)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_incremental_rollup",
+    """
+    WITH full_agg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sv
+      FROM events GROUP BY event_type)
+    SELECT event_type, n, sv, TRUE AS merged_matches_full
+    FROM full_agg
+    """,
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance for plain count/sum rollups:
+    aggregate the base partition (ts before the split), aggregate the
+    late-arriving delta separately, merge binwise (counts and integer
+    value sums add), and assert the merged table equals a from-scratch
+    recompute. The oracle pins the merged numbers AND the equality
+    flag — a non-mergeable aggregation path would break both."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", F.floor(F.col("value") * 1000).cast("long").alias("qv")
+    )
+    split = ev.agg(F.expr("percentile_approx(unix_micros(ts), 0.8)").alias("s"))
+    base = ev.crossJoin(F.broadcast(split)).filter(F.unix_micros("ts") <= F.col("s"))
+    delta = ev.crossJoin(F.broadcast(split)).filter(F.unix_micros("ts") > F.col("s"))
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("qv").cast("long").alias("sv"),
+        )
+
+    merged = (
+        agg(base)
+        .unionByName(agg(delta))
+        .groupBy("event_type")
+        .agg(F.sum("n").cast("long").alias("n"), F.sum("sv").cast("long").alias("sv"))
+    )
+    full = agg(ev).select(
+        F.col("event_type").alias("ft"), F.col("n").alias("fn"), F.col("sv").alias("fsv")
+    )
+    return (
+        merged.join(full, merged["event_type"] == full["ft"])
+        .select(
+            "event_type",
+            "n",
+            "sv",
+            ((F.col("n") == F.col("fn")) & (F.col("sv") == F.col("fsv"))).alias(
+                "merged_matches_full"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average per user (hypertable op, exact integers)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_time_weighted_avg",
+    """
+    WITH t AS (
+      SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS qv,
+             epoch_us(ts) // 1000000 AS t_s,
+             lead(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS nxt_s
+      FROM events),
+    w AS (SELECT user_id, CAST(SUM(qv * (nxt_s - t_s)) AS BIGINT) AS wsum,
+                 CAST(SUM(nxt_s - t_s) AS BIGINT) AS dt
+          FROM t WHERE nxt_s IS NOT NULL GROUP BY user_id)
+    SELECT user_id, wsum, dt, CAST(wsum // dt AS BIGINT) AS twa_millis
+    FROM w WHERE dt > 0
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted mean of a signal per user (the hypertable
+    aggregate for irregularly-sampled series): each observation is
+    weighted by its holding duration (lead(ts) - ts). Values quantize
+    to integer millis so the weighted sums are exact int64 — order-
+    independent, no FP folds. One keyed window + one keyed aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1000).cast("long").alias("qv"),
+    )
+    # window order matches the oracle's (ts, event_id): t_s collapses
+    # to whole seconds, so the lead must be taken on the full-precision
+    # key BEFORE truncating
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.withColumn("t_us", F.unix_micros("ts"))
+        .withColumn("nxt_us", F.lead("t_us").over(w))
+        .select(
+            "user_id",
+            "qv",
+            F.expr("t_us div 1000000").alias("t_s"),
+            F.expr("nxt_us div 1000000").alias("nxt_s"),
+        )
+    )
+    agg = (
+        t.filter(F.col("nxt_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("qv") * (F.col("nxt_s") - F.col("t_s"))).cast("long").alias("wsum"),
+            F.sum(F.col("nxt_s") - F.col("t_s")).cast("long").alias("dt"),
+        )
+        .filter(F.col("dt") > 0)
+    )
+    return agg.select(
+        "user_id", "wsum", "dt", F.expr("wsum div dt").cast("long").alias("twa_millis")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-latency distribution (first view -> first-after purchase)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_conversion_latency",
+    """
+    WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.v_us
+          GROUP BY e.user_id),
+    lat AS (SELECT p.user_id, p.p_us - v.v_us AS lat_us
+            FROM p JOIN v ON p.user_id = v.user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(MIN(lat_us) AS BIGINT) AS min_us,
+           CAST(MAX(lat_us) AS BIGINT) AS max_us,
+           CAST(quantile_cont(lat_us, 0.5) AS DOUBLE) AS p50_us,
+           CAST(quantile_cont(lat_us, 0.9) AS DOUBLE) AS p90_us
+    FROM lat
+    """,
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency distribution: per user, first view to the first
+    purchase at-or-after it; exact integer latencies feed bit-exact
+    percentiles (Spark percentile() ≡ DuckDB quantile_cont on the same
+    int64 multiset — the fn_percentiles_exact contract)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    p = (
+        ev.join(v, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("us") >= F.col("v_us")))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    lat = p.join(v, "user_id").select((F.col("p_us") - F.col("v_us")).alias("lat_us"))
+    return lat.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.min("lat_us").cast("long").alias("min_us"),
+        F.max("lat_us").cast("long").alias("max_us"),
+        F.expr("percentile(lat_us, 0.5)").cast("double").alias("p50_us"),
+        F.expr("percentile(lat_us, 0.9)").cast("double").alias("p90_us"),
+    )

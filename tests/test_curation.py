@@ -399,3 +399,28 @@ def test_phash_identical_images_same_hash(spark):
     assert len(out[1]) == 64 and set(out[1]) <= {"0", "1"}
     assert out[1] == out[769]
     assert out[1] != out[2]
+
+
+# ---------------------------------------------------------------------------
+# dynamic partition pruning plan pin
+# ---------------------------------------------------------------------------
+
+
+def test_dpp_plan_has_runtime_pruning(spark, sf_dir):
+    import os
+    import tempfile
+
+    from thrill_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.gettempdir(), "thrill_spark_dpp_plan")
+    orders.select("o_orderkey", "o_orderpriority").write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 2), ("5-LOW", 5)], ["p", "code"]
+    ).filter("code <= 2")
+    joined = fact.join(F.broadcast(dim), fact["o_orderpriority"] == dim["p"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]

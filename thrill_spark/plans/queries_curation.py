@@ -2118,3 +2118,172 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(lat_us, 0.5)").cast("double").alias("p50_us"),
         F.expr("percentile(lat_us, 0.9)").cast("double").alias("p90_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning: partitioned fact scan pruned at runtime by
+# a selective dimension filter
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "io_dynamic_partition_pruning",
+    """
+    SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB data-skipping feature in miniature: the fact table
+    is written partitioned by priority; the join's dim side carries
+    the selective filter, and Spark injects a runtime (dynamic)
+    partition-pruning subquery so only the matching partitions are
+    scanned — the fact-side filter never appears statically. Result
+    correctness is oracle-checked; the plan's dynamicpruning
+    expression is pinned by a unit test."""
+    import os
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    fact_path = os.path.join(
+        tempfile.gettempdir(), f"thrill_spark_dpp_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    orders.select("o_orderkey", "o_orderpriority").write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    # the dim side must carry a SELECTIVE predicate for Spark's DPP
+    # rule to inject the runtime pruning subquery (a pre-filtered
+    # literal relation does not qualify)
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
+         ("4-NOT SPECIFIED", 4), ("5-LOW", 5)],
+        ["p", "code"],
+    ).filter("code <= 2")
+    joined = fact.join(F.broadcast(dim), fact["o_orderpriority"] == dim["p"])
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Built-in session_window parity (same 30-min-gap semantics as the
+# manual sessionize, via the native operator)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_session_window_builtin",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+    FROM (
+      SELECT user_id, ts,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM (
+        SELECT user_id, ts,
+               CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 30*60*1000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM (
+          SELECT user_id, ts,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+          FROM events)))
+    GROUP BY user_id, session_id
+    """,
+)
+def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thrill has no session operator; Spark's native session_window()
+    implements the gap-merge directly in the aggregation layer. The
+    oracle replays the independent lag/sum formulation — the two
+    definitions must coincide exactly (session bounds and counts)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.max(F.unix_micros("ts")).alias("end_us"),
+        )
+        .select("user_id", "n_events", "start_us", "end_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality eval: overlap@k between JL-bucket ANN and exact top-k
+# ---------------------------------------------------------------------------
+_OV_K = 3
+_OV_STRIDE = 25
+
+
+def _sql_overlap_at_k() -> str:
+    dot = (
+        "list_reduce(list_transform(list_zip(a.emb, b.emb),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    nrm = (
+        "sqrt(list_reduce(list_transform({e}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),"
+        " (x, y) -> x + y))"
+    )
+    return f"""
+    WITH rp AS ({_sql_rp_ann()}),
+    q AS (SELECT vec_id, embedding AS emb FROM embeddings
+          WHERE vec_id % {_OV_STRIDE} = 0),
+    pool AS (SELECT vec_id, embedding AS emb FROM embeddings),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                 {dot} / ({nrm.format(e="a.emb")} * {nrm.format(e="b.emb")}) DESC,
+                 b.vec_id ASC) AS rk
+        FROM q a JOIN pool b ON a.vec_id <> b.vec_id)
+      WHERE rk <= {_OV_K})
+    SELECT b.query_id,
+           CAST(COUNT(r.neighbor_id) AS BIGINT) AS n_overlap
+    FROM brute b
+    LEFT JOIN rp r ON r.query_id = b.query_id
+                   AND r.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """
+
+
+@query("similarity_overlap_at_k", _sql_overlap_at_k())
+def q_overlap_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality accounting: per probe query, how many of the exact
+    top-3 cosine neighbors the JL-bucket ANN recovered. Both sides are
+    deterministic, so this is a hash-exact recall table (not a floor
+    assertion) — the artifact you'd publish when tuning bucket bits
+    vs recall at 100 TB."""
+    from pyspark.sql import Window as W
+
+    from thrill_spark.functions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % _OV_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    pool = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nv"))
+    scored = pool.join(
+        F.broadcast(probes), on=F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id", "neighbor_id", S.cosine(F.col("_nv"), F.col("_qv")).alias("_cs")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("neighbor_id").asc())
+    brute = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= _OV_K)
+        .select("query_id", "neighbor_id")
+    )
+    ann = q_rp_ann(spark, sf_dir).select(
+        F.col("query_id").alias("a_q"), F.col("neighbor_id").alias("a_n")
+    )
+    return (
+        brute.join(
+            ann,
+            (brute["query_id"] == ann["a_q"]) & (brute["neighbor_id"] == ann["a_n"]),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_n").cast("long").alias("n_overlap"))
+    )

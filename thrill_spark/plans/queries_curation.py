@@ -2287,3 +2287,107 @@ def q_overlap_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count("a_n").cast("long").alias("n_overlap"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-lateness audit: which events a watermark D would drop,
+# using the two-phase running max (no single-partition window)
+# ---------------------------------------------------------------------------
+_WM_DELAY_US = 3600 * 1_000_000  # 1 hour
+
+
+@query(
+    "events_watermark_lateness",
+    f"""
+    WITH a AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             MAX(epoch_us(ts)) OVER (ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING) AS high
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN us < high - {_WM_DELAY_US} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late
+    FROM a GROUP BY event_type
+    """,
+)
+def q_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing, answered offline: replay the stream in arrival
+    order (event_id) and count events arriving more than D behind the
+    running event-time high-water mark — exactly the rows a streaming
+    job with watermark D would drop. The running max over the GLOBAL
+    arrival order uses the package's two-phase prefix scan (range
+    buckets + carried offsets), so no single-partition window exists
+    at any scale; the oracle can afford the naive global window."""
+    from thrill_spark import ordering as O
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    scanned = O.prefix_scan(
+        ev, ["event_id"], "us", F.max, F.greatest, name="high"
+    )
+    return scanned.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("us") < F.col("high") - _WM_DELAY_US, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_late"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-epoch deterministic shuffles (per-epoch permutation, no RNG)
+# ---------------------------------------------------------------------------
+_N_EPOCHS = 3
+
+
+@query(
+    "corpus_epoch_shuffles",
+    f"""
+    WITH e AS (SELECT unnest(generate_series(0, {_N_EPOCHS} - 1)) AS epoch),
+    r AS (
+      SELECT e.epoch, d.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY e.epoch ORDER BY
+               CAST('0x' || substr(md5('shuf' || CAST(e.epoch AS VARCHAR) || ':'
+                                       || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT),
+               d.doc_id) - 1 AS rnk
+      FROM documents d CROSS JOIN e)
+    SELECT epoch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(rnk * (doc_id % 100003)) % 1000000007 AS BIGINT)
+             AS perm_checksum
+    FROM r GROUP BY epoch
+    """,
+)
+def q_epoch_shuffles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-epoch data ordering: each epoch gets its own
+    deterministic permutation by reusing corpus.shuffle_index with the
+    epoch as the seed — reshuffled data every epoch, reproducible
+    across reruns, zero RNG state, and the rank comes from the range-
+    partitioned two-phase machinery (NO per-epoch global window: a
+    row_number partitioned by epoch would funnel each epoch through a
+    single reducer at scale). The checksum Σ rank·f(doc) is
+    permutation-sensitive, so the oracle pins each epoch's exact
+    order — and different epochs yield different checksums."""
+    from thrill_spark.functions import corpus as C
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    per_epoch = [
+        C.shuffle_index(docs, seed=e, name="rnk").select(
+            F.lit(e).cast("int").alias("epoch"), "doc_id", "rnk"
+        )
+        for e in range(_N_EPOCHS)
+    ]
+    r = per_epoch[0]
+    for p in per_epoch[1:]:
+        r = r.unionByName(p)
+    return r.groupBy("epoch").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (
+            F.sum(F.col("rnk") * (F.col("doc_id") % 100003)) % 1000000007
+        )
+        .cast("long")
+        .alias("perm_checksum"),
+    )

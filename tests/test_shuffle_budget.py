@@ -107,6 +107,18 @@ BUDGETS = {
     # merging to a scalar — the count is the rule set, not waste
     "profile_data_quality": 5,
     "basket_frequent_pairs": 3,
+    "skyline_price_quantity": 0,
+    # runs the base/delta/full pipelines independently by design
+    "events_incremental_rollup": 5,
+    "events_time_weighted_avg": 1,
+    "events_conversion_latency": 4,
+    "io_dynamic_partition_pruning": 1,
+    "events_session_window_builtin": 1,
+    # composes BOTH the full JL-ANN pipeline and the brute-force rescore
+    # it is evaluated against — the count is two pipelines, not waste
+    "similarity_overlap_at_k": 7,
+    "events_watermark_lateness": 1,
+    "corpus_epoch_shuffles": 2,
 }
 
 

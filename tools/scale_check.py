@@ -43,6 +43,14 @@ QUERY_SET = [
     "text_chunk_overlap",
     "k_core_orders",
     "merge_upsert_orders",
+    # curation-batch additions, linear by construction (bigram model
+    # tables are vocabulary-bounded; span corruption is per-row; the
+    # interval join's bin fan-out is span/bin_days; token budget is one
+    # keyed window)
+    "text_bigram_lm",
+    "corpus_span_corruption",
+    "interval_join_promotions",
+    "corpus_token_budget",
 ]
 KEY_SHIFT = 1_000_000_000
 

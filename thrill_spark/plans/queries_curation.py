@@ -2391,3 +2391,207 @@ def q_epoch_shuffles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("perm_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch: mergeable, exact-integer,
+# deterministic — per-day sketches + their union, band-checked
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+_KMV_SHARDS = 32
+_KMV_SPACE = 1 << 60  # md5_long range
+
+
+def _sql_kmv() -> str:
+    md5l = "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    return f"""
+    WITH h AS (SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, {md5l} AS hv
+               FROM events),
+    shard_k AS (
+      SELECT day, hv FROM (
+        SELECT day, hv,
+               ROW_NUMBER() OVER (PARTITION BY day, hv % {_KMV_SHARDS}
+                                  ORDER BY hv) AS rn
+        FROM h) WHERE rn <= {_KMV_K}),
+    day_k AS (
+      SELECT day, hv, rn FROM (
+        SELECT day, hv,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv) AS rn
+        FROM shard_k) WHERE rn <= {_KMV_K}),
+    day_est AS (
+      SELECT day, MAX(rn) AS kk, MAX(CASE WHEN rn = {_KMV_K} THEN hv END) AS hk
+      FROM day_k GROUP BY day),
+    exact AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                     COUNT(DISTINCT user_id) AS exact_distinct
+              FROM events GROUP BY 1)
+    SELECT e.day,
+           CAST(CASE WHEN d.hk IS NULL THEN d.kk
+                ELSE ({_KMV_K} - 1) * ({_KMV_SPACE} // d.hk) END AS BIGINT)
+             AS est_distinct,
+           CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+           (CASE WHEN d.hk IS NULL THEN d.kk
+                 ELSE ({_KMV_K} - 1) * ({_KMV_SPACE} // d.hk) END) * 10 >= e.exact_distinct * 5
+           AND (CASE WHEN d.hk IS NULL THEN d.kk
+                     ELSE ({_KMV_K} - 1) * ({_KMV_SPACE} // d.hk) END) * 10 <= e.exact_distinct * 20
+             AS band_ok
+    FROM exact e JOIN day_est d USING (day)
+    """
+
+
+@query("events_kmv_sketch", _sql_kmv())
+def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch — the mergeable alternative to HLL that also
+    supports set intersections: a day's sketch is its k smallest
+    distinct user-hashes; merging days is 'k smallest of the union';
+    the estimate is (k-1)·H/h_k. All-integer and deterministic (md5
+    hashes, exact division), so unlike HLL the oracle replays the
+    sketch itself, with a 2x band vs the exact distinct as the
+    statistical check. Distributed top-k discipline: per-(day, shard)
+    row_number first (bounded reducers), then the per-day merge ranks
+    ≤ shards·k survivors — no day-wide window over raw cardinality."""
+    from pyspark.sql import Window as W
+
+    md5l = TX.md5_long(F.col("user_id").cast("string"))
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("day"), md5l.alias("hv")
+    )
+    h = ev.distinct()
+    w_shard = W.partitionBy("day", F.col("hv") % _KMV_SHARDS).orderBy("hv")
+    shard_k = (
+        h.withColumn("rn", F.row_number().over(w_shard))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+    w_day = W.partitionBy("day").orderBy("hv")
+    day_k = (
+        shard_k.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    day_est = day_k.groupBy("day").agg(
+        F.max("rn").alias("kk"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("hv"))).alias("hk"),
+    )
+    est = F.when(F.col("hk").isNull(), F.col("kk")).otherwise(
+        F.lit(_KMV_K - 1) * F.expr(f"{_KMV_SPACE} div hk")
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        exact.join(day_est, "day")
+        .select(
+            "day",
+            est.cast("long").alias("est_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            (
+                (est * 10 >= F.col("exact_distinct") * 5)
+                & (est * 10 <= F.col("exact_distinct") * 20)
+            ).alias("band_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct users per SLIDING window (explode to covered windows)
+# ---------------------------------------------------------------------------
+_SLIDE_WIN_US = 3600 * 1_000_000
+_SLIDE_STEP_US = 1800 * 1_000_000
+
+
+@query(
+    "events_sliding_distinct_users",
+    f"""
+    WITH w AS (
+      SELECT user_id,
+             (epoch_us(ts) // {_SLIDE_STEP_US} - j) * {_SLIDE_STEP_US} AS w_start
+      FROM events,
+           (SELECT unnest(generate_series(0,
+                {_SLIDE_WIN_US // _SLIDE_STEP_US} - 1)) AS j))
+    SELECT w_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM w GROUP BY w_start
+    """,
+)
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count over SLIDING windows — the aggregate
+    streaming systems approximate: each event explodes to the
+    window/step windows covering it (bounded fan-out), then one
+    distinct-aggregate keyed by window start. No approximate sketch,
+    no per-window rescan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    n_cover = _SLIDE_WIN_US // _SLIDE_STEP_US
+    w = ev.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_cover - 1}),"
+                f" j -> (us div {_SLIDE_STEP_US} - j) * {_SLIDE_STEP_US})"
+            )
+        ).alias("w_start"),
+    )
+    return w.groupBy("w_start").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session transition mining (Markov-chain edge counts within sessions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_markov_transitions",
+    f"""
+    WITH sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN prev_us IS NULL
+                         OR epoch_us(ts) - prev_us > {_SESS_GAP_US}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM (SELECT user_id, ts, event_id, event_type,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev_us
+              FROM events))),
+    tr AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id, session_id
+                ORDER BY ts, event_id) AS dst
+      FROM sess)
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tr WHERE dst IS NOT NULL GROUP BY src, dst
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session behavioral Markov chain: within each gap session,
+    count consecutive event-type transitions (the page-path /
+    next-action model's sufficient statistic). Two keyed windows +
+    one aggregate; tie-broken on (ts, event_id) so both engines walk
+    identical sequences."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    sess = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > _SESS_GAP_US), 1
+        ).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+    )
+    ws = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    tr = sess.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(ws).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return tr.groupBy("src", "dst").agg(F.count("*").cast("long").alias("n"))

@@ -424,3 +424,57 @@ def test_dpp_plan_has_runtime_pruning(spark, sf_dir):
     joined = fact.join(F.broadcast(dim), fact["o_orderpriority"] == dim["p"])
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:1500]
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve
+# ---------------------------------------------------------------------------
+
+
+def test_hilbert_bijection_and_unit_steps(spark):
+    from thrill_spark.functions.layout import with_hvalue
+
+    bits = 4
+    n = 1 << bits
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], ["x", "y"]
+    )
+    out = with_hvalue(grid, F.col("x"), F.col("y"), bits=bits, out="d").collect()
+    pos = {r.d: (r.x, r.y) for r in out}
+    assert sorted(pos) == list(range(n * n))  # bijection onto [0, n^2)
+    for d in range(1, n * n):
+        (x1, y1), (x2, y2) = pos[d - 1], pos[d]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1  # true Hilbert adjacency
+
+
+def test_hilbert_tighter_buckets_than_zorder(spark, sf_dir):
+    from thrill_spark.plans.queries import QUERIES
+
+    def area(rows):
+        return sum(
+            (r.max_x - r.min_x + 1) * (r.max_y - r.min_y + 1) * r.n_rows for r in rows
+        )
+
+    hz = area(QUERIES["layout_hilbert_stats"](spark, sf_dir).collect())
+    # compare on the matched 8-bit domain: recompute z envelopes at 8 bits
+    from thrill_spark.catalog import load_table
+    from thrill_spark.functions import layout as LAY
+
+    o = load_table(spark, sf_dir, "orders")
+    xm = F.col("o_custkey").bitwiseAND(F.lit(255))
+    ym = F.col("o_orderkey").bitwiseAND(F.lit(255))
+    z = o.select(LAY.zvalue(xm, ym, 8).alias("zval"), xm.alias("xm"), ym.alias("ym"))
+    zrows = (
+        z.groupBy(F.shiftright("zval", 10).alias("b"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("xm").alias("min_x"),
+            F.max("xm").alias("max_x"),
+            F.min("ym").alias("min_y"),
+            F.max("ym").alias("max_y"),
+        )
+        .collect()
+    )
+    # Hilbert's unit-step property should give row-weighted bounding
+    # boxes no worse than Z-order's on the same bucketing
+    assert hz <= area(zrows) * 1.05

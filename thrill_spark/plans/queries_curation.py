@@ -2595,3 +2595,63 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(ws).alias("dst"),
     ).filter(F.col("dst").isNotNull())
     return tr.groupBy("src", "dst").agg(F.count("*").cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout stats (vs the registered Z-order twin)
+# ---------------------------------------------------------------------------
+_H_BITS = 8
+_H_SHIFT = 10  # 2^16 curve positions -> 64 buckets
+
+
+def _sql_hilbert_stats() -> str:
+    from thrill_spark.functions.layout import sql_hvalue
+
+    levels = sql_hvalue("_hx", "_hy", _H_BITS)
+    ctes = [
+        f"h0 AS (SELECT (o_custkey & 255) AS _hx, (o_orderkey & 255) AS _hy,\n"
+        f"        (o_custkey & 255) AS xm, (o_orderkey & 255) AS ym,\n"
+        f"        CAST(0 AS BIGINT) AS hval FROM orders)"
+    ]
+    for i, body in enumerate(levels):
+        ctes.append(f"h{i + 1} AS ({body} FROM h{i})")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT hval >> {_H_SHIFT} AS hbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(xm) AS min_x, MAX(xm) AS max_x,
+           MIN(ym) AS min_y, MAX(ym) AS max_y
+    FROM h{len(levels)} GROUP BY hbucket
+    """
+    )
+
+
+@query("layout_hilbert_stats", _sql_hilbert_stats())
+def q_hilbert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering envelopes — the layout modern
+    lakehouses moved to over Z-order: the curve takes only unit steps,
+    so per-file (x, y) bounding boxes are tighter and scans prune more
+    on either column. The index is `bits` chained projections (one
+    whole-stage-codegen span, functions/layout.py::with_hvalue); the
+    oracle replays every level as a CTE. Clustering itself
+    (hilbert_layout) is one range shuffle, identical in cost to
+    zorder_layout — this query reports the same per-bucket envelopes
+    as layout_zorder_stats for a like-for-like comparison."""
+    from thrill_spark.functions import layout as LAY
+
+    o = load_table(spark, sf_dir, "orders")
+    xm = F.col("o_custkey").bitwiseAND(F.lit(255))
+    ym = F.col("o_orderkey").bitwiseAND(F.lit(255))
+    base = o.select(xm.alias("xm"), ym.alias("ym"))
+    h = LAY.with_hvalue(base, F.col("xm"), F.col("ym"), bits=_H_BITS, out="hval")
+    return h.groupBy(
+        F.shiftright("hval", _H_SHIFT).alias("hbucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("xm").alias("min_x"),
+        F.max("xm").alias("max_x"),
+        F.min("ym").alias("min_y"),
+        F.max("ym").alias("max_y"),
+    )

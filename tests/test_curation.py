@@ -478,3 +478,32 @@ def test_hilbert_tighter_buckets_than_zorder(spark, sf_dir):
     # Hilbert's unit-step property should give row-weighted bounding
     # boxes no worse than Z-order's on the same bucketing
     assert hz <= area(zrows) * 1.05
+
+
+# ---------------------------------------------------------------------------
+# byte-range line source
+# ---------------------------------------------------------------------------
+
+
+def test_byte_range_lines_exactly_once(spark, tmp_path):
+    from thrill_spark.sources.linesource import register
+
+    # lines of visibly different lengths so several split boundaries
+    # land mid-line
+    lines = [f"line-{i}-" + "x" * (i * 7 % 95) for i in range(200)]
+    p = tmp_path / "t.txt"
+    p.write_text("\n".join(lines) + "\n")
+    register(spark)
+    for n_splits in (1, 3, 8, 64):
+        out = (
+            spark.read.format("thrill_lines")
+            .option("path", str(p))
+            .option("n_splits", n_splits)
+            .load()
+            .collect()
+        )
+        assert sorted(r.line for r in out) == sorted(lines), n_splits
+        # offsets are the true byte offsets
+        blob = ("\n".join(lines) + "\n").encode()
+        for r in out:
+            assert blob[r.offset : r.offset + len(r.line)].decode() == r.line

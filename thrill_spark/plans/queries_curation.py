@@ -2655,3 +2655,67 @@ def q_hilbert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ym").alias("min_y"),
         F.max("ym").alias("max_y"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource: Thrill-ReadLines byte-range splitting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "io_python_datasource_lines",
+    f"""
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR) || ':' ||
+               md5(array_to_string({SQL_TOKS}, ' '))) AS line_fp
+    FROM documents
+    """,
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thrill's ReadLines as a Spark 4 Python DataSource: the file is
+    split into static byte ranges (partitions()), each worker seeks
+    in, skips the torn line at its boundary, and reads through the
+    line straddling its end — exactly-once per line with zero
+    coordination (reference/thrill/api/read_lines.hpp semantics,
+    implemented at sources/linesource.py). The fixture file is
+    written with one 'doc_id:fingerprint' line per document across
+    many oversized lines, so boundary handling is actually exercised;
+    the oracle recomputes every line's content from the table."""
+    import os
+    import tempfile
+
+    from thrill_spark.functions.text import fingerprint
+    from thrill_spark.sources.linesource import register
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), fingerprint("text")
+        ).alias("value")
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"thrill_lines_src_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, "docs.txt")
+    # one local text FILE (not a directory) so byte-range planning has
+    # a single contiguous byte space to split
+    lines.coalesce(1).write.mode("overwrite").text(base + "_dir")
+    part = [
+        f
+        for f in os.listdir(base + "_dir")
+        if f.startswith("part-") and f.endswith(".txt")
+    ][0]
+    os.replace(os.path.join(base + "_dir", part), path)
+    register(spark)
+    out = (
+        spark.read.format("thrill_lines")
+        .option("path", path)
+        .option("n_splits", 8)
+        .load()
+    )
+    return out.select(
+        F.split_part(F.col("line"), F.lit(":"), F.lit(1)).cast("long").alias("doc_id"),
+        F.md5(F.col("line")).alias("line_fp"),
+    )

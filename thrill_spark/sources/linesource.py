@@ -1,0 +1,87 @@
+"""Custom Python DataSource: byte-range-split text lines.
+
+Direct parity with the reference's ReadLines
+(reference/thrill/api/read_lines.hpp): each worker receives a byte
+range [begin, end) of the file, seeks to `begin`, skips the partial
+line it landed in (the PREVIOUS range's reader owns it), and reads
+through the first newline AT-or-after `end` — every line is read
+exactly once, split points never tear a line, and no coordination is
+needed beyond the static ranges.
+
+Spark 4's Python DataSource API exposes exactly the right surface:
+`partitions()` returns the byte ranges (the split planning Thrill's
+context does at job start), and `read(partition)` is the per-worker
+scan. The source registers as format("thrill_lines") with options
+`path` and `n_splits`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _Range(InputPartition):
+    def __init__(self, path: str, begin: int, end: int):
+        self.path = path
+        self.begin = begin
+        self.end = end
+
+
+class ByteRangeLinesReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.n_splits = int(options.get("n_splits", "8"))
+
+    def partitions(self):
+        size = os.path.getsize(self.path)
+        n = max(1, self.n_splits)
+        step = max(1, (size + n - 1) // n)
+        ranges = []
+        at = 0
+        while at < size:
+            ranges.append(_Range(self.path, at, min(at + step, size)))
+            at += step
+        return ranges or [_Range(self.path, 0, 0)]
+
+    def read(self, partition):
+        p = partition
+        with open(p.path, "rb") as f:
+            if p.begin == 0:
+                f.seek(0)
+            else:
+                # seek one byte back and discard through that line's
+                # newline: if byte begin-1 IS the newline, this consumes
+                # just it and the line starting exactly at `begin` is
+                # preserved; otherwise the partial line (owned by the
+                # previous range's read-through) is skipped
+                f.seek(p.begin - 1)
+                f.readline()
+            while True:
+                pos = f.tell()
+                # a line is ours iff it STARTS in [begin, end); one
+                # starting before `end` is read through even if it
+                # extends past it (read_lines.hpp semantics)
+                if pos >= p.end:
+                    break
+                raw = f.readline()
+                if not raw:
+                    break
+                yield (pos, raw.rstrip(b"\n").decode("utf-8"))
+
+
+class ByteRangeLinesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "thrill_lines"
+
+    def schema(self) -> str:
+        return "offset long, line string"
+
+    def reader(self, schema):
+        return ByteRangeLinesReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(ByteRangeLinesDataSource)

@@ -507,3 +507,33 @@ def test_byte_range_lines_exactly_once(spark, tmp_path):
         blob = ("\n".join(lines) + "\n").encode()
         for r in out:
             assert blob[r.offset : r.offset + len(r.line)].decode() == r.line
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (gated: needs google.protobuf for its driver worker)
+# ---------------------------------------------------------------------------
+
+
+def test_transform_with_state_gating(spark, sf_dir):
+    import pytest
+
+    from thrill_spark.plans.queries import QUERIES
+    from thrill_spark.streaming.tws import has_transform_with_state
+
+    if not has_transform_with_state():
+        # honest gating: without protobuf the query must NOT be
+        # registered (the API's streaming runner cannot initialize)
+        assert "events_stream_transform_with_state" not in QUERIES
+        pytest.skip("google.protobuf absent: transformWithState cannot run here")
+    out = QUERIES["events_stream_transform_with_state"](spark, sf_dir)
+    from thrill_spark.catalog import load_table
+
+    expect = {
+        (r.user_id, r.n): (r.user_id, r.n)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {(r.user_id, r.n_events) for r in out.collect()}
+    assert got == set(expect)

@@ -2719,3 +2719,90 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("line"), F.lit(":"), F.lit(1)).cast("long").alias("doc_id"),
         F.md5(F.col("line")).alias("line_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 arbitrary stateful streaming): per-user
+# running counts whose batch-summed deltas must equal the batch answer
+# ---------------------------------------------------------------------------
+
+
+def _register_tws() -> None:
+    """transformWithState needs google.protobuf in the Python env (its
+    streaming driver worker imports it); this container does not ship
+    it, so the query registers only where the API can actually run —
+    the same honest gating as the Pillow image path. The identical
+    semantics are hard-oracled in this container via
+    events_stream_stateful_counts (applyInPandasWithState)."""
+    from thrill_spark.streaming.tws import has_transform_with_state
+
+    if not has_transform_with_state():
+        return
+    query(
+        "events_stream_transform_with_state",
+        """
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+        """,
+    )(q_transform_with_state)
+
+
+def q_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from thrill_spark.streaming.tws import RunningCountProcessor
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    base = os.path.join(tempfile.gettempdir(), "thrill_spark_tws")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    ev.repartition(6).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("delta", T.LongType()),
+            T.StructField("running", T.LongType()),
+        ]
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningCountProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    name = "tws_sink"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout=300)
+    finally:
+        q.stop()
+    # deltas sum to the per-user totals no matter how the stream was
+    # chopped into micro-batches
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.sum("delta").cast("long").alias("n_events"))
+    )
+
+
+_register_tws()

@@ -340,7 +340,18 @@ def _fold_prefixes(spark, totals: list, combine_fn) -> list:
     counts pass combine_scalar instead."""
     if not totals:
         return []
-    arr = F.array(*[F.lit(t) for t in totals])
+
+    # Integer totals < 2^31 become IntegerType literals, and folding 32
+    # of them can overflow int32 under ANSI even though every PARTIAL
+    # is a valid int64 (hit by fn_weighted_median at sf0.01: ~7e7 per
+    # partition, ~2.2e9 folded). Widen integer literals to long; other
+    # types keep their natural literal type.
+    def _lit(t):
+        if isinstance(t, int) and not isinstance(t, bool):
+            return F.lit(t).cast("long")
+        return F.lit(t)
+
+    arr = F.array(*[_lit(t) for t in totals])
     out = spark.range(1).select(
         F.transform(
             F.sequence(F.lit(1), F.lit(len(totals))),

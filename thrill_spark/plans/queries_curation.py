@@ -2806,3 +2806,151 @@ def q_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_tws()
+
+
+# ---------------------------------------------------------------------------
+# Group-wise closed-form OLS (exact integer moments, rational slope)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_groupwise_ols",
+    """
+    WITH t AS (SELECT l_returnflag AS grp,
+                      CAST(l_quantity AS BIGINT) AS x,
+                      CAST(floor(l_extendedprice) AS BIGINT) AS y
+               FROM lineitem)
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS slope_num,
+           CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den
+    FROM t GROUP BY grp
+    """,
+)
+def q_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear regression in closed form from exact integer
+    moments: slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) reported as the
+    integer (num, den) pair — no FP accumulation anywhere, so the
+    model fit itself is hash-checkable. One keyed aggregate; the
+    pattern extends to any GLM with sufficient statistics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor("l_extendedprice").cast("long").alias("y"),
+    )
+    return t.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.count("*") * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+        .cast("long")
+        .alias("slope_num"),
+        (F.count("*") * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        .cast("long")
+        .alias("slope_den"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WordCount over the custom byte-range source (source -> pipeline)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "io_datasource_wordcount",
+    f"""
+    SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest({SQL_TOKS}) AS t FROM documents)
+    GROUP BY t ORDER BY n DESC, t ASC LIMIT 20
+    """,
+)
+def q_datasource_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship example (word_count.cpp) fed by the
+    reference-parity source: documents round-trip through a real text
+    file, the byte-range DataSource splits it 8 ways, and the counts
+    must equal the table-direct aggregation."""
+    import os
+    import tempfile
+
+    from thrill_spark.sources.linesource import register
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"thrill_wc_src_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, "docs.txt")
+    docs.select(F.lower("text").alias("value")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(base + "_dir")
+    part = [
+        f
+        for f in os.listdir(base + "_dir")
+        if f.startswith("part-") and f.endswith(".txt")
+    ][0]
+    os.replace(os.path.join(base + "_dir", part), path)
+    register(spark)
+    lines = (
+        spark.read.format("thrill_lines")
+        .option("path", path)
+        .option("n_splits", 8)
+        .load()
+    )
+    toks = lines.select(
+        F.explode(F.filter(F.split("line", r"\s+"), lambda t: t != "")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median via the two-phase prefix machinery
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_weighted_median",
+    """
+    WITH t AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+                      CAST(floor(l_extendedprice) AS BIGINT) AS w
+               FROM lineitem),
+    g AS (SELECT v, SUM(w) AS w FROM t GROUP BY v),
+    c AS (SELECT v, w, SUM(w) OVER (ORDER BY v
+              ROWS UNBOUNDED PRECEDING) AS cum FROM g),
+    tot AS (SELECT SUM(w) AS tw FROM g)
+    SELECT CAST(MIN(v) AS BIGINT) AS weighted_median,
+           CAST(MAX(tot.tw) AS BIGINT) AS total_weight
+    FROM c CROSS JOIN tot WHERE cum * 2 >= tot.tw
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (the order statistic Thrill's percentiles
+    example generalizes to weights): collapse to the value domain
+    (one keyed aggregate — quantity has bounded cardinality), then a
+    running weight via the two-phase prefix scan and the first value
+    whose cumulative weight crosses half. No global-order window
+    anywhere; the domain-collapsed scan input is vocabulary-sized."""
+    from thrill_spark import ordering as O
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.select(
+            F.col("l_quantity").cast("long").alias("v"),
+            F.floor("l_extendedprice").cast("long").alias("w"),
+        )
+        .groupBy("v")
+        .agg(F.sum("w").alias("w"))
+    )
+    scanned = O.prefix_scan(g, ["v"], "w", F.sum, lambda a, b: a + b, name="cum")
+    tot = g.agg(F.sum("w").cast("long").alias("tw"))
+    return (
+        scanned.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * 2 >= F.col("tw"))
+        .agg(
+            F.min("v").cast("long").alias("weighted_median"),
+            F.max("tw").cast("long").alias("total_weight"),
+        )
+    )

@@ -537,3 +537,74 @@ def test_transform_with_state_gating(spark, sf_dir):
     }
     got = {(r.user_id, r.n_events) for r in out.collect()}
     assert got == set(expect)
+
+
+# ---------------------------------------------------------------------------
+# layout writes actually tighten parquet footer stats
+# ---------------------------------------------------------------------------
+
+
+def test_clustered_write_tightens_footer_stats(spark, sf_dir, tmp_path):
+    import duckdb
+
+    from thrill_spark.catalog import load_table
+    from thrill_spark.functions.layout import hilbert_layout
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 256).alias("x"), (F.col("o_orderkey") % 256).alias("y")
+    )
+    natural = str(tmp_path / "nat")
+    clustered = str(tmp_path / "hil")
+    o.repartition(8).write.mode("overwrite").parquet(natural)
+    hilbert_layout(o, "x", "y", bits=8, n_partitions=8).write.mode(
+        "overwrite"
+    ).parquet(clustered)
+
+    def spread(path):
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""SELECT stats_min_value, stats_max_value
+                FROM parquet_metadata('{path}/*.parquet')
+                WHERE path_in_schema = 'x'"""
+        ).fetchall()
+        return sum(int(mx) - int(mn) for mn, mx in rows) / max(len(rows), 1)
+
+    # per-row-group x ranges must be materially tighter after the
+    # Hilbert rewrite — this is the pruning win the layout pays for
+    assert spread(clustered) < spread(natural) * 0.8
+
+
+# ---------------------------------------------------------------------------
+# COVERAGE.md <-> registry drift guard
+# ---------------------------------------------------------------------------
+
+
+def test_coverage_doc_names_are_registered():
+    import os
+    import re
+
+    from thrill_spark.plans.queries import QUERIES
+
+    doc = open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "COVERAGE.md")
+    ).read()
+    # query names appear in backticks in the query column; check every
+    # backticked token that looks like a registered-query name
+    names = set(re.findall(r"`([a-z0-9_]+)`", doc))
+    lookalikes = {
+        n
+        for n in names
+        if re.match(
+            r"^(tpch|fn|io|events|corpus|text|dedup|similarity|multimodal|ml|"
+            r"layout|profile|graph|basket|skyline|interval|asof|merge|scd2)_",
+            n,
+        )
+    }
+    ghosts = {
+        n for n in lookalikes
+        if n not in QUERIES
+        and not any(q.startswith(n + "_") for q in QUERIES)  # short forms
+        and n != "events_stream_transform_with_state"  # capability-gated
+    }
+    assert not ghosts, f"COVERAGE.md rows reference unregistered queries: {sorted(ghosts)}"

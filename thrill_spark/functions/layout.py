@@ -139,12 +139,17 @@ def hilbert_layout(
     range-shuffle cost as zorder_layout, tighter per-file bounding
     boxes (Hilbert's unit-step property removes Z's quadrant jumps)."""
     mask = (1 << bits) - 1
-    h = hvalue(
+    # chained projections, NOT the single hvalue() expression: nesting
+    # re-expands x/y ~4x per level and analysis/codegen blows up
+    # super-exponentially past ~6 bits (observed: an 8-bit single
+    # expression hangs planning)
+    out = with_hvalue(
+        df,
         F.col(x_col).cast("long").bitwiseAND(F.lit(mask)),
         F.col(y_col).cast("long").bitwiseAND(F.lit(mask)),
-        bits,
+        bits=bits,
+        out="_hval",
     )
-    out = df.withColumn("_hval", h)
     if n_partitions:
         out = out.repartitionByRange(n_partitions, "_hval")
     return out.sortWithinPartitions("_hval")

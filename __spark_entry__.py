@@ -104,7 +104,13 @@ _WINDOW_TAIL = [
 # ml_quantile_binning, ml_feature_hashing, dedup_cluster_histogram,
 # merge_upsert_orders, scd2_orders_status, events_gap_fill,
 # events_attribution_last_touch, events_rolling_hour_counts,
-# dedup_fuzzy_levenshtein.
+# dedup_fuzzy_levenshtein — plus the advanced-curation session's 50+
+# additions (text_bigram_lm, dedup_ngram_cover, ml_pca_power_iteration,
+# similarity_rp_ann, interval_join_promotions, events_stream_upsert /
+# _restart_exactly_once / _enrich, io_python_datasource_lines,
+# layout_hilbert_stats, events_kmv_sketch, fn_weighted_median, ...);
+# all have the identical local differential at sf0.001+sf0.01 and a
+# 24-query sf0.1 sweep (BENCH_NOTES.md).
 _DRIVER_WINDOW_PRIORITY = (_NEVER_DRIVER_VERIFIED + _WINDOW_TAIL)[:50]
 assert len(_DRIVER_WINDOW_PRIORITY) == 50
 

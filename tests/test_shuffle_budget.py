@@ -119,6 +119,15 @@ BUDGETS = {
     "similarity_overlap_at_k": 7,
     "events_watermark_lateness": 1,
     "corpus_epoch_shuffles": 2,
+    # sharded top-k (2) + day merge (1) + exact-distinct side (2)
+    "events_kmv_sketch": 5,
+    "events_sliding_distinct_users": 2,
+    "events_markov_transitions": 2,
+    "layout_hilbert_stats": 1,
+    "io_python_datasource_lines": 0,
+    "ml_groupwise_ols": 1,
+    "io_datasource_wordcount": 1,
+    "fn_weighted_median": 1,
 }
 
 

@@ -2954,3 +2954,207 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tw").cast("long").alias("total_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift monitor: exact L1 vocabulary distance between sources
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "profile_source_drift",
+    f"""
+    WITH toks AS (
+      SELECT source, t, COUNT(*) AS c FROM (
+        SELECT source, unnest({SQL_TOKS}) AS t FROM documents)
+      GROUP BY source, t),
+    n AS (SELECT source, SUM(c) AS n FROM toks GROUP BY source),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             a.t, a.c AS ca, coalesce(b.c, 0) AS cb
+      FROM toks a
+      LEFT JOIN toks b ON b.t = a.t AND b.source > a.source
+      WHERE b.source IS NOT NULL),
+    -- symmetric completion: tokens present in b but absent from a
+    onlyb AS (
+      SELECT a2.source AS src_a, b.source AS src_b, b.t,
+             0 AS ca, b.c AS cb
+      FROM toks b
+      JOIN (SELECT DISTINCT source FROM toks) a2 ON a2.source < b.source
+      WHERE NOT EXISTS (SELECT 1 FROM toks a
+                        WHERE a.source = a2.source AND a.t = b.t)),
+    un AS (SELECT * FROM pairs UNION ALL SELECT * FROM onlyb),
+    d AS (
+      SELECT un.src_a, un.src_b,
+             SUM(abs(un.ca * nb.n - un.cb * na.n)) AS l1_num,
+             MAX(na.n * nb.n) AS denom
+      FROM un
+      JOIN n na ON na.source = un.src_a
+      JOIN n nb ON nb.source = un.src_b
+      GROUP BY un.src_a, un.src_b)
+    SELECT src_a, src_b,
+           CAST(l1_num * 10000 // (2 * denom) AS BIGINT) AS l1_half_bp
+    FROM d
+    """,
+)
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between corpus domains: half-L1
+    (total-variation) distance between per-source token distributions,
+    computed in exact cross-multiplied integers — |c_a·N_b − c_b·N_a|
+    summed over the vocabulary union, scaled to basis points. The join
+    key space is the vocabulary; everything shuffles on (source,
+    token) then collapses to one row per source pair. The metric you
+    alert on when an ingest source changes character."""
+    docs = load_table(spark, sf_dir, "documents")
+    from thrill_spark.ordering import _persist
+
+    toks = _persist(
+        docs.select("source", F.explode(TX.tokens("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    n = toks.groupBy("source").agg(F.sum("c").alias("n"))
+    a = toks.select(
+        F.col("source").alias("src_a"), F.col("t"), F.col("c").alias("ca")
+    )
+    b = toks.select(
+        F.col("source").alias("src_b"), F.col("t").alias("tb"), F.col("c").alias("cb")
+    )
+    both = a.join(
+        b, (F.col("t") == F.col("tb")) & (F.col("src_b") > F.col("src_a"))
+    ).select("src_a", "src_b", "t", "ca", "cb")
+    sources = toks.select("source").distinct()
+    b_with_a = b.join(
+        sources.select(F.col("source").alias("_sa")),
+        F.col("_sa") < F.col("src_b"),
+    )
+    onlyb = (
+        b_with_a.join(
+            a,
+            (a["src_a"] == b_with_a["_sa"]) & (a["t"] == b_with_a["tb"]),
+            "left_anti",
+        )
+        .select(
+            F.col("_sa").alias("src_a"),
+            "src_b",
+            F.col("tb").alias("t"),
+            F.lit(0).alias("ca"),
+            "cb",
+        )
+    )
+    un = both.unionByName(onlyb)
+    na = n.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    nb = n.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    d = (
+        un.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))).alias(
+                "l1_num"
+            ),
+            F.max(F.col("na") * F.col("nb")).alias("denom"),
+        )
+    )
+    return d.select(
+        "src_a",
+        "src_b",
+        F.expr("l1_num * 10000 div (2 * denom)").cast("long").alias("l1_half_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension label covariance (feature screening, exact integers)
+# ---------------------------------------------------------------------------
+_FCOV_TOPK = 8
+
+
+@query(
+    "ml_feature_label_covariance",
+    f"""
+    WITH x AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS y, j - 1 AS dim,
+             CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+               AS xq
+      FROM (SELECT vec_id, label, embedding,
+                   unnest(generate_series(1, len(embedding))) AS j
+            FROM embeddings)),
+    m AS (
+      SELECT dim, COUNT(*) AS n, SUM(xq) AS sx, SUM(y) AS sy,
+             SUM(xq * y) AS sxy
+      FROM x GROUP BY dim)
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num
+    FROM m
+    ORDER BY abs(n * sxy - sx * sy) DESC, dim ASC LIMIT {_FCOV_TOPK}
+    """,
+)
+def q_feature_label_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature screening for the embedding table: per-dimension
+    covariance with the label from exact integer moments (quantized
+    values, n·Σxy − ΣxΣy), top-|cov| dims. One explode + one keyed
+    aggregate; the integer moments make the screen hash-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.col("label").cast("long").alias("y"),
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda e: F.floor(e.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+            )
+        ).alias("dim", "xq"),
+    )
+    m = x.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("xq") * F.col("y")).alias("sxy"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
+    return (
+        m.select(F.col("dim").cast("int").alias("dim"), cov.alias("cov_num"))
+        .orderBy(F.abs(F.col("cov_num")).desc(), F.asc("dim"))
+        .limit(_FCOV_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source dedup report (exact-dup rates by ingest source)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_dedup_by_source",
+    f"""
+    WITH f AS (SELECT source, doc_id,
+                      md5(array_to_string({SQL_TOKS}, ' ')) AS fp
+               FROM documents),
+    g AS (SELECT fp, COUNT(*) AS c, MIN(doc_id) AS keeper FROM f GROUP BY fp)
+    SELECT f.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f.doc_id <> g.keeper THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_redundant,
+           CAST(SUM(CASE WHEN f.doc_id <> g.keeper THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS redundant_bp
+    FROM f JOIN g ON g.fp = f.fp
+    GROUP BY f.source
+    """,
+)
+def q_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which ingest source wastes the dedup budget: per-source count of
+    documents that exact-dedup would drop (not the min-id keeper of
+    their fingerprint group) in exact basis points — the per-feed
+    quality scoreboard a crawling operation reviews."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select("source", "doc_id", TX.fingerprint("text").alias("fp"))
+    g = f.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    j = f.join(g, "fp")
+    red = F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0)
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(red).cast("long").alias("n_redundant"),
+        F.expr(
+            "CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) * 10000"
+            " div count(*) AS BIGINT)"
+        ).alias("redundant_bp"),
+    )

@@ -3158,3 +3158,80 @@ def q_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(*) AS BIGINT)"
         ).alias("redundant_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Malformed-record CSV ingestion (PERMISSIVE corrupt-record accounting)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "io_csv_corrupt_records",
+    """
+    WITH k AS (SELECT o_orderkey AS k FROM orders)
+    SELECT CAST(SUM(CASE WHEN k % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_good,
+           CAST(SUM(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(CASE WHEN k % 7 <> 0 THEN k * 2 ELSE 0 END) AS BIGINT)
+             AS sum_vals
+    FROM k
+    """,
+)
+def q_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-world ingestion robustness: a CSV feed where every 7th row
+    carries a non-numeric value is read in PERMISSIVE mode with a
+    _corrupt_record column — good rows parse, bad rows land intact in
+    the quarantine column instead of failing the job (the 100 TB
+    ingest posture: never die on one bad row, account for every one).
+    The oracle recomputes good/corrupt/sum from the planted rule."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    orders = load_table(spark, sf_dir, "orders")
+    lines = orders.select(
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.concat(F.col("o_orderkey").cast("string"), F.lit(",notanint")),
+        )
+        .otherwise(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(","),
+                (F.col("o_orderkey") * 2).cast("string"),
+            )
+        )
+        .alias("value")
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"thrill_csv_corrupt_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    lines.write.mode("overwrite").text(base)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(base)
+    )
+    # caching before the split read is the documented requirement for
+    # referencing the corrupt column alongside parsed columns
+    df = df.cache()
+    return df.agg(
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(F.coalesce(F.col("v"), F.lit(0))).cast("long").alias("sum_vals"),
+    )

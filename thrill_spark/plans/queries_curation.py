@@ -3235,3 +3235,169 @@ def q_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_corrupt"),
         F.sum(F.coalesce(F.col("v"), F.lit(0))).cast("long").alias("sum_vals"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality profile (day-of-week x hour event-rate heatmap)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_seasonality_profile",
+    """
+    WITH b AS (SELECT dayofweek(ts) AS dow, hour(ts) AS hh FROM events),
+    t AS (SELECT COUNT(*) AS n FROM b)
+    SELECT CAST(dow AS INT) AS dow, CAST(hh AS INT) AS hh,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) * 10000 // MAX(t.n) AS BIGINT) AS share_bp
+    FROM b CROSS JOIN t GROUP BY dow, hh
+    """,
+)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality heatmap: event share by (day-of-week, hour)
+    in exact basis points — the load-shaping input for ingestion
+    capacity planning. (Spark dayofweek == DuckDB dayofweek + 1;
+    normalized here to DuckDB's numbering via the session-UTC
+    timestamps.)"""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hh"),
+    )
+    from thrill_spark.ordering import _persist
+
+    b = _persist(b)
+    t = b.agg(F.count("*").alias("n"))
+    return (
+        b.groupBy("dow", "hh")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "dow",
+            "hh",
+            "n_events",
+            F.expr("n_events * 10000 div n").cast("long").alias("share_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (exact quartile boundaries, broadcast bins)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_rfm_segments",
+    """
+    WITH m AS (
+      SELECT o_custkey AS cust,
+             MAX(epoch_us(o_orderdate)) AS last_us,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS monet
+      FROM orders GROUP BY o_custkey),
+    q AS (SELECT quantile_cont(freq, 0.5) AS f_med,
+                 quantile_cont(monet, 0.5) AS m_med,
+                 quantile_cont(last_us, 0.5) AS r_med
+          FROM m)
+    SELECT CASE WHEN last_us >= r_med THEN 1 ELSE 0 END AS r_hi,
+           CASE WHEN freq > f_med THEN 1 ELSE 0 END AS f_hi,
+           CASE WHEN monet > m_med THEN 1 ELSE 0 END AS m_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monet) AS BIGINT) AS segment_value
+    FROM m CROSS JOIN q GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary
+    metrics cut at their exact medians (bit-exact percentile on
+    integer metrics, broadcast back — the ml_quantile_binning
+    discipline, no global ntile window), then segment counts and
+    value. The classic CRM rollup, deterministic end to end."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("last_us"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum(F.floor("o_totalprice").cast("long")).cast("long").alias("monet"),
+    )
+    from thrill_spark.ordering import _persist
+
+    m = _persist(m)
+    q = m.agg(
+        F.expr("percentile(freq, 0.5)").alias("f_med"),
+        F.expr("percentile(monet, 0.5)").alias("m_med"),
+        F.expr("percentile(last_us, 0.5)").alias("r_med"),
+    )
+    j = m.crossJoin(F.broadcast(q))
+    return (
+        j.groupBy(
+            F.when(F.col("last_us") >= F.col("r_med"), 1).otherwise(0).alias("r_hi"),
+            F.when(F.col("freq") > F.col("f_med"), 1).otherwise(0).alias("f_hi"),
+            F.when(F.col("monet") > F.col("m_med"), 1).otherwise(0).alias("m_hi"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("monet").cast("long").alias("segment_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto analysis (cumulative revenue share via two-phase scan)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "part_abc_analysis",
+    """
+    WITH r AS (SELECT l_partkey AS part,
+                      CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT)
+                        AS rev
+               FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT SUM(rev) AS total FROM r),
+    c AS (SELECT part, rev,
+                 SUM(rev) OVER (ORDER BY rev DESC, part ASC
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM r),
+    cl AS (SELECT part, rev,
+                  CASE WHEN cum * 100 <= t.total * 80 THEN 'A'
+                       WHEN cum * 100 <= t.total * 95 THEN 'B'
+                       ELSE 'C' END AS abc_class
+           FROM c CROSS JOIN t)
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS BIGINT) AS class_revenue
+    FROM cl GROUP BY abc_class
+    """,
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts ranked by integer
+    revenue, cumulative share computed with the package's two-phase
+    prefix scan over the (rev DESC, part) order — the global running
+    sum never funnels through one partition — and cut at 80%/95%.
+    The catalog-management classic, exact to the last unit."""
+    from thrill_spark import ordering as O
+
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.floor("l_extendedprice").cast("long")).cast("long").alias("rev")
+    )
+    scanned = O.prefix_scan(
+        r,
+        [F.col("rev").desc(), F.col("part").asc()],
+        "rev",
+        F.sum,
+        lambda a, b: a + b,
+        name="cum",
+    )
+    t = r.agg(F.sum("rev").cast("long").alias("total"))
+    cl = scanned.crossJoin(F.broadcast(t)).select(
+        "part",
+        "rev",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return cl.groupBy("abc_class").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("rev").cast("long").alias("class_revenue"),
+    )

@@ -3401,3 +3401,177 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_parts"),
         F.sum("rev").cast("long").alias("class_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition #3: FULL curation chain with per-doc audit flags
+# lang-ID -> Gopher gate -> exact-dedup keeper -> near-dup survivor ->
+# split assignment; every doc keeps its reason codes
+# ---------------------------------------------------------------------------
+
+
+def _sql_curation_full() -> str:
+    from thrill_spark.plans.queries_corpus import _VERIFY_TAU, _sql_md5_long
+    from thrill_spark.plans.queries_llm import (
+        SQL_SHINGLES3,
+        _sql_lang_hits,
+        _sql_lsh_pairs,
+    )
+
+    inter = "len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))"
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, lower(text) AS lt, {SQL_TOKS} AS toks FROM documents),
+    lang AS (
+      SELECT doc_id,
+             greatest({_sql_lang_hits('en')}, {_sql_lang_hits('de')},
+                      {_sql_lang_hits('fr')}, {_sql_lang_hits('es')}) > 0
+               AS keep_lang
+      FROM base),
+    gopher AS (
+      SELECT doc_id,
+             (n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS}
+              AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+              AND sym_chars * 10 <= n_words AND stop_hits >= 2) AS keep_quality,
+             n_words
+      FROM (
+        SELECT doc_id, len(toks) AS n_words,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+                   (a, b) -> a + b) AS word_chars,
+               len(list_filter(toks, t -> t IN ('the','and','of','to','a')))
+                 AS stop_hits,
+               length(lt) - length(replace(replace(lt, '#', ''), '...', ''))
+                 AS sym_chars
+        FROM base)),
+    filt AS (
+      SELECT b.doc_id, md5(array_to_string(b.toks, ' ')) AS fp
+      FROM base b JOIN lang l ON l.doc_id = b.doc_id
+                  JOIN gopher g ON g.doc_id = b.doc_id
+      WHERE l.keep_lang AND g.keep_quality),
+    keeper AS (SELECT fp, MIN(doc_id) AS keeper FROM filt GROUP BY fp),
+    cand AS ({_sql_lsh_pairs()}),
+    sh AS (SELECT doc_id, shingles, len(shingles) AS n FROM (
+             SELECT doc_id, {SQL_SHINGLES3} AS shingles FROM base)),
+    ver AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+      WHERE CAST({inter} AS DOUBLE) / (sa.n + sb.n - {inter}) >= {_VERIFY_TAU}),
+    edges AS (SELECT id_a AS u, id_b AS v FROM ver
+              UNION SELECT id_b AS u, id_a AS v FROM ver),
+    reach(src, n) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.n = e.u),
+    comp AS (SELECT src AS node, MIN(n) AS component FROM reach GROUP BY src),
+    flags AS (
+      SELECT b.doc_id,
+             CAST(len(b.toks) AS BIGINT) AS n_tokens,
+             l.keep_lang, g.keep_quality,
+             coalesce(f.doc_id = k.keeper, FALSE) AS is_exact_keeper,
+             coalesce(c.component, b.doc_id) = b.doc_id AS is_near_survivor
+      FROM base b
+      JOIN lang l ON l.doc_id = b.doc_id
+      JOIN gopher g ON g.doc_id = b.doc_id
+      LEFT JOIN filt f ON f.doc_id = b.doc_id
+      LEFT JOIN keeper k ON k.fp = f.fp
+      LEFT JOIN comp c ON c.node = b.doc_id)
+    SELECT doc_id, n_tokens, keep_lang, keep_quality, is_exact_keeper,
+           is_near_survivor,
+           (keep_lang AND keep_quality AND is_exact_keeper
+            AND is_near_survivor) AS kept,
+           CASE WHEN keep_lang AND keep_quality AND is_exact_keeper
+                     AND is_near_survivor
+                THEN CASE WHEN {_sql_md5_long("'split' || CAST(doc_id AS VARCHAR)")} % 10000 < 8000
+                          THEN 'train'
+                          WHEN {_sql_md5_long("'split' || CAST(doc_id AS VARCHAR)")} % 10000 < 9000
+                          THEN 'val' ELSE 'test' END
+                ELSE NULL END AS split
+    FROM flags
+    """
+
+
+@query("corpus_curation_full", _sql_curation_full())
+def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition #3 — the complete curation run with
+    per-document AUDIT FLAGS (the 'why was my document dropped'
+    artifact): language-ID gate, Gopher quality gate, exact-dedup
+    keeper (min-id per fingerprint among filtered docs), LSH near-dup
+    survivor (candidates -> Jaccard verify -> connected components),
+    and hash-stable split assignment for the kept set. Every stage is
+    the registry's production operator; the oracle replays the whole
+    chain in one statement including the recursive-CTE closure."""
+    from thrill_spark.functions import corpus as C2
+    from thrill_spark.plans.queries_corpus import _pipeline_survivors
+
+    docs = load_table(spark, sf_dir, "documents")
+    from thrill_spark.ordering import _persist
+
+    base = _persist(
+        docs.select(
+            "doc_id",
+            TX.tokens("text").alias("_toks"),
+            F.lower("text").alias("_lt"),
+        )
+    )
+    keep_lang = (TX.lang_id(F.array_join("_toks", " ")) != "und").alias("keep_lang")
+    lt = F.col("_lt")
+    n_words = F.size("_toks")
+    word_chars = F.aggregate(
+        F.col("_toks"), F.lit(0).cast("long"), lambda a, t: a + F.length(t).cast("long")
+    )
+    stop_hits = F.size(F.filter(F.col("_toks"), lambda t: t.isin("the", "and", "of", "to", "a")))
+    sym_chars = F.length(lt) - F.length(
+        F.replace(F.replace(lt, F.lit("#"), F.lit("")), F.lit("..."), F.lit(""))
+    )
+    keep_quality = (
+        (n_words >= _GOPHER_MIN_WORDS)
+        & (n_words <= _GOPHER_MAX_WORDS)
+        & (word_chars >= 3 * n_words)
+        & (word_chars <= 10 * n_words)
+        & (sym_chars * 10 <= n_words)
+        & (stop_hits >= 2)
+    ).alias("keep_quality")
+    flags = _persist(
+        base.select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.md5(F.array_join("_toks", " ")).alias("fp"),
+            keep_lang,
+            keep_quality,
+        )
+    )
+    filt = flags.filter(F.col("keep_lang") & F.col("keep_quality")).select(
+        "doc_id", "fp"
+    )
+    keeper = filt.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    exact = filt.join(keeper, "fp").select(
+        "doc_id", (F.col("doc_id") == F.col("keeper")).alias("is_exact_keeper")
+    )
+    near = _pipeline_survivors(spark, sf_dir).select(
+        "doc_id", F.col("is_survivor").alias("is_near_survivor")
+    )
+    out = (
+        flags.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "keep_lang",
+            "keep_quality",
+            F.coalesce("is_exact_keeper", F.lit(False)).alias("is_exact_keeper"),
+            F.coalesce("is_near_survivor", F.lit(True)).alias("is_near_survivor"),
+        )
+        .withColumn(
+            "kept",
+            F.col("keep_lang")
+            & F.col("keep_quality")
+            & F.col("is_exact_keeper")
+            & F.col("is_near_survivor"),
+        )
+    )
+    split_col = C2.split_column(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.withColumn(
+        "split", F.when(F.col("kept"), split_col).otherwise(F.lit(None))
+    )

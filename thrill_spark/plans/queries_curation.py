@@ -3575,3 +3575,104 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "split", F.when(F.col("kept"), split_col).otherwise(F.lit(None))
     )
+
+
+# ---------------------------------------------------------------------------
+# Map higher-order functions audit (map_from_entries -> transform_values
+# -> map_filter -> map_entries round trip, lossless vs direct relational)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_map_higher_order",
+    """
+    WITH c AS (SELECT o_custkey AS cust, o_orderstatus AS status,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM orders GROUP BY 1, 2)
+    SELECT cust, status, CAST(n * 2 AS BIGINT) AS doubled
+    FROM c WHERE n * 2 >= 4
+    """,
+)
+def q_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The map-typed function surface Thrill's user lambdas would need
+    (map.hpp analogue for keyed payloads): per customer a
+    status->count MAP is built (map_from_entries), rewritten with
+    transform_values, pruned with map_filter, and shredded back via
+    map_entries + explode. The oracle computes the same result
+    relationally, so the entire map hop must be lossless."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(
+        F.col("o_custkey").alias("cust"), F.col("o_orderstatus").alias("status")
+    ).agg(F.count("*").cast("long").alias("n"))
+    m = c.groupBy("cust").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("status", "n")))
+        ).alias("m")
+    )
+    doubled = m.select(
+        "cust", F.transform_values("m", lambda k, v: v * 2).alias("m2")
+    )
+    pruned = doubled.select(
+        "cust", F.map_filter("m2", lambda k, v: v >= 4).alias("m3")
+    )
+    return pruned.select(
+        "cust", F.explode(F.map_entries("m3")).alias("e")
+    ).select(
+        "cust",
+        F.col("e.key").alias("status"),
+        F.col("e.value").cast("long").alias("doubled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyword extraction: top-3 distinctive terms per doc (integer tf-idf)
+# ---------------------------------------------------------------------------
+_KW_TOPK = 3
+
+
+@query(
+    "text_keyword_extraction",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest({SQL_TOKS}) AS t FROM documents)
+      GROUP BY doc_id, t),
+    df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.t, tf.tf * (n.n_docs // df.df) AS score
+      FROM tf JOIN df ON df.t = tf.t CROSS JOIN n)
+    SELECT doc_id, t AS term, CAST(rnk AS INT) AS rnk FROM (
+      SELECT doc_id, t,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, t ASC) AS rnk
+      FROM scored) WHERE rnk <= {_KW_TOPK}
+    """,
+)
+def q_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinctive terms: integer tf-idf (tf x (N div
+    df) — the exact-integer idf stand-in) ranked per doc; the RAG /
+    tagging primitive. Vocabulary-sized df join + doc-keyed window."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_t = tf.groupBy("t").agg(F.count("*").cast("long").alias("df"))
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "t")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "t", (F.col("tf") * F.expr("n_docs div df")).alias("score")
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("t").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KW_TOPK)
+        .select("doc_id", F.col("t").alias("term"), F.col("rnk").cast("int").alias("rnk"))
+    )

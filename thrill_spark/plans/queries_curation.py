@@ -3676,3 +3676,139 @@ def q_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _KW_TOPK)
         .select("doc_id", F.col("t").alias("term"), F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# array_sort with a custom comparator lambda (desc by value, asc tie)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_array_sort_comparator",
+    f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(list_transform(
+             list_sort(list_transform(list_distinct(toks),
+                       t -> {{'neg': -length(t), 't': t}}),
+                       'ASC'),
+             s -> s.t), ' ')) AS sorted_fp
+    FROM t
+    """,
+)
+def q_array_sort_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined ordering inside a column (Thrill's comparator
+    parameter on Sort, thrill/api/sort.hpp, at array granularity):
+    distinct tokens sorted longest-first with lexicographic
+    tie-break via array_sort's comparator lambda. DuckDB has no
+    comparator lambdas, so the oracle encodes the same order as a
+    sortable struct key — the two formulations must agree exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(TX.tokens("text"))
+    cmp_sorted = F.array_sort(
+        toks,
+        lambda a, b: F.when(F.length(a) > F.length(b), F.lit(-1))
+        .when(F.length(a) < F.length(b), F.lit(1))
+        .when(a < b, F.lit(-1))
+        .when(a > b, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return docs.select(
+        "doc_id", F.md5(F.array_join(cmp_sorted, " ")).alias("sorted_fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands: per-day runs of consecutive active minutes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_gaps_and_islands",
+    """
+    WITH m AS (SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                      epoch_us(ts) // 60000000 AS minute
+               FROM events),
+    r AS (SELECT day, minute,
+                 minute - ROW_NUMBER() OVER (PARTITION BY day
+                                             ORDER BY minute) AS island
+          FROM m),
+    i AS (SELECT day, island, CAST(COUNT(*) AS BIGINT) AS len
+          FROM r GROUP BY day, island)
+    SELECT day,
+           CAST(SUM(len) AS BIGINT) AS n_active_minutes,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(len) AS BIGINT) AS longest_island
+    FROM i GROUP BY day
+    """,
+)
+def q_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gaps-and-islands classic on event-time minutes: consecutive
+    active minutes group into islands via the minute − row_number
+    trick, keyed per day (the window's partition is a calendar day —
+    bounded by the time range, never by data volume). Output: activity
+    summary per day; the outage-detection primitive."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        F.to_date("ts").cast("string").alias("day"),
+        F.expr("unix_micros(ts) div 60000000").alias("minute"),
+    ).distinct()
+    r = m.withColumn(
+        "island",
+        F.col("minute") - F.row_number().over(W.partitionBy("day").orderBy("minute")),
+    )
+    i = r.groupBy("day", "island").agg(F.count("*").cast("long").alias("len"))
+    return i.groupBy("day").agg(
+        F.sum("len").cast("long").alias("n_active_minutes"),
+        F.count("*").cast("long").alias("n_islands"),
+        F.max("len").cast("long").alias("longest_island"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime value (first-order-month cohorts x month offset)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_cohort_ltv",
+    """
+    WITH o AS (SELECT o_custkey AS cust,
+                      CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                        AS ym,
+                      CAST(floor(o_totalprice) AS BIGINT) AS rev
+               FROM orders),
+    c AS (SELECT cust, MIN(ym) AS cohort FROM o GROUP BY cust)
+    SELECT c.cohort, o.ym - c.cohort AS month_offset,
+           CAST(COUNT(DISTINCT o.cust) AS BIGINT) AS active_customers,
+           CAST(SUM(o.rev) AS BIGINT) AS revenue
+    FROM o JOIN c ON c.cust = o.cust
+    GROUP BY c.cohort, month_offset
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, revenue accumulated by month offset — the growth-analytics
+    staple next to the registered retention matrix, exact to the unit
+    (integer revenue). Cohort table is customer-cardinality; one
+    broadcast-or-shuffle join + keyed aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_custkey").alias("cust"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long").alias("ym"),
+        F.floor("o_totalprice").cast("long").alias("rev"),
+    )
+    from thrill_spark.ordering import _persist
+
+    o = _persist(o)
+    c = o.groupBy("cust").agg(F.min("ym").alias("cohort"))
+    return (
+        o.join(c, "cust")
+        .groupBy("cohort", (F.col("ym") - F.col("cohort")).alias("month_offset"))
+        .agg(
+            F.count_distinct("cust").cast("long").alias("active_customers"),
+            F.sum("rev").cast("long").alias("revenue"),
+        )
+    )

@@ -3812,3 +3812,111 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").cast("long").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Open-order backlog per day (interval stabbing via +1/-1 deltas and
+# the two-phase running sum — no per-interval explode)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_backlog_daily",
+    """
+    WITH o AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS open_day,
+             epoch_us(o_orderdate) // 86400000000 + 1 + o_orderkey % 30
+               AS close_day
+      FROM orders),
+    d AS (
+      SELECT open_day AS day, CAST(1 AS BIGINT) AS delta FROM o
+      UNION ALL
+      SELECT close_day AS day, CAST(-1 AS BIGINT) AS delta FROM o),
+    g AS (SELECT day, SUM(delta) AS delta FROM d GROUP BY day)
+    SELECT day, CAST(delta AS BIGINT) AS delta,
+           CAST(SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS backlog
+    FROM g
+    """,
+)
+def q_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-stabbing counts without exploding intervals: each
+    order contributes +1 at its open day and −1 at its (derived)
+    close day; per-day deltas aggregate first (bounded by the
+    calendar), then ONE two-phase running sum turns deltas into the
+    daily open-order backlog. At 100 TB the interval count never
+    materializes per-day-per-interval rows — the classic
+    event-difference rewrite, on the package's prefix machinery."""
+    from thrill_spark import ordering as O
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    o = orders.select(
+        day.alias("open_day"),
+        (day + 1 + F.col("o_orderkey") % 30).alias("close_day"),
+    )
+    d = o.select(F.col("open_day").alias("day"), F.lit(1).cast("long").alias("delta")).unionByName(
+        o.select(F.col("close_day").alias("day"), F.lit(-1).cast("long").alias("delta"))
+    )
+    g = d.groupBy("day").agg(F.sum("delta").cast("long").alias("delta"))
+    scanned = O.prefix_scan(g, ["day"], "delta", F.sum, lambda a, b: a + b, name="backlog")
+    return scanned.select(
+        "day", "delta", F.col("backlog").cast("long").alias("backlog")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic A/B assignment + conversion accounting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_ab_experiment",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    arm AS (SELECT user_id,
+                   CAST('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 2 AS arm
+            FROM u),
+    conv AS (SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'purchase')
+    SELECT arm.arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted,
+           CAST(SUM(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 10000 // COUNT(*) AS BIGINT) AS conv_bp
+    FROM arm LEFT JOIN conv ON conv.user_id = arm.user_id
+    GROUP BY arm.arm
+    """,
+)
+def q_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation table stakes: hash-stable arm assignment (the
+    same user lands in the same arm across sessions and reruns — no
+    RNG state), per-arm conversion counts and rate in exact basis
+    points. The assignment hash is the corpus split discipline
+    applied to users."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    arm = u.select(
+        "user_id",
+        (TX.md5_long(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))) % 2).alias(
+            "arm"
+        ),
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("cuser"))
+        .distinct()
+    )
+    j = arm.join(conv, arm["user_id"] == conv["cuser"], "left")
+    return j.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.when(F.col("cuser").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_converted"),
+        F.expr(
+            "CAST(sum(CASE WHEN cuser IS NOT NULL THEN 1 ELSE 0 END) * 10000"
+            " div count(*) AS BIGINT)"
+        ).alias("conv_bp"),
+    )

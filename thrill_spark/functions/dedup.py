@@ -650,3 +650,60 @@ def duplicated_ngram_cover(
             F.coalesce(F.col("kept_fp"), F.md5(F.lit(""))).alias("kept_fp"),
         )
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All document pairs whose SimHash signatures differ in at most
+    `max_hamming` bits — the multi-table Hamming search that makes
+    SimHash usable at scale (Manku et al. WWW'07): split the signature
+    into max_hamming+1 bands; by pigeonhole ANY pair within the
+    Hamming budget matches on at least one band exactly, so candidates
+    come from band-equality hash joins (linear shuffle), and the exact
+    popcount verify runs only on candidates. Completeness is
+    structural, not probabilistic. Returns (id_a, id_b, hamming)."""
+    n_bands = max_hamming + 1
+    band_bits = (bits + n_bands - 1) // n_bands
+    sigs = simhash(df, text_col, id_col, bits)
+    from thrill_spark.ordering import _persist
+
+    sigs = _persist(sigs)
+    bands = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.band", "b.val")
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band", "val"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band", "val"
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -3920,3 +3920,35 @@ def q_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(*) AS BIGINT)"
         ).alias("conv_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-ball search (Manku et al. multi-table rewrite)
+# ---------------------------------------------------------------------------
+
+
+def _sql_simhash_hamming() -> str:
+    from thrill_spark.plans.queries_llm import _sql_simhash
+
+    return f"""
+    WITH s AS ({_sql_simhash()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@query("dedup_simhash_hamming", _sql_simhash_hamming())
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-ball near-dup pairs over SimHash signatures via the
+    pigeonhole band rewrite — candidates from band-equality hash
+    joins, popcount verify on candidates only; the oracle's brute
+    theta join proves the band search COMPLETE (every pair within the
+    budget found) as well as sound."""
+    docs = load_table(spark, sf_dir, "documents")
+    from thrill_spark.plans.queries_llm import _SIMHASH_BITS
+
+    return D.simhash_hamming_pairs(
+        docs, bits=_SIMHASH_BITS, max_hamming=3
+    )

@@ -438,3 +438,46 @@ def phash_real_png(df: DataFrame, id_col: str = "id") -> DataFrame:
     return df.select(F.col(id_col).alias(id_col), "media").mapInPandas(
         op, PHASH_SCHEMA
     )
+
+
+WAV_FRAMES_SCHEMA = "id long, frame int, n_in_frame int, frame_energy long"
+
+
+def wav_frame_energies(
+    df: DataFrame, frame_samples: int = 32, id_col: str = "id"
+) -> DataFrame:
+    """Framed audio features over REAL decoded WAV payloads: the
+    container is parsed with stdlib `wave`, 16-bit PCM unpacked, and
+    per-frame energy (sum of squared samples) emitted per
+    `frame_samples` window — the front half of any MFCC/VAD feature
+    chain, with the Spark-side plumbing (schema, Arrow batching,
+    per-frame row explosion) fully real. Deterministic synthetic PCM
+    lets the oracle recompute every frame."""
+    import io
+    import struct
+    import wave
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ident, raw in zip(pdf[id_col], pdf["media"]):
+                with wave.open(io.BytesIO(bytes(raw)), "rb") as wf:
+                    n = wf.getnframes()
+                    pcm = struct.unpack(f"<{n}h", wf.readframes(n))
+                for f0 in range(0, n, frame_samples):
+                    chunk = pcm[f0 : f0 + frame_samples]
+                    rows.append(
+                        (
+                            int(ident),
+                            f0 // frame_samples,
+                            len(chunk),
+                            sum(s * s for s in chunk),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["id", "frame", "n_in_frame", "frame_energy"]
+            )
+
+    return df.select(F.col(id_col).alias(id_col), "media").mapInPandas(
+        op, WAV_FRAMES_SCHEMA
+    )

@@ -3952,3 +3952,42 @@ def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_hamming_pairs(
         docs, bits=_SIMHASH_BITS, max_hamming=3
     )
+
+
+# ---------------------------------------------------------------------------
+# Framed WAV energies (real decode -> per-frame features)
+# ---------------------------------------------------------------------------
+_WAV_FRAME = 32
+
+
+@query(
+    "multimodal_wav_frame_energy",
+    f"""
+    WITH d AS (SELECT doc_id, CAST(100 + doc_id % 50 AS INT) AS n
+               FROM documents),
+    f AS (SELECT doc_id, n,
+                 unnest(generate_series(0, (n - 1) // {_WAV_FRAME})) AS frame
+          FROM d)
+    SELECT doc_id AS id, CAST(frame AS INT) AS frame,
+           CAST(least(n - frame * {_WAV_FRAME}, {_WAV_FRAME}) AS INT)
+             AS n_in_frame,
+           CAST(list_reduce(list_transform(
+                  generate_series(frame * {_WAV_FRAME},
+                                  least(n, (frame + 1) * {_WAV_FRAME}) - 1),
+                  i -> ((doc_id*31 + i*17) % 2048 - 1024)
+                     * ((doc_id*31 + i*17) % 2048 - 1024)),
+                (a, b) -> a + b) AS BIGINT) AS frame_energy
+    FROM f
+    """,
+)
+def q_wav_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame PCM energies on real bytes: every row's WAV container
+    is actually parsed and its 16-bit samples unpacked before framing
+    (functions/multimodal.py::wav_frame_energies); the oracle rebuilds
+    each frame's energy from the closed-form sample function, so a
+    wrong decode, frame split, or off-by-one anywhere hash-mismatches."""
+    from thrill_spark.functions import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    media = MM.attach_real_wav_media(docs, "id")
+    return MM.wav_frame_energies(media, frame_samples=_WAV_FRAME)

@@ -3991,3 +3991,119 @@ def q_wav_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     media = MM.attach_real_wav_media(docs, "id")
     return MM.wav_frame_energies(media, frame_samples=_WAV_FRAME)
+
+
+# ---------------------------------------------------------------------------
+# First-touch attribution (earliest view in the lookback before purchase)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_attribution_first_touch",
+    """
+    WITH p AS (SELECT event_id, user_id, ts AS pt FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts AS vt FROM events WHERE event_type = 'view'),
+    m AS (
+      SELECT p.event_id, p.user_id, p.pt, MIN(v.vt) AS first_vt
+      FROM p LEFT JOIN v
+        ON v.user_id = p.user_id AND v.vt <= p.pt
+       AND v.vt >= p.pt - INTERVAL 24 HOUR
+      GROUP BY p.event_id, p.user_id, p.pt)
+    SELECT event_id, user_id, epoch_us(pt) AS purchase_us,
+           coalesce(epoch_us(first_vt), -1) AS first_view_us,
+           first_vt IS NOT NULL AS attributed
+    FROM m
+    """,
+)
+def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution — the awareness-credit sibling of the
+    registered last-touch query: each purchase credits the EARLIEST
+    view inside a 24h lookback (min-aggregate over the user-keyed
+    join, no windows). Completes the attribution family: first-touch,
+    last-touch (as-of), linear multi-touch."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("pt")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), us.alias("vt")
+    )
+    look = 24 * 3600 * 1_000_000
+    m = (
+        p.join(
+            v,
+            (p["user_id"] == v["vu"])
+            & (F.col("vt") <= F.col("pt"))
+            & (F.col("vt") >= F.col("pt") - look),
+            "left",
+        )
+        .groupBy("event_id", "user_id", "pt")
+        .agg(F.min("vt").alias("first_vt"))
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        F.col("pt").alias("purchase_us"),
+        F.coalesce(F.col("first_vt"), F.lit(-1)).cast("long").alias("first_view_us"),
+        F.col("first_vt").isNotNull().alias("attributed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year revenue growth per nation (integer bp deltas)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nation_revenue_yoy",
+    """
+    WITH r AS (
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
+             CAST(SUM(CAST(floor(o.o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, year(o.o_orderdate))
+    SELECT nation, CAST(yr AS INT) AS yr, rev,
+           CAST(prev AS BIGINT) AS prev_rev,
+           CAST(CASE WHEN prev > 0 THEN (rev - prev) * 10000 // prev
+                     ELSE 0 END AS BIGINT) AS yoy_bp
+    FROM (SELECT nation, yr, rev,
+                 lag(rev) OVER (PARTITION BY nation ORDER BY yr) AS prev
+          FROM r)
+    WHERE prev IS NOT NULL
+    """,
+)
+def q_nation_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per nation in exact basis points: a
+    three-table star join (nation/customer broadcast), integer yearly
+    revenue, and a nation-keyed lag — the reporting staple, exact to
+    the unit."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    r = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(F.floor("o_totalprice").cast("long")).cast("long").alias("rev"))
+    )
+    w = W.partitionBy("nation").orderBy("yr")
+    return (
+        r.withColumn("prev", F.lag("rev").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "nation",
+            F.col("yr").cast("int").alias("yr"),
+            "rev",
+            F.col("prev").cast("long").alias("prev_rev"),
+            F.when(F.col("prev") > 0, F.expr("(rev - prev) * 10000 div prev"))
+            .otherwise(0)
+            .cast("long")
+            .alias("yoy_bp"),
+        )
+    )

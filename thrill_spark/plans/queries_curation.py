@@ -4107,3 +4107,145 @@ def q_nation_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("yoy_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Burst detection: minutes whose event rate exceeds 3x the trailing
+# hour's per-minute mean (day-keyed windows)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_burst_detection",
+    """
+    WITH m AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             epoch_us(ts) // 60000000 AS minute,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT day, minute, n,
+             SUM(n) OVER (PARTITION BY day ORDER BY minute
+                          RANGE BETWEEN 60 PRECEDING AND 1 PRECEDING)
+               AS trail_n,
+             COUNT(*) OVER (PARTITION BY day ORDER BY minute
+                            RANGE BETWEEN 60 PRECEDING AND 1 PRECEDING)
+               AS trail_m
+      FROM m)
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_minutes,
+           CAST(SUM(CASE WHEN trail_m >= 10 AND n * trail_m > 3 * trail_n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts
+    FROM w GROUP BY day
+    """,
+)
+def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-burst detector: a minute is a burst when its event count
+    exceeds 3x the trailing hour's per-minute mean (cross-multiplied
+    integers — no division), requiring >= 10 trailing active minutes
+    of baseline. RANGE-framed windows keyed per day (calendar-bounded
+    partitions); the monitoring primitive for ingest anomaly pages."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        F.to_date("ts").cast("string").alias("day"),
+        F.expr("unix_micros(ts) div 60000000").alias("minute"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = (
+        W.partitionBy("day")
+        .orderBy("minute")
+        .rangeBetween(-60, -1)
+    )
+    t = m.withColumn("trail_n", F.sum("n").over(w)).withColumn(
+        "trail_m", F.count("*").over(w)
+    )
+    burst = (F.col("trail_m") >= 10) & (
+        F.col("n") * F.col("trail_m") > 3 * F.col("trail_n")
+    )
+    return t.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_minutes"),
+        F.sum(F.when(burst, 1).otherwise(0)).cast("long").alias("n_bursts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth curve (first occurrences + prefix scan)
+# ---------------------------------------------------------------------------
+_VG_BUCKET = 100
+
+
+@query(
+    "corpus_vocab_growth",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest({SQL_TOKS}) AS t FROM documents)),
+    firsts AS (SELECT t, MIN(doc_id) AS first_doc FROM tok GROUP BY t),
+    per_doc AS (
+      SELECT b.doc_id,
+             CAST(len({SQL_TOKS}) AS BIGINT) AS n_toks,
+             CAST(coalesce(f.n_new, 0) AS BIGINT) AS n_new
+      FROM documents b
+      LEFT JOIN (SELECT first_doc, COUNT(*) AS n_new
+                 FROM firsts GROUP BY first_doc) f
+        ON f.first_doc = b.doc_id),
+    buckets AS (
+      SELECT doc_id // {_VG_BUCKET} AS bucket,
+             SUM(n_toks) AS toks, SUM(n_new) AS new_types
+      FROM per_doc GROUP BY 1)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(SUM(toks) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS tokens_seen,
+           CAST(SUM(new_types) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS vocab_size
+    FROM buckets
+    """,
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law curve: vocabulary size as a function of tokens
+    processed in doc order. Each type charges its FIRST document (one
+    vocabulary-sized aggregation), per-bucket news aggregate to a
+    calendar-of-buckets table, and the cumulative curve is the
+    two-phase prefix scan over buckets — corpus-sized work is two
+    keyed aggregations, the curve itself is metadata-scale."""
+    from thrill_spark import ordering as O
+
+    docs = load_table(spark, sf_dir, "documents")
+    from thrill_spark.ordering import _persist
+
+    tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("t"))
+    firsts = (
+        tok.groupBy("t")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count("*").alias("n_new"))
+    )
+    per_doc = (
+        docs.select("doc_id", F.size(TX.tokens("text")).cast("long").alias("n_toks"))
+        .join(firsts, F.col("doc_id") == F.col("first_doc"), "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+    buckets = _persist(
+        per_doc.groupBy(F.expr(f"doc_id div {_VG_BUCKET}").alias("bucket")).agg(
+            F.sum("n_toks").alias("toks"), F.sum("n_new").alias("new_types")
+        )
+    )
+    cum_t = O.prefix_scan(
+        buckets, ["bucket"], "toks", F.sum, lambda a, b: a + b, name="tokens_seen"
+    ).select("bucket", "tokens_seen")
+    cum_v = O.prefix_scan(
+        buckets, ["bucket"], "new_types", F.sum, lambda a, b: a + b, name="vocab_size"
+    ).select(F.col("bucket").alias("b2"), "vocab_size")
+    return (
+        cum_t.join(cum_v, cum_t["bucket"] == cum_v["b2"])
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("tokens_seen").cast("long").alias("tokens_seen"),
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+        )
+    )

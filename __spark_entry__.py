@@ -19,100 +19,101 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from thrill_spark.plans.queries import ORACLES, QUERIES  # noqa: E402
 
 # The driver's correctness gate checks the FIRST 50 registry entries.
-# Round-4 rotation: rounds 1-3 hard-verified 96 distinct queries; the
-# 35 below are everything that has only ever had the repo-local
-# differential (tests/test_oracle_queries.py — the identical check at
-# sf0.001/0.01). They take the window first; the tail re-verifies the
-# strongest round-3 evidence (events family, dedup pipeline, real PNG
-# decode) plus the round-4 additions as they land.
+# Round-4 rotation (per VERDICT r3 "Next round" #1-#3): the full
+# 22-query TPC-H suite (the reference's own acceptance workload,
+# examples/tpch/tpch_run.cpp:175-255) + the 2 round-3 reds (now
+# array-free) + the 14 never-windowed fn_* families + the 4
+# never-windowed §2.13 examples + the 4 events batch queries whose
+# last official record is r2's catalog-regression FAIL.
 _NEVER_DRIVER_VERIFIED = [
-    # IO round-trips (lines/binary/csv/json/orc/gz/glob/partition-pruned)
-    "io_lines_roundtrip",
-    "io_binary_roundtrip",
-    "io_csv_roundtrip",
-    "io_json_roundtrip",
-    "io_orc_roundtrip",
-    "io_gz_lines_roundtrip",
-    "io_lines_one_glob_roundtrip",
-    "io_partitioned_pruned_scan",
-    # Structured Streaming with hard oracles (stream ≡ batch)
-    "events_stream_tumbling",
-    "events_stream_stateful_counts",
-    # function-family audits not yet in a window
-    "fn_approx_quantiles",
+    # Fixed round-3 reds (arrays now serialized on both engines)
     "fn_collect_aggs",
-    "fn_math_ops",
-    "fn_struct_map_ops",
-    "fn_conditional_null_ops",
-    "fn_regex_ops",
-    # ordered / sampling / plumbing ops
-    "sort_stable_priority",
-    "prefix_scan_running_min",
-    "sample_exact_k",
-    "sample_exact_k_hypergeometric",
-    "rebalance_partitions",
-    "group_fold_order_gaps",
-    "bucketed_join_colocated",
-    # corpus + text pipeline
-    "corpus_build_e2e",
-    "corpus_decontaminate",
-    "text_pii_redact",
     "doc_fingerprint_winnow",
-    # similarity / multimodal
-    "similarity_ann_ivf",
-    "multimodal_features",
-    "multimodal_audio_chunks",
-    "multimodal_frame_sample",
-    "multimodal_resize_meta",
-    # iterative algorithms (property oracles)
-    "pagerank",
-    "kmeans_clusters",
-    "suffix_array_doc0",
+    # Full TPC-H suite — never inside a driver window before
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipments",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_stock_suppliers",
+    "tpch_q21_waiting_orders",
+    "tpch_q22_global_sales_opportunity",
+    # Remaining fn_* families never in a window (array outputs audited
+    # repo-wide: all oracle queries are scalar-typed as of r4)
+    "fn_array_ops",
+    "fn_array_sort_comparator",
+    "fn_bitwise_hash_ops",
+    "fn_datetime_ops",
+    "fn_higher_order_array",
+    "fn_json_shred_nested",
+    "fn_map_higher_order",
+    "fn_percentiles_exact",
+    "fn_ranking_windows",
+    "fn_stats_exact",
+    "fn_string_distance",
+    "fn_string_ops",
+    "fn_weighted_median",
+    "fn_window_frames",
+    # §2.13 examples never in a window
+    "kth_statistic",
+    "triangle_count",
+    "bfs_distances",
+    "logreg_sgd_planted",
+    # events batch family: last driver record is r2's FAIL (the
+    # TIMESTAMP(NANOS) catalog regression, fixed in r3) — supersede it
+    "events_tumbling_hourly",
+    "events_sliding_1h_30m",
+    "events_sessionize",
+    "events_json_props",
 ]
 
-# Tail: round-4 additions (driver-verify new work first) + hedge
-# re-verification of the round-3 window's highest-value queries.
+# Tail: round-4 additions (driver-verify new work first).
 _WINDOW_TAIL = [
-    # round-4 additions
-    "dedup_bloom_prefilter",
-    "text_bpe_tokenize",
-    "text_unigram_rarity",
-    "dedup_paragraph_boilerplate",
-    "events_stream_join",
-    "events_stream_dedup",
-    "similarity_knn_join",
-    "fn_url_json_ops",
-    "corpus_quota_interleave",
-    "text_minhash_containment",
-    "text_heavy_hitters",
-    "events_multires_rollup",
-    # corpus-mining batch (this round): chunking, tf-idf pairs,
-    # incremental dedup, cohort retention, z-order layout
-    "text_chunk_overlap",
-    "text_tfidf_pairs",
-    "dedup_incremental",
-    "events_user_retention",
-    "layout_zorder_stats",
+    "io_lines_sized_roundtrip",
+    "io_bz2_lines_roundtrip",
+    "dedup_semantic_keep",
+    "corpus_weighted_sample",
+    "profile_orders",
+    "k_core_orders",
 ]
 
-# Queued for the NEXT window rotation (registered + locally green this
-# round, but past the 50-entry cut): dedup_semantic_keep,
-# fn_higher_order_array, fn_window_frames, fn_stats_exact,
-# fn_string_distance, corpus_weighted_sample, profile_orders,
-# k_core_orders, events_stream_sessionize, multimodal_real_resize,
-# multimodal_real_wav_decode, events_hll_mergeable,
-# ml_quantile_binning, ml_feature_hashing, dedup_cluster_histogram,
-# merge_upsert_orders, scd2_orders_status, events_gap_fill,
-# events_attribution_last_touch, events_rolling_hour_counts,
-# dedup_fuzzy_levenshtein — plus the advanced-curation session's 50+
-# additions (text_bigram_lm, dedup_ngram_cover, ml_pca_power_iteration,
-# similarity_rp_ann, interval_join_promotions, events_stream_upsert /
-# _restart_exactly_once / _enrich, io_python_datasource_lines,
-# layout_hilbert_stats, events_kmv_sketch, fn_weighted_median, ...);
-# all have the identical local differential at sf0.001+sf0.01 and a
-# 24-query sf0.1 sweep (BENCH_NOTES.md).
+# r5/r6 rotation plan (VERDICT #4 — every registry query gets a driver
+# row within two more rounds). r5 window (~50): the events analytics
+# family (events_sliding_distinct_users, events_sessionize_capped,
+# events_session_window_builtin, events_hll_mergeable, events_gap_fill,
+# events_attribution_last_touch / _first_touch, events_rolling_hour_counts,
+# events_user_retention, events_kmv_sketch, events_burst_detection,
+# events_funnel_steps, events_stream_sessionize / _upsert /
+# _restart_exactly_once / _enrich, ...) + corpus/curation never-verified
+# (corpus_epoch_shuffle, corpus_pack_sequences, corpus_temperature_mix,
+# corpus_span_corruption, corpus_dataset_card, dedup_pipeline_survivors,
+# dedup_ngram_cover, dedup_simhash_*, dedup_hamming_ball,
+# dedup_cluster_histogram, dedup_fuzzy_levenshtein, text_bigram_lm,
+# text_gopher_gate, text_lexical_diversity, ...). r6 window (~50):
+# graph/ml (ml_pca_power_iteration, ml_quantile_binning,
+# ml_feature_hashing, label_propagation, k_core, sssp, connected
+# components shapes), layout (layout_zorder_stats, layout_hilbert_stats),
+# io extras (io_python_datasource_lines, io_datasource_wordcount,
+# compact_files path), profile/skew family, merge_upsert_orders,
+# scd2_orders_status, interval_join_promotions, salted joins, plus any
+# r5/r6 additions. All already have the identical local differential at
+# sf0.001 + sf0.01 (tests/test_oracle_queries.py + tools/validate_sf.py).
 _DRIVER_WINDOW_PRIORITY = (_NEVER_DRIVER_VERIFIED + _WINDOW_TAIL)[:50]
-assert len(_DRIVER_WINDOW_PRIORITY) == 50
+assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
 
 
 def _ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

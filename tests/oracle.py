@@ -47,7 +47,28 @@ def rows_multiset(cols, rows):
     return sorted(repr(tuple(_norm(r[i]) for i in order)) for r in rows)
 
 
+def assert_driver_safe_schema(spark_df, name: str = "query"):
+    """The driver's pandas canonicalizer sorts every output column;
+    list/dict-valued cells raise ``TypeError: unhashable type`` there
+    even though the repo-local ``_norm`` tuples them (the round-3
+    ``fn_collect_aggs``/``doc_fingerprint_winnow`` reds). Reject
+    complex output types up front so local green predicts driver
+    green — serialize with array_join/to_json instead."""
+    from pyspark.sql import types as T
+
+    for f in spark_df.schema.fields:
+        assert not isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType)
+        ), (
+            f"{name}: column '{f.name}' is {f.dataType.simpleString()} — "
+            "driver canonicalizer cannot sort complex types; serialize "
+            "with F.array_join/F.to_json (and array_to_string/to_json in "
+            "the DuckDB oracle)"
+        )
+
+
 def compare(spark_df, con, sql: str, name: str = "query"):
+    assert_driver_safe_schema(spark_df, name)
     sdf = spark_df.toPandas()
     ddf = con.execute(sql).df()
     assert len(sdf) == len(ddf), f"{name}: row count {len(sdf)} vs oracle {len(ddf)}"

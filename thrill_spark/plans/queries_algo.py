@@ -353,6 +353,70 @@ def q_io_gz_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# bzip2-lines round-trip (thrill/vfs/bzip2_filter.hpp parity): Spark
+# writes with the Hadoop Bzip2Codec and ReadLines auto-detects it the
+# same way as gzip — and unlike gzip, bz2 is block-splittable, so a
+# 100 TB bz2 corpus still scans in parallel.
+@query(
+    "io_bz2_lines_roundtrip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+)
+def q_io_bz2_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(F.col("text").alias("line"))
+    out = os.path.join(tempfile.gettempdir(), "thrill_spark_bz2_lines")
+    (
+        docs.select(F.col("line").cast("string").alias("value"))
+        .write.mode("overwrite")
+        .option("compression", "bzip2")
+        .text(out)
+    )
+    back = IO.read_lines(spark, out)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("line")).alias("total_chars"),
+    )
+
+
+# Size-targeted WriteLines (thrill/api/write_lines.hpp:33 +
+# dia.hpp:823-845 `$$$$$`/`#####` templating): the reference re-shards
+# text output into files of a target size; write_lines(target_file_
+# bytes=) measures the payload with one aggregate and round-robin
+# repartitions to ceil(total/target) files. Oracle checks content
+# round-trip AND that the achieved file count equals the size-derived
+# expectation.
+@query(
+    "io_lines_sized_roundtrip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           TRUE AS file_count_ok
+    FROM documents
+    """,
+)
+def q_io_lines_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import math as _math
+
+    docs = load_table(spark, sf_dir, "documents").select(F.col("text").alias("line"))
+    out = os.path.join(tempfile.gettempdir(), "thrill_spark_lines_sized")
+    target = 64 * 1024  # small target so even sf0.001 yields several files
+    n_files = IO.write_lines(docs, out, target_file_bytes=target)
+    n_parts = len(_glob.glob(os.path.join(out, "part-*")))
+    total = docs.agg(
+        F.sum(F.length("line") + F.lit(1)).alias("b")
+    ).collect()[0]["b"]
+    expect = max(1, _math.ceil(int(total) / target))
+    back = IO.read_lines(spark, out)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("line")).alias("total_chars"),
+    ).withColumn("file_count_ok", F.lit(bool(n_parts == n_files == expect)))
+
+
 # Approximate quantiles with a band oracle (the HLL pattern): the
 # t-digest/GK estimate must land within the rank-error band of the
 # exact interpolated percentile computed in the same plan.

@@ -145,9 +145,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_transform(sh, g -> CAST('0x' || substr(md5(g),1,15) AS BIGINT)) AS hs
           FROM s)
     SELECT doc_id,
-           list_sort(list_distinct(list_transform(
+           coalesce(array_to_string(list_sort(list_distinct(list_transform(
                generate_series(0, greatest(len(hs)-4, 0)),
-               i -> list_min(hs[i+1:i+4])))) AS fp,
+               i -> list_min(hs[i+1:i+4])))), ','), '') AS fp,
            len(list_sort(list_distinct(list_transform(
                generate_series(0, greatest(len(hs)-4, 0)),
                i -> list_min(hs[i+1:i+4]))))) AS n_fp
@@ -157,7 +157,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fps = D.winnow_fingerprints(docs, "text", "doc_id", shingle_words=3, window=4)
-    return fps.select("doc_id", "fp", F.size("fp").alias("n_fp"))
+    return fps.select(
+        "doc_id",
+        F.array_join(F.col("fp").cast("array<string>"), ",").alias("fp"),
+        F.size("fp").alias("n_fp"),
+    )
 
 
 # ---------------------------------------------------------------------------

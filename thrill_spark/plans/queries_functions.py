@@ -87,7 +87,9 @@ def q_datetime_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_max(embedding) AS DOUBLE) AS mx,
            CAST(list_min(embedding) AS DOUBLE) AS mn,
            len(list_filter(embedding, x -> x > 0)) AS n_pos,
-           list_transform(embedding[1:3], x -> CAST(x AS DOUBLE) * 2.0) AS head3_scaled
+           CAST(embedding[1] AS DOUBLE) * 2.0 AS h1_scaled,
+           CAST(embedding[2] AS DOUBLE) * 2.0 AS h2_scaled,
+           CAST(embedding[3] AS DOUBLE) * 2.0 AS h3_scaled
     FROM embeddings
     """,
 )
@@ -101,10 +103,11 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("embedding").cast("double").alias("mn"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
         # round() is deliberately absent: Spark rounds HALF_UP, DuckDB
-        # HALF_EVEN — a true cross-engine semantics divergence.
-        F.transform(
-            F.slice("embedding", 1, 3), lambda x: x.cast("double") * 2.0
-        ).alias("head3_scaled"),
+        # HALF_EVEN — a true cross-engine semantics divergence. Scalar
+        # doubles (not an array) so the driver canonicalizer can sort.
+        (F.element_at("embedding", 1).cast("double") * 2.0).alias("h1_scaled"),
+        (F.element_at("embedding", 2).cast("double") * 2.0).alias("h2_scaled"),
+        (F.element_at("embedding", 3).cast("double") * 2.0).alias("h3_scaled"),
     )
 
 
@@ -339,8 +342,8 @@ def q_struct_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            bool_or(o_orderstatus = 'F') AS any_f,
            CAST(arg_min(o_orderkey, o_totalprice) AS BIGINT) AS cheapest_key,
            CAST(arg_max(o_orderkey, o_totalprice) AS BIGINT) AS dearest_key,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
-           list_sort(list(o_orderkey ORDER BY o_orderkey))[1:5] AS first5_keys
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+           array_to_string(list_sort(list(o_orderkey ORDER BY o_orderkey))[1:5], ',') AS first5_keys
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -356,8 +359,15 @@ def q_collect_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_f"),
         F.min_by("o_orderkey", "o_totalprice").cast("long").alias("cheapest_key"),
         F.max_by("o_orderkey", "o_totalprice").cast("long").alias("dearest_key"),
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
-        F.slice(F.array_sort(F.collect_list("o_orderkey")), 1, 5).alias("first5_keys"),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("o_orderkey")), 1, 5).cast(
+                "array<string>"
+            ),
+            ",",
+        ).alias("first5_keys"),
     )
 
 
@@ -416,11 +426,11 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
              [c_custkey%5, c_custkey%11, c_custkey%17, c_custkey%23] AS l2
       FROM customer)
     SELECT c_custkey,
-           list_filter(l1, x -> x % 2 = 0) AS evens,
+           array_to_string(list_filter(l1, x -> x % 2 = 0), ',') AS evens,
            len(list_filter(l1, x -> x > 1000)) > 0 AS has_big,
            len(list_filter(l1, x -> x < 0)) = 0 AS all_pos,
            CAST(list_reduce(l1, (a, b) -> a + b) AS BIGINT) AS fold_sum,
-           list_transform(list_zip(l1, l2), p -> p[1] + p[2]) AS zsum
+           array_to_string(list_transform(list_zip(l1, l2), p -> p[1] + p[2]), ',') AS zsum
     FROM base
     """,
 )
@@ -439,13 +449,17 @@ def q_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return base.select(
         "c_custkey",
-        F.filter("l1", lambda x: x % 2 == 0).alias("evens"),
+        F.array_join(
+            F.filter("l1", lambda x: x % 2 == 0).cast("array<string>"), ","
+        ).alias("evens"),
         F.exists("l1", lambda x: x > 1000).alias("has_big"),
         F.forall("l1", lambda x: x >= 0).alias("all_pos"),
         F.aggregate("l1", F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
             "fold_sum"
         ),
-        F.zip_with("l1", "l2", lambda x, y: x + y).alias("zsum"),
+        F.array_join(
+            F.zip_with("l1", "l2", lambda x, y: x + y).cast("array<string>"), ","
+        ).alias("zsum"),
     )
 
 

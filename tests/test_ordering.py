@@ -229,3 +229,26 @@ def test_release_persisted_clears_cache(spark):
     assert len(O._live_persists) >= 1
     O.release_persisted()
     assert not O._live_persists
+
+
+# ---------------------------------------------------------------------------
+# _leading_numeric_key detection (the explicit-bucket gate): bare
+# columns qualify (by name or Column, via the Catalyst expr, not the
+# repr), while .desc()/expressions/aliased-expressions fall back to
+# the legacy path (None).
+# ---------------------------------------------------------------------------
+def test_leading_numeric_key_detection(spark):
+    df = spark.range(10).select(
+        F.col("id").alias("v"), F.col("id").cast("string").alias("s")
+    )
+    assert O._leading_numeric_key(df, ["v"]) is not None
+    assert O._leading_numeric_key(df, [F.col("v")]) is not None
+    # string-typed leading key -> legacy
+    assert O._leading_numeric_key(df, ["s"]) is None
+    # sort-order / expression / alias-shadowing keys -> legacy
+    assert O._leading_numeric_key(df, [F.col("v").desc()]) is None
+    assert O._leading_numeric_key(df, [F.col("v") + 1]) is None
+    assert O._leading_numeric_key(df, [(F.col("v") * 2).alias("v")]) is None
+    # a desc key still produces a CORRECT (legacy-path) result
+    out = O.with_index(df, [F.col("v").desc()]).orderBy("_idx").collect()
+    assert [r["v"] for r in out] == list(range(9, -1, -1))

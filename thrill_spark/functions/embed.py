@@ -161,7 +161,17 @@ def power_iteration_top_component(
 
     x = _persist(x)
     spark = df.sparkSession
-    dims = df.select(F.size(vec_col).alias("n")).limit(1).collect()[0]["n"]
+    # Dimension count = max vector length (one scalar agg): empty input
+    # gets a clear error instead of an IndexError, and a ragged vector
+    # column cannot silently drop its higher dims from v (every dim
+    # present anywhere gets an initial weight; rows missing a dim
+    # simply contribute nothing there — posexplode emits no pair).
+    row = df.agg(F.max(F.size(vec_col)).alias("n")).collect()[0]
+    dims = row["n"]
+    if dims is None or dims <= 0:
+        raise ValueError(
+            f"power_iteration_top_component: no non-empty '{vec_col}' vectors"
+        )
     v = spark.createDataFrame(
         [(j, quant) for j in range(dims)], ["dim", "val"]
     )

@@ -396,9 +396,6 @@ def decode_wav_features(df: DataFrame, id_col: str = "id") -> DataFrame:
     return df.select(F.col(id_col).alias(id_col), "media").mapInPandas(op, WAV_SCHEMA)
 
 
-PHASH_SCHEMA = "id long, width int, height int, phash_bits string"
-
-
 def phash_real_png(df: DataFrame, id_col: str = "id") -> DataFrame:
     """Perceptual difference-hash (dHash) over REAL decoded PNGs:
     full decode (IDAT inflate + unfilter), nearest-neighbor resample
@@ -415,6 +412,13 @@ def phash_real_png(df: DataFrame, id_col: str = "id") -> DataFrame:
     column; per-row work, no shuffle."""
     from thrill_spark.functions.pngcodec import decode_png
 
+    def _lum(px: bytes, base: int, ch: int) -> int:
+        # Grayscale: the sample itself. RGB(A): ITU-R BT.601 integer
+        # luminance (299R + 587G + 114B) // 1000 — deterministic, no FP.
+        if ch < 3:
+            return px[base]
+        return (299 * px[base] + 587 * px[base + 1] + 114 * px[base + 2]) // 1000
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -422,7 +426,7 @@ def phash_real_png(df: DataFrame, id_col: str = "id") -> DataFrame:
                 w, h, ch, px = decode_png(bytes(raw))
                 grid = [
                     [
-                        px[(y * h // 8) * w * ch + (x * w // 9) * ch]
+                        _lum(px, (y * h // 8) * w * ch + (x * w // 9) * ch, ch)
                         for x in range(9)
                     ]
                     for y in range(8)
@@ -433,10 +437,12 @@ def phash_real_png(df: DataFrame, id_col: str = "id") -> DataFrame:
                     for x in range(8)
                 )
                 rows.append((int(ident), w, h, bits))
-            yield pd.DataFrame(rows, columns=["id", "width", "height", "phash_bits"])
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "phash_bits"]
+            )
 
-    return df.select(F.col(id_col).alias(id_col), "media").mapInPandas(
-        op, PHASH_SCHEMA
+    return df.select(F.col(id_col), "media").mapInPandas(
+        op, f"{id_col} long, width int, height int, phash_bits string"
     )
 
 

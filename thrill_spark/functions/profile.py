@@ -55,8 +55,13 @@ def key_skew_report(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
     scalar-broadcast share computation; the top-k cut is a single
     ORDER BY LIMIT on the key-count table (vocabulary-sized, not
     corpus-sized). Deterministic tie-break on key value.
+
+    The key keeps its native type (an unconditional numeric cast would
+    NULL out string keys under non-ANSI mode and collapse the whole
+    table into one meaningless NULL-key row), so any key type groups
+    correctly and ties break in the key's own ordering.
     """
-    counts = df.groupBy(F.col(key_col).cast("long").alias("key")).agg(
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count("*").cast("long").alias("n_rows")
     )
     totals = counts.agg(

@@ -95,11 +95,22 @@ def _leading_numeric_key(df: DataFrame, order_by: Sequence[str | Column]):
         name = first
     else:
         # only a bare F.col(...) qualifies; .desc()/.asc_nulls_last()/
-        # arithmetic expressions fall back to the legacy path
-        s = str(first)
-        if not (s.startswith("Column<'") and s.endswith("'>")):
-            return None
-        name = s[len("Column<'") : -len("'>")]
+        # arithmetic expressions fall back to the legacy path. Primary
+        # detection asks the Catalyst expression directly (robust to
+        # repr-format changes); the str(Column) parse is fallback only
+        # (e.g. Spark Connect columns without _jc).
+        name = None
+        try:
+            expr = first._jc.expr()
+            if expr.getClass().getSimpleName() == "UnresolvedAttribute":
+                name = expr.name()
+        except Exception:
+            pass
+        if name is None:
+            s = str(first)
+            if not (s.startswith("Column<'") and s.endswith("'>")):
+                return None
+            name = s[len("Column<'") : -len("'>")]
     if name not in df.columns:
         return None
     dt = df.schema[name].dataType

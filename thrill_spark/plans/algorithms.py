@@ -563,11 +563,21 @@ def label_propagation(
             .groupBy("u", "nbr_label")
             .agg(F.count("*").alias("_cnt"))
         )
-        # argmax by (count desc, label asc): max of (cnt, -label)
+        # argmax by (count desc, label asc): max_by with a two-field
+        # ordering struct — works for any orderable label type (string
+        # labels included), unlike arithmetic negation of the label.
         labels = (
             votes.groupBy("u")
-            .agg(F.max(F.struct(F.col("_cnt"), (-F.col("nbr_label")).alias("_nl"))).alias("_m"))
-            .select(F.col("u").alias("node"), (-F.col("_m._nl")).alias("community"))
+            .agg(
+                F.min_by(
+                    "nbr_label",
+                    F.struct(
+                        (-F.col("_cnt")).alias("_negcnt"),
+                        F.col("nbr_label").alias("_lbl"),
+                    ),
+                ).alias("community")
+            )
+            .select(F.col("u").alias("node"), "community")
             .localCheckpoint(eager=False)
         )
     return labels

@@ -1080,11 +1080,9 @@ def q_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(base, "src")
     ev.repartition(8).write.mode("overwrite").parquet(src)
     ckpt = os.path.join(base, "ckpt")
-    sink = ForeachBatchUpsert(
-        os.path.join(base, "target"), ["user_id"], ["ts", "event_id"]
-    )
+    target = os.path.join(base, "target")
 
-    def start():
+    def start(sink):
         return (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 2)
@@ -1096,19 +1094,22 @@ def q_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # First run: kill after (at most) a few micro-batches.
-    q1 = start()
+    q1 = start(ForeachBatchUpsert(target, ["user_id"], ["ts", "event_id"]))
     q1.awaitTermination(timeout=8)
     q1.stop()
     q1.awaitTermination()
-    # Restart from the same checkpoint: the file source resumes at the
-    # last committed offset; any in-flight batch replays into the
-    # idempotent sink. Run to completion this time.
-    q2 = start()
+    # Restart from the same checkpoint with a FRESH sink instance, as a
+    # real driver restart would: the sink recovers the last committed
+    # v{n} from disk, the file source resumes at the last committed
+    # offset, and any in-flight batch replays into the idempotent
+    # merge. Run to completion this time.
+    sink2 = ForeachBatchUpsert(target, ["user_id"], ["ts", "event_id"])
+    q2 = start(sink2)
     try:
         q2.awaitTermination(timeout=300)
     finally:
         q2.stop()
-    return sink.result(spark)
+    return sink2.result(spark)
 
 
 # ---------------------------------------------------------------------------

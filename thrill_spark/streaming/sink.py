@@ -43,8 +43,22 @@ class ForeachBatchUpsert:
         self.base_dir = base_dir
         self.key_cols = list(key_cols)
         self.order_cols = list(order_cols)
-        self.version = 0
         os.makedirs(base_dir, exist_ok=True)
+        # Recover the last committed version: on driver restart Spark
+        # replays only uncommitted batches from the checkpoint, so a
+        # fresh instance must resume from the existing v{n} table or
+        # the first replayed batch would silently discard all
+        # previously merged state. A v{n} dir counts as committed only
+        # once parquet's _SUCCESS marker exists (a crash mid-write
+        # leaves a partial dir that must not be resumed from).
+        self.version = 0
+        for name in os.listdir(base_dir):
+            if name.startswith("v") and name[1:].isdigit():
+                v = int(name[1:])
+                if v > self.version and os.path.exists(
+                    os.path.join(base_dir, name, "_SUCCESS")
+                ):
+                    self.version = v
 
     @property
     def current_path(self) -> str | None:

@@ -150,3 +150,27 @@ def test_cc_propagation_raises_on_nonconvergence(spark):
     path = spark.createDataFrame([(i, i + 1) for i in range(40)], ["a", "b"])
     with pytest.raises(RuntimeError, match="diameter"):
         A.connected_components(path, algorithm="propagation", max_iters=3)
+
+
+def test_suffix_array_dc3_matches_bruteforce(spark):
+    """DC3 vs brute force on a random string, with the base threshold
+    forced small so multiple DISTRIBUTED recursion levels execute
+    (the full pipeline: triples, naming, reduction, counting merge)."""
+    import random
+
+    from thrill_spark import ordering as O
+    from thrill_spark.plans.algorithms import suffix_array_dc3
+
+    random.seed(11)
+    s = "".join(random.choice("ab") for _ in range(64))
+    truth = {p: rk for rk, p in enumerate(sorted(range(64), key=lambda i: s[i:]))}
+    chars = spark.createDataFrame(
+        [(i, s[i]) for i in range(64)], "pos long, ch string"
+    )
+    out = {
+        r["pos"]: r["rank"]
+        for r in suffix_array_dc3(chars, 64, base_threshold=8).collect()
+    }
+    assert out == truth
+    O.release_persisted()
+    spark.catalog.clearCache()

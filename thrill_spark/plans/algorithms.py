@@ -581,3 +581,169 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def _dc3_base(spark, s: DataFrame, n: int) -> DataFrame:
+    """DC3 recursion bottom: suffix-rank a string no longer than the
+    base threshold on the driver (the K-S recursion's insertion-sort
+    analogue — bounded by the threshold constant, NOT by data size, so
+    it is not a driver-side scale funnel)."""
+    arr = [0] * n
+    for row in s.collect():
+        arr[row["pos"]] = row["sym"]
+    order = sorted(range(n), key=lambda i: arr[i:])
+    rank = [0] * n
+    for rk, p in enumerate(order):
+        rank[p] = rk
+    return spark.createDataFrame(
+        [(p, rank[p]) for p in range(n)], "pos long, r long"
+    )
+
+
+def _dc3_rec(spark, s: DataFrame, n: int, base_threshold: int) -> DataFrame:
+    """One DC3 level over s=(pos, sym): returns (pos, r) with r the
+    dense rank of the suffix starting at pos, 0..n-1.
+
+    Merge step without a sequential merge: with sample ranks R known,
+    K1=(c[i], R[i+1]) totally orders S0∪S1 and K2=(c[i], c[i+1],
+    R[i+2]) totally orders S0∪S2 (ties impossible: equal rank implies
+    equal position). Two distributed with_index passes over those
+    unions give, for every suffix, how many suffixes of the OTHER
+    classes precede it; final ranks are sums of class-internal rank +
+    cross-class counts — every step a bounded shuffle, no pairwise
+    merge walk."""
+    from thrill_spark import ordering as O
+
+    if n <= base_threshold:
+        return _dc3_base(spark, s, n)
+
+    dummy = 1 if n % 3 == 1 else 0
+    sample_max = n + dummy  # K-S: include pos n as an empty mod-1 sample
+    n1cnt = (sample_max + 1) // 3
+
+    samples = (
+        spark.range(sample_max)
+        .filter(F.col("id") % 3 != 0)
+        .select(F.col("id").alias("pos"))
+    )
+    t = samples
+    for off, cname in ((0, "c0"), (1, "c1"), (2, "c2")):
+        t = t.join(
+            s.select((F.col("pos") - off).alias("pos"), F.col("sym").alias(cname)),
+            on="pos",
+            how="left",
+        )
+    t = t.fillna({"c0": -1, "c1": -1, "c2": -1})
+    from thrill_spark.ordering import _persist
+
+    t = _persist(t)
+    n12 = t.count()
+
+    dist = t.select("c0", "c1", "c2").distinct()
+    named_tr = O.with_index(dist, ["c0", "c1", "c2"], name="nm")
+    n_names = dist.count()
+    tn = t.join(named_tr, ["c0", "c1", "c2"]).select("pos", "nm")
+
+    if n_names == n12:
+        # all triples distinct: the triple name IS the sample rank
+        R = tn.select("pos", F.col("nm").alias("r"))
+    else:
+        ridx = F.when(
+            F.col("pos") % 3 == 1, (F.col("pos") - 1) / 3
+        ).otherwise(F.lit(n1cnt) + (F.col("pos") - 2) / 3)
+        # eager checkpoint: the reduced string must enter the recursion
+        # as a concrete node, or lineage (and Catalyst analysis time)
+        # compounds multiplicatively with depth
+        reduced = tn.select(
+            ridx.cast("long").alias("pos"), F.col("nm").alias("sym")
+        ).localCheckpoint()
+        rr = _dc3_rec(spark, reduced, n12, base_threshold)
+        back = tn.select("pos", ridx.cast("long").alias("ridx"))
+        R = back.join(
+            rr.select(F.col("pos").alias("ridx"), "r"), on="ridx"
+        ).select("pos", "r")
+    if dummy:
+        # drop the empty-suffix sample and re-densify ranks
+        R = O.with_index(
+            R.filter(F.col("pos") < n), ["r"], name="_r2"
+        ).select("pos", F.col("_r2").alias("r"))
+    R = R.localCheckpoint()
+
+    attr = (
+        spark.range(n)
+        .select(F.col("id").alias("pos"))
+        .join(s.withColumnRenamed("sym", "c0"), "pos", "left")
+        .join(
+            s.select((F.col("pos") - 1).alias("pos"), F.col("sym").alias("c1")),
+            "pos",
+            "left",
+        )
+        .join(
+            R.select((F.col("pos") - 1).alias("pos"), F.col("r").alias("rn1")),
+            "pos",
+            "left",
+        )
+        .join(
+            R.select((F.col("pos") - 2).alias("pos"), F.col("r").alias("rn2")),
+            "pos",
+            "left",
+        )
+        .join(R.select("pos", F.col("r").alias("selfr")), "pos", "left")
+        .fillna({"c1": -1, "rn1": -1, "rn2": -1})
+    )
+    attr = attr.localCheckpoint()
+
+    m = F.col("pos") % 3
+    iu1 = O.with_index(attr.filter(m != 2), ["c0", "rn1", "pos"], name="iu1")
+    iu2 = O.with_index(attr.filter(m != 1), ["c0", "c1", "rn2", "pos"], name="iu2")
+    r0 = O.with_index(attr.filter(m == 0), ["c0", "rn1", "pos"], name="rc")
+    r1 = O.with_index(attr.filter(m == 1), ["selfr"], name="rc")
+    r2 = O.with_index(attr.filter(m == 2), ["selfr"], name="rc")
+
+    p0 = (
+        r0.select("pos", "rc")
+        .join(iu1.select("pos", "iu1"), "pos")
+        .join(iu2.select("pos", "iu2"), "pos")
+        .select("pos", (F.col("iu1") + F.col("iu2") - F.col("rc")).alias("r"))
+    )
+    p1 = (
+        r1.select("pos", "selfr", "rc")
+        .join(iu1.select("pos", "iu1"), "pos")
+        .select("pos", (F.col("selfr") + F.col("iu1") - F.col("rc")).alias("r"))
+    )
+    p2 = (
+        r2.select("pos", "selfr", "rc")
+        .join(iu2.select("pos", "iu2"), "pos")
+        .select("pos", (F.col("selfr") + F.col("iu2") - F.col("rc")).alias("r"))
+    )
+    return p0.unionByName(p1).unionByName(p2).localCheckpoint()
+
+
+def suffix_array_dc3(
+    chars: DataFrame, n: int, pos: str = "pos", base_threshold: int = 4096
+) -> DataFrame:
+    """Suffix sorting by DC3 / skew (Kärkkäinen-Sanders 2003; the
+    reference's examples/suffix_sorting/dc3.hpp algorithm re-expressed
+    in DataFrame ops — not a port of its sequential merge).
+
+    chars: (pos, ch) one row per character. Returns (pos, rank), the
+    same contract as suffix_array (prefix doubling): rank of the
+    suffix starting at pos, dense in [0, n).
+
+    Shape per level: 3 shift-joins (triples), one distributed naming
+    pass (with_index over distinct triples), a 2/3-size recursion, and
+    a counting merge of two with_index passes — O(log_{1.5} n) levels,
+    every step a bounded shuffle. The driver only ever materializes
+    strings shorter than base_threshold (the recursion bottom)."""
+    from thrill_spark import ordering as O
+
+    spark = chars.sparkSession
+    alpha = chars.select("ch").distinct()
+    alpha_ranked = O.with_index(alpha, ["ch"], name="_sym")
+    s = (
+        chars.join(alpha_ranked, on="ch")
+        .select(F.col(pos).alias("pos"), F.col("_sym").alias("sym"))
+        .localCheckpoint()
+    )
+    out = _dc3_rec(spark, s, n, base_threshold)
+    return out.select(F.col("pos").alias(pos), F.col("r").cast("long").alias("rank"))

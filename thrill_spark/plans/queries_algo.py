@@ -592,3 +592,44 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e2.unionByName(e3)
     source = ids.agg(F.min("i")).collect()[0][0]
     return A.sssp(edges, int(source))
+
+
+# ---------------------------------------------------------------------------
+# DC3 / skew suffix sorting (examples/suffix_sorting/dc3.hpp) over the
+# concatenation of the first 20 documents (~6 KB): big enough that the
+# recursion genuinely runs distributed levels before the driver-side
+# base case. Oracle: exact ORDER BY substr suffix ranks on the same
+# concatenated string (all suffixes of one string are pairwise
+# distinct). Complements suffix_array_doc0 (prefix doubling) — same
+# output contract, the reference's other algorithm.
+# ---------------------------------------------------------------------------
+@query(
+    "suffix_array_dc3",
+    """
+    WITH s AS (SELECT string_agg(text, '' ORDER BY doc_id) AS str
+               FROM documents WHERE doc_id < 20),
+    p AS (SELECT str, unnest(generate_series(0, length(str)-1)) AS pos FROM s)
+    SELECT pos,
+           CAST(ROW_NUMBER() OVER (ORDER BY substr(str, pos+1)) - 1 AS BIGINT)
+             AS rank
+    FROM p
+    """,
+)
+def q_suffix_array_dc3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark import ordering as O
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    # distributed concatenation offsets: ExPrefixSum over doc lengths
+    lens = docs.select("doc_id", F.length("text").alias("_len"))
+    offs = O.prefix_sum(lens, ["doc_id"], "_len", name="_off", exclusive=True)
+    chars = (
+        docs.join(offs.select("doc_id", "_off"), "doc_id")
+        .select(
+            F.col("_off"),
+            F.posexplode(F.split(F.col("text"), "")).alias("_i", "ch"),
+        )
+        .filter(F.col("ch") != "")
+        .select((F.col("_off") + F.col("_i")).alias("pos"), "ch")
+    )
+    n = chars.count()
+    return A.suffix_array_dc3(chars, n)

@@ -213,3 +213,59 @@ def test_mg_summary_superset_property():
     counters, n = _mg_summarize(iter(stream), k=8)
     assert n == 100
     assert "a" in counters  # 30 > 100/8 -> must survive any order
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: CDC chunking + PQ encode
+# ---------------------------------------------------------------------------
+def test_cdc_chunks_content_anchored(spark):
+    """The CDC property: prepending text to a document shifts chunk
+    POSITIONS but leaves the suffix chunk CONTENT (hashes) intact —
+    fixed-size chunking would change every downstream chunk."""
+    from thrill_spark.functions.dedup import cdc_chunks
+
+    base = " ".join(f"w{i * 7919 % 997}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "zzz qqq xxx " + base)], ["doc_id", "text"]
+    )
+    ch = cdc_chunks(docs).collect()
+    h1 = {r["chunk_hash"] for r in ch if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in ch if r["doc_id"] == 2}
+    # all but the first boundary-straddling chunks of doc1 survive in doc2
+    assert len(h1 & h2) >= len(h1) - 2
+    assert len(h1) >= 5  # divisor 16 over 200 words: many chunks
+
+
+def test_cdc_chunks_cover_document(spark):
+    """Chunks partition the token stream: token counts sum to the doc
+    total and chunk_no is dense from 1."""
+    from thrill_spark.functions.dedup import cdc_chunks
+
+    text = " ".join(f"t{i % 13}x{i % 7}" for i in range(150))
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(cdc_chunks(docs).collect(), key=lambda r: r["chunk_no"])
+    assert [r["chunk_no"] for r in rows] == list(range(1, len(rows) + 1))
+    assert sum(r["n_tokens"] for r in rows) == 150
+
+
+def test_cdc_short_doc_single_chunk(spark):
+    from thrill_spark.functions.dedup import cdc_chunks
+
+    docs = spark.createDataFrame([(1, "a b"), (2, "only")], ["doc_id", "text"])
+    rows = cdc_chunks(docs).collect()
+    assert sorted((r["doc_id"], r["chunk_no"]) for r in rows) == [(1, 1), (2, 1)]
+
+
+def test_pq_encode_shapes_and_determinism(spark):
+    from thrill_spark.functions.similarity import pq_encode, pq_train_codebooks
+
+    rows = [(i, [float((i * j) % 7 - 3) for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = pq_train_codebooks(df, m=2, ksub=4, iters=1)
+    assert len(books) == 2 and len(books[0]) == 4 and len(books[0][0]) == 4
+    enc = pq_encode(df, books)
+    assert enc.columns == ["vec_id", "code_0", "code_1"]
+    got = {r["vec_id"]: (r["code_0"], r["code_1"]) for r in enc.collect()}
+    again = {r["vec_id"]: (r["code_0"], r["code_1"]) for r in pq_encode(df, books).collect()}
+    assert got == again
+    assert all(0 <= c < 4 for v in got.values() for c in v)

@@ -707,3 +707,129 @@ def simhash_hamming_pairs(
         cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (Rabin/Gear-CDC shape, at word
+    granularity): a chunk boundary opens wherever the rolling hash of
+    the next `window` words hits 0 mod `divisor`, so chunk edges are
+    CONTENT-anchored — insert one sentence into a 10 GB document and
+    only the chunks around the edit change, where fixed-size chunking
+    would shift every downstream chunk (the property that makes CDC
+    the standard dedup unit for storage systems and large-corpus
+    near-dup spans).
+
+    Deterministic + oracle-exact: word hash = md5-derived 60-bit int,
+    window hash = h[i] + 3h[i+1] + 9h[i+2] + 27h[i+3] (integer, no
+    fold). Everything is per-document array expressions — a scan, no
+    shuffle; expected chunk length ~divisor words.
+
+    Returns (id, chunk_no, chunk_hash, n_tokens) — one row per chunk.
+    """
+    from thrill_spark.functions.text import md5_long
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    d = df.select(F.col(id_col), toks.alias("_toks"))
+    d = d.withColumn(
+        "_h", F.transform(F.col("_toks"), lambda t: md5_long(t))
+    ).withColumn("_m", F.greatest(F.size("_toks") - F.lit(window - 1), F.lit(1)))
+    # fold word hashes to 20 bits before the weighted sum so the
+    # window hash stays far inside int64 under ANSI arithmetic
+    _M = 1 << 20
+    # try_element_at: ANSI & does not short-circuit, so the short-doc
+    # guard (size < window) must not keep this from evaluating — NULL
+    # propagates to a NULL predicate, which filter() treats as false
+    whash = lambda i: (  # noqa: E731
+        F.try_element_at(F.col("_h"), i) % _M
+        + (F.try_element_at(F.col("_h"), i + 1) % _M) * 3
+        + (F.try_element_at(F.col("_h"), i + 2) % _M) * 9
+        + (F.try_element_at(F.col("_h"), i + 3) % _M) * 27
+    )
+    d = d.withColumn(
+        "_sp",
+        F.filter(
+            F.sequence(F.lit(1), F.col("_m")),
+            lambda i: (i == 1)
+            | (
+                (F.size("_toks") >= window)
+                & (whash(i) % divisor == 0)
+            ),
+        ),
+    )
+    # chunk k: tokens [_sp[k], next boundary - 1] (last chunk runs out)
+    chunk_texts = F.transform(
+        F.sequence(F.lit(1), F.size("_sp")),
+        lambda k: F.array_join(
+            F.slice(
+                F.col("_toks"),
+                F.element_at(F.col("_sp"), k),
+                F.coalesce(
+                    F.try_element_at(F.col("_sp"), k + 1),
+                    F.size("_toks") + 1,
+                )
+                - F.element_at(F.col("_sp"), k),
+            ),
+            " ",
+        ),
+    )
+    out = d.select(
+        F.col(id_col), F.posexplode(chunk_texts).alias("_k", "_chunk")
+    )
+    return out.select(
+        F.col(id_col),
+        (F.col("_k") + 1).alias("chunk_no"),
+        F.md5(F.col("_chunk")).alias("chunk_hash"),
+        F.size(F.filter(F.split(F.col("_chunk"), " "), lambda t: t != "")).alias(
+            "n_tokens"
+        ),
+    )
+
+
+def cdc_dup_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    divisor: int = 16,
+) -> DataFrame:
+    """Per-document cross-corpus duplication via CDC chunks: a chunk is
+    duplicated when its hash appears in MORE THAN ONE document; the
+    report gives each doc's token count, duplicated-token count, and
+    duplication share in basis points (integer-exact).
+
+    Scale: chunking is a scan; the dup decision is one groupBy over
+    chunk hashes (vocabulary-sized) joined back — linear, the same
+    shape as exact_dedup, but at sub-document granularity."""
+    ch = cdc_chunks(df, text_col, id_col, window, divisor)
+    multi = (
+        ch.groupBy("chunk_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("chunk_hash")
+    )
+    flagged = ch.join(multi, "chunk_hash", "left_semi").groupBy(id_col).agg(
+        F.sum("n_tokens").cast("long").alias("dup_tokens")
+    )
+    per_doc = ch.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    return (
+        per_doc.join(flagged, id_col, "left")
+        .fillna({"dup_tokens": 0})
+        .select(
+            id_col,
+            "n_chunks",
+            "total_tokens",
+            "dup_tokens",
+            F.expr("dup_tokens * 10000 div total_tokens").cast("long").alias("dup_bp"),
+        )
+    )

@@ -571,3 +571,174 @@ def semantic_dedup(
             (F.coalesce(F.col("n_dom"), F.lit(0)) == 0).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): split each vector into M
+# subvectors, k-means each subspace to a tiny codebook, store M small
+# codes per vector. At 100 TB this is THE memory lever for ANN: a
+# 64-dim float vector (256 B) compresses to M=4 bytes; the ADC search
+# scans codes (JVM-side integer lookups into broadcast literal
+# codebooks), never the raw vectors, and only the final rescore of
+# ~3k candidates per query touches full embeddings.
+# ---------------------------------------------------------------------------
+def pq_train_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Train M per-subspace codebooks of ksub centroids each with
+    deterministic lowest-id init + `iters` distributed Lloyd rounds
+    (one groupBy per round per subspace; driver holds only the
+    M x ksub x (dim/M) codebook floats)."""
+    dim_row = df.agg(F.max(F.size(vec_col)).alias("n")).collect()[0]
+    dim = dim_row["n"]
+    if dim is None or dim <= 0 or dim % m != 0:
+        raise ValueError(f"pq_train_codebooks: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    init = (
+        df.orderBy(id_col).limit(ksub).select(F.col(vec_col).alias("c")).collect()
+    )
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        cents = [[float(x) for x in r["c"][s * dsub : (s + 1) * dsub]] for r in init]
+        sub = df.select(F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("_sv"))
+        for _ in range(iters):
+            best = None
+            for ci, c in enumerate(cents):
+                arr = F.array(*[F.lit(x) for x in c])
+                d = _fold_sum(
+                    F.zip_with(
+                        F.col("_sv"),
+                        arr,
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    )
+                )
+                cand = F.struct(d.alias("d"), F.lit(ci).alias("c"))
+                best = cand if best is None else F.least(best, cand)
+            assigned = sub.select(F.col("_sv"), best["c"].alias("_cell"))
+            sums = assigned.groupBy("_cell").agg(
+                *[
+                    F.sum(F.element_at(F.col("_sv"), i + 1).cast("double")).alias(
+                        f"s{i}"
+                    )
+                    for i in range(dsub)
+                ],
+                F.count("*").alias("n"),
+            )
+            rows = {r["_cell"]: r for r in sums.collect()}
+            cents = [
+                [rows[ci][f"s{i}"] / rows[ci]["n"] for i in range(dsub)]
+                if ci in rows
+                else cents[ci]
+                for ci in range(ksub)
+            ]
+        books.append(cents)
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector to M codes: per subspace, argmin squared-L2
+    against the broadcast literal codebook (tie-break lowest code).
+    Pure JVM expressions — the encode pass is a scan, no shuffle."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    out_cols = [F.col(id_col)]
+    for s in range(m):
+        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        best = None
+        for ci, c in enumerate(codebooks[s]):
+            arr = F.array(*[F.lit(float(x)) for x in c])
+            d = _fold_sum(
+                F.zip_with(
+                    sub, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                )
+            )
+            cand = F.struct(d.alias("d"), F.lit(ci).alias("c"))
+            best = cand if best is None else F.least(best, cand)
+        out_cols.append(best["c"].alias(f"code_{s}"))
+    return df.select(*out_cols)
+
+
+def pq_ann_topk(
+    df: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_mod: int = 25,
+    rescore_factor: int = 8,
+    train_iters: int = 2,
+) -> DataFrame:
+    """PQ-ANN with asymmetric distance computation (ADC) + exact
+    rescore: candidates ranked by sum of per-subspace distances from
+    the query subvector to the CENTROID named by each neighbor's code
+    (codebooks ride along as broadcast literal array-of-array columns;
+    the candidate scan never touches neighbor embeddings), then the
+    top rescore_factor*k candidates per query are exactly rescored by
+    cosine and the final top-k returned.
+
+    Returns (query_id, neighbor_id, rank). Probes = id % probe_mod == 0.
+    """
+    from pyspark.sql import Window
+
+    books = pq_train_codebooks(
+        df, m=m, ksub=ksub, vec_col=vec_col, id_col=id_col, iters=train_iters
+    )
+    dsub = len(books[0][0])
+    codes = pq_encode(df, books, vec_col=vec_col, id_col=id_col)
+    probes = df.filter(F.col(id_col) % probe_mod == 0).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    # ADC: distance tables as literal nested arrays, indexed by code
+    cand = codes.join(
+        F.broadcast(probes), on=F.col(id_col) != F.col("query_id")
+    )
+    approx = None
+    for s in range(m):
+        qsub = F.slice(F.col("_qv"), s * dsub + 1, dsub)
+        cents = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in books[s]]
+        )
+        csub = F.element_at(cents, F.col(f"code_{s}") + 1)
+        d = _fold_sum(
+            F.zip_with(
+                qsub, csub, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            )
+        )
+        approx = d if approx is None else approx + d
+    cand = cand.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), approx.alias("_ad")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_ad").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= rescore_factor * k)
+        .drop("_rk", "_ad")
+    )
+    # exact rescore on the shortlist only
+    nbr = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    scored = (
+        short.join(nbr, "neighbor_id")
+        .join(F.broadcast(probes), "query_id")
+        .select("query_id", "neighbor_id", cosine(F.col("_nv"), F.col("_qv")).alias("_cs"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("_cs").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

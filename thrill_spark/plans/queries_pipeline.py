@@ -425,3 +425,120 @@ def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rollup keeps (ts is never null, so null day == the rollup row —
     # same predicate the oracle's HAVING GROUPING(day)=0 expresses).
     return out.filter(F.col("day").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (Jégou et al. 2011): M=4 subspace codebooks,
+# ADC candidate scan over codes only, exact rescore of 8k candidates.
+# Recall-floor oracle vs brute-force cosine (the IVF pattern): the
+# fixture embeddings are near-uniform — the coarse-quantizer worst case
+# — measured recall@5 ~0.47-0.48 at sf0.001/0.01; floor 0.25.
+# ---------------------------------------------------------------------------
+@query(
+    "similarity_pq_ann",
+    "SELECT COUNT(*) AS queries_checked, TRUE AS recall_ok "
+    "FROM embeddings WHERE vec_id % 25 = 0",
+)
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from thrill_spark.functions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 5
+    ann = S.pq_ann_topk(emb, k=k, m=4, ksub=16, probe_mod=25)
+    probes = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    pool = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nv")
+    )
+    scored = pool.join(
+        F.broadcast(probes), on=F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id", "neighbor_id", S.cosine(F.col("_nv"), F.col("_qv")).alias("_cs")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cs").desc(), F.col("neighbor_id").asc()
+    )
+    brute = scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+    hits = ann.join(brute, on=["query_id", "neighbor_id"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        probes.agg(F.count("*").alias("queries_checked"))
+        .crossJoin(hits)
+        .select(
+            "queries_checked",
+            (F.col("n_hits") / (F.col("queries_checked") * k) >= F.lit(0.25)).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (Rabin/Gear-CDC shape at word
+# granularity): boundaries anchored on a rolling window hash, chunks
+# hashed corpus-wide, per-doc duplicated-token share. The DuckDB
+# oracle rebuilds boundary positions, chunk texts, and the cross-doc
+# dup decision from the same integer formulas.
+# ---------------------------------------------------------------------------
+_CDC_W = 4
+_CDC_D = 16
+
+
+@query(
+    "dedup_cdc_chunks",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id, toks,
+             list_transform(toks,
+                 w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)) AS hs,
+             greatest(len(toks) - {_CDC_W - 1}, 1) AS m
+      FROM t),
+    sp AS (
+      SELECT doc_id, toks,
+             list_filter(generate_series(1, m),
+                 i -> i = 1 OR (len(toks) >= {_CDC_W} AND
+                      (hs[i] % 1048576 + (hs[i+1] % 1048576) * 3
+                       + (hs[i+2] % 1048576) * 9
+                       + (hs[i+3] % 1048576) * 27) % {_CDC_D} = 0)) AS sp
+      FROM h),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(sp)),
+                 k -> array_to_string(
+                        toks[sp[k] : coalesce(sp[k+1], len(toks)+1) - 1],
+                        ' '))) AS chunk
+      FROM sp),
+    ch AS (
+      SELECT doc_id, md5(chunk) AS chunk_hash,
+             len(list_filter(string_split(chunk, ' '), x -> x <> '')) AS n_tokens
+      FROM chunks),
+    multi AS (
+      SELECT chunk_hash FROM ch GROUP BY chunk_hash
+      HAVING COUNT(DISTINCT doc_id) > 1),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM ch GROUP BY doc_id),
+    dup AS (
+      SELECT ch.doc_id, CAST(SUM(n_tokens) AS BIGINT) AS dup_tokens
+      FROM ch SEMI JOIN multi USING (chunk_hash)
+      GROUP BY ch.doc_id)
+    SELECT p.doc_id, n_chunks, total_tokens,
+           CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(coalesce(dup_tokens, 0) * 10000 // total_tokens AS BIGINT)
+             AS dup_bp
+    FROM per_doc p LEFT JOIN dup USING (doc_id)
+    """,
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.cdc_dup_report(docs, window=_CDC_W, divisor=_CDC_D)

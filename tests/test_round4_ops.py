@@ -269,3 +269,38 @@ def test_pq_encode_shapes_and_determinism(spark):
     again = {r["vec_id"]: (r["code_0"], r["code_1"]) for r in pq_encode(df, books).collect()}
     assert got == again
     assert all(0 <= c < 4 for v in got.values() for c in v)
+
+
+def test_er_blocking_and_resolution(spark):
+    """block_candidates never crosses blocks; score_pairs is additive;
+    resolve_entities groups matched pairs into entities by min rid."""
+    from pyspark.sql import functions as F
+
+    from thrill_spark.functions import linkage as L
+
+    recs = spark.createDataFrame(
+        [
+            (1, "alice smith", "NY"),
+            (2, "alice smyth", "NY"),
+            (3, "bob jones", "NY"),
+            (4, "alice smith", "CA"),
+        ],
+        ["rid", "name", "state"],
+    )
+    cand = L.block_candidates(recs, ["state"], id_col="rid")
+    pairs = {(r["a_rid"], r["b_rid"]) for r in cand.collect()}
+    assert pairs == {(1, 2), (1, 3), (2, 3)}  # CA block has one record
+    scored = L.score_pairs(
+        cand,
+        [
+            (F.levenshtein("a_name", "b_name") <= 2, 50),
+            (F.col("a_state") == F.col("b_state"), 10),
+        ],
+    )
+    got = {(r["a_rid"], r["b_rid"]): r["score"] for r in scored.collect()}
+    assert got[(1, 2)] == 60 and got[(1, 3)] == 10
+    ents = L.resolve_entities(
+        scored.filter(F.col("score") >= 60).select("a_rid", "b_rid")
+    )
+    e = {r["rid"]: r["entity_id"] for r in ents.collect()}
+    assert e == {1: 1, 2: 1}

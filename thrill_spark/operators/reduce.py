@@ -142,3 +142,79 @@ def group_by_key_fold(
 
     arranged = df.repartition(*key_list).sortWithinPartitions(*key_list, *order_by)
     return arranged.mapInPandas(stream, schema=schema)
+
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (Cormode & Muthukrishnan 2005) — the point-query
+# frequency sketch beside HLL (cardinality) and KMV (distinct): depth
+# independent hash rows x width counters, estimate = min over rows.
+# Built as a DataFrame of counters (depth*width rows, NOT per-key
+# state), so sketches of shards/days MERGE by adding counters — the
+# mergeability that lets 1000 executors sketch 100 TB locally and
+# combine O(depth*width) integers, never re-scanning.
+# Hashes are md5-derived (engine-portable), everything integer-exact.
+# ---------------------------------------------------------------------------
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """(row, slot, cnt) counter table: row d hashes key with salt
+    '{salt}|d|'. One explode(depth) + groupBy — linear, map-side
+    combinable, output bounded by depth*width."""
+    from thrill_spark.functions.text import md5_long
+
+    k = F.col(key_col).cast("string")
+    rows = F.array(*[F.lit(d) for d in range(depth)])
+    return (
+        df.select(F.explode(rows).alias("row"), k.alias("_k"))
+        .select(
+            "row",
+            (
+                md5_long(
+                    F.concat(F.lit(salt + "|"), F.col("row").cast("string"), F.lit("|"), F.col("_k"))
+                )
+                % width
+            ).alias("slot"),
+        )
+        .groupBy("row", "slot")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query estimates for each key in `keys`: min over the
+    depth counters the key hashes to. The sketch is depth*width rows —
+    broadcast it; the probe is a broadcast join, no shuffle of keys."""
+    from thrill_spark.functions.text import md5_long
+
+    k = F.col(key_col).cast("string")
+    rows = F.array(*[F.lit(d) for d in range(depth)])
+    probes = keys.select(
+        F.col(key_col), F.explode(rows).alias("row"), k.alias("_k")
+    ).select(
+        key_col,
+        "row",
+        (
+            md5_long(
+                F.concat(F.lit(salt + "|"), F.col("row").cast("string"), F.lit("|"), F.col("_k"))
+            )
+            % width
+        ).alias("slot"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "slot"], "left")
+        .fillna({"cnt": 0})
+        .groupBy(key_col)
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+    )

@@ -1435,3 +1435,208 @@ def q_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["checksum"], m["verified"])],
         "n_rows long, checksum long, verified boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch point queries (Cormode-Muthukrishnan) over
+# events.user_id: the estimate path is fully deterministic (md5 row
+# hashes, integer counters), so the DuckDB oracle rebuilds the EXACT
+# sketch and estimates — plus the mergeability property (sum of
+# per-day sketches == global sketch) checked in-plan.
+# ---------------------------------------------------------------------------
+_CMS_D = 4
+_CMS_W = 256
+
+
+@query(
+    "events_cms_frequency",
+    f"""
+    WITH probes AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM events GROUP BY user_id
+      ORDER BY true_cnt DESC, user_id LIMIT 20),
+    hashed AS (
+      SELECT e.user_id, d.d AS row,
+             CAST('0x' || substr(md5('cms|' || d.d || '|'
+                                 || CAST(e.user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % {_CMS_W} AS slot
+      FROM events e CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d) d),
+    counters AS (
+      SELECT row, slot, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM hashed GROUP BY row, slot),
+    probe_slots AS (
+      SELECT p.user_id, d.d AS row,
+             CAST('0x' || substr(md5('cms|' || d.d || '|'
+                                 || CAST(p.user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % {_CMS_W} AS slot
+      FROM probes p CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d) d),
+    est AS (
+      SELECT ps.user_id, CAST(MIN(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+      FROM probe_slots ps LEFT JOIN counters c USING (row, slot)
+      GROUP BY ps.user_id)
+    SELECT p.user_id, p.true_cnt, e.cms_est, TRUE AS merge_ok
+    FROM probes p JOIN est e USING (user_id)
+    """,
+)
+def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.operators.reduce import cms_build, cms_estimate
+
+    from thrill_spark.ordering import _persist
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = _persist(cms_build(ev, "user_id", depth=_CMS_D, width=_CMS_W))
+    probes = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("user_id"))
+        .limit(20)
+    )
+    est = cms_estimate(sketch, probes, "user_id", depth=_CMS_D, width=_CMS_W)
+    # mergeability: per-day sketches (pre-counted per day), counters
+    # summed across days, must equal the global sketch exactly
+    # (associative integer adds)
+    by_day = (
+        ev.select(F.to_date("ts").alias("_day"), "user_id")
+        .groupBy("_day", "user_id")
+        .agg(F.count("*").alias("_n"))
+    )
+    from thrill_spark.functions.text import md5_long
+
+    rows = F.array(*[F.lit(d) for d in range(_CMS_D)])
+    day_counters = (
+        by_day.select(
+            "_day",
+            F.explode(rows).alias("row"),
+            F.col("user_id").cast("string").alias("_k"),
+            "_n",
+        )
+        .select(
+            "row",
+            (
+                md5_long(
+                    F.concat(
+                        F.lit("cms|"),
+                        F.col("row").cast("string"),
+                        F.lit("|"),
+                        F.col("_k"),
+                    )
+                )
+                % _CMS_W
+            ).alias("slot"),
+            "_n",
+        )
+        .groupBy("row", "slot")
+        .agg(F.sum("_n").cast("long").alias("cnt"))
+    )
+    diff = (
+        sketch.join(day_counters, ["row", "slot"], "full")
+        .filter(
+            ~(
+                F.coalesce(sketch["cnt"], F.lit(0))
+                == F.coalesce(day_counters["cnt"], F.lit(0))
+            )
+        )
+        .agg(F.count("*").alias("_bad"))
+    )
+    out = (
+        probes.join(est, "user_id")
+        .crossJoin(F.broadcast(diff))
+        .select(
+            "user_id",
+            "true_cnt",
+            "cms_est",
+            (F.col("_bad") == 0).alias("merge_ok"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution (Fellegi-Sunter record linkage) on a deterministic
+# dirty-copy corpus: every 5th customer gets a perturbed duplicate
+# (digits 0->O in the name, +7 cents balance). Multi-pass blocking
+# (nation+name-tail, segment+balance-band) generates candidates via
+# equi-joins; integer agreement weights score each pair; threshold 80.
+# Fully deterministic -> exact pair-level oracle.
+# ---------------------------------------------------------------------------
+_ER_THRESH = 80
+
+
+@query(
+    "er_customer_linkage",
+    f"""
+    WITH base AS (
+      SELECT c_custkey AS rid, c_name AS name, c_nationkey AS nat,
+             c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer),
+    dirty AS (
+      SELECT rid + 10000000 AS rid, translate(name, '0', 'O') AS name,
+             nat, seg, bal_cents + 7 AS bal_cents
+      FROM base WHERE rid % 5 = 0),
+    recs AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
+    b1 AS (
+      SELECT a.rid AS a_rid, b.rid AS b_rid,
+             a.name AS a_name, b.name AS b_name, a.nat AS a_nat,
+             b.nat AS b_nat, a.seg AS a_seg, b.seg AS b_seg,
+             a.bal_cents AS a_bal, b.bal_cents AS b_bal
+      FROM recs a JOIN recs b
+        ON a.nat = b.nat
+       AND substr(a.name, length(a.name)-2, 3) = substr(b.name, length(b.name)-2, 3)
+       AND a.rid < b.rid),
+    b2 AS (
+      SELECT a.rid AS a_rid, b.rid AS b_rid,
+             a.name AS a_name, b.name AS b_name, a.nat AS a_nat,
+             b.nat AS b_nat, a.seg AS a_seg, b.seg AS b_seg,
+             a.bal_cents AS a_bal, b.bal_cents AS b_bal
+      FROM recs a JOIN recs b
+        ON a.seg = b.seg AND a.bal_cents // 1000 = b.bal_cents // 1000
+       AND a.rid < b.rid),
+    cand AS (SELECT DISTINCT * FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)),
+    scored AS (
+      SELECT a_rid, b_rid,
+             CAST((CASE WHEN levenshtein(a_name, b_name) <= 8 THEN 40 ELSE 0 END)
+                + (CASE WHEN a_nat = b_nat THEN 20 ELSE 0 END)
+                + (CASE WHEN abs(a_bal - b_bal) <= 10 THEN 25 ELSE 0 END)
+                + (CASE WHEN a_seg = b_seg THEN 15 ELSE 0 END) AS BIGINT) AS score
+      FROM cand)
+    SELECT a_rid, b_rid, score FROM scored WHERE score >= {_ER_THRESH}
+    """,
+)
+def q_er_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.functions import linkage as L
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    dirty = base.filter(F.col("rid") % 5 == 0).select(
+        (F.col("rid") + 10000000).alias("rid"),
+        F.translate("name", "0", "O").alias("name"),
+        "nat",
+        "seg",
+        (F.col("bal_cents") + 7).alias("bal_cents"),
+    )
+    recs = base.unionByName(dirty)
+    p1 = L.block_candidates(recs, ["nat", F.substring("name", -3, 3)], id_col="rid")
+    p2 = L.block_candidates(
+        recs, ["seg", (F.col("bal_cents") - F.pmod("bal_cents", F.lit(1000))) / 1000],
+        id_col="rid",
+    )
+    cand = p1.unionByName(p2).dropDuplicates(["a_rid", "b_rid"])
+    scored = L.score_pairs(
+        cand,
+        [
+            (F.levenshtein("a_name", "b_name") <= 8, 40),
+            (F.col("a_nat") == F.col("b_nat"), 20),
+            (F.abs(F.col("a_bal_cents") - F.col("b_bal_cents")) <= 10, 25),
+            (F.col("a_seg") == F.col("b_seg"), 15),
+        ],
+    )
+    return scored.filter(F.col("score") >= _ER_THRESH).select(
+        "a_rid", "b_rid", "score"
+    )

@@ -86,6 +86,13 @@ BENCH_QUERIES = [
     "ml_pca_power_iteration",
     "similarity_rp_ann",
     "interval_join_promotions",
+    # round 4: CDC chunk dedup (scan-only chunking + hash groupBy),
+    # PQ-ANN (code-scan ADC + rescore), Count-Min point queries,
+    # blocking+scoring entity resolution.
+    "dedup_cdc_chunks",
+    "similarity_pq_ann",
+    "events_cms_frequency",
+    "er_customer_linkage",
 ]
 
 

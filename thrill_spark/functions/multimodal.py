@@ -487,3 +487,91 @@ def wav_frame_energies(
     return df.select(F.col(id_col).alias(id_col), "media").mapInPandas(
         op, WAV_FRAMES_SCHEMA
     )
+
+
+def attach_real_wav_media_gated(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """attach_real_wav_media variant with PLANTED SILENCE: the sample
+    stream is framed in 20-sample frames and frames with frame_idx % 5
+    < 2 are all-zero (two silent frames then three voiced, repeating),
+    sample rate 8000, n_samples = 100 + id%50, voiced sample[i] =
+    ((id*31 + i*17) % 2048) - 1024. Deterministic, so the SQL oracle
+    recomputes every decoded energy."""
+    import io
+    import struct
+    import wave
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for ident in pdf["id"]:
+                ident = int(ident)
+                n = 100 + ident % 50
+                samples = [
+                    0
+                    if ((i // 20) % 5) < 2
+                    else ((ident * 31 + i * 17) % 2048) - 1024
+                    for i in range(n)
+                ]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(struct.pack(f"<{n}h", *samples))
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"id": pdf["id"], "media": blobs})
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(op, "id long, media binary")
+
+
+def wav_frame_energies(
+    df: DataFrame, frame_samples: int = 20, id_col: str = "id"
+) -> DataFrame:
+    """REAL-decode frame energies: parse the WAV container, unpack PCM,
+    emit (id, frame_idx, energy=sum(sample^2) over the frame) — the
+    front half of any VAD/silence-trim pipeline. Arrow-batched
+    mapInPandas, per-row work, no shuffle."""
+    import io
+    import struct
+    import wave
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ident, raw in zip(pdf[id_col], pdf["media"]):
+                with wave.open(io.BytesIO(bytes(raw)), "rb") as wf:
+                    n = wf.getnframes()
+                    frames = wf.readframes(n)
+                samples = struct.unpack(f"<{n}h", frames)
+                for f in range((n + frame_samples - 1) // frame_samples):
+                    seg = samples[f * frame_samples : (f + 1) * frame_samples]
+                    rows.append((int(ident), f, sum(s * s for s in seg)))
+            yield pd.DataFrame(rows, columns=["id", "frame_idx", "energy"])
+
+    return df.select(F.col(id_col).alias(id_col), "media").mapInPandas(
+        op, f"{id_col} long, frame_idx int, energy long"
+    )
+
+
+def silence_segments(
+    energies: DataFrame,
+    threshold: int = 0,
+    id_col: str = "id",
+) -> DataFrame:
+    """Gaps-and-islands over frame energies: contiguous runs of frames
+    with energy <= threshold become (id, start_frame, end_frame,
+    n_frames) silence segments — the trim list an audio-curation
+    pipeline feeds back into the cutter. One window + one groupBy,
+    both partitioned by id: no global funnel."""
+    from pyspark.sql import Window
+
+    silent = energies.filter(F.col("energy") <= threshold)
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    grp = silent.withColumn(
+        "_grp", F.col("frame_idx") - F.row_number().over(w)
+    )
+    return grp.groupBy(id_col, "_grp").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count("*").cast("long").alias("n_frames"),
+    ).drop("_grp")

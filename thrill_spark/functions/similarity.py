@@ -582,6 +582,23 @@ def semantic_dedup(
 # codebooks), never the raw vectors, and only the final rescore of
 # ~3k candidates per query touches full embeddings.
 # ---------------------------------------------------------------------------
+def _argmin_code(sub: Column, cents: list[list[float]]) -> Column:
+    """Index (0-based) of the squared-L2-nearest centroid, ties to the
+    lowest index. One transform over a literal centroid array — a
+    compact expression tree that stays inside whole-stage codegen,
+    where a chain of ksub struct-least comparisons does not."""
+    carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    dists = F.transform(
+        carr,
+        lambda c: _fold_sum(
+            F.zip_with(
+                sub, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            )
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
 def pq_train_codebooks(
     df: DataFrame,
     m: int = 4,
@@ -602,41 +619,76 @@ def pq_train_codebooks(
     init = (
         df.orderBy(id_col).limit(ksub).select(F.col(vec_col).alias("c")).collect()
     )
-    books: list[list[list[float]]] = []
-    for s in range(m):
-        cents = [[float(x) for x in r["c"][s * dsub : (s + 1) * dsub]] for r in init]
-        sub = df.select(F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("_sv"))
-        for _ in range(iters):
-            best = None
-            for ci, c in enumerate(cents):
-                arr = F.array(*[F.lit(x) for x in c])
-                d = _fold_sum(
-                    F.zip_with(
-                        F.col("_sv"),
-                        arr,
-                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                    )
-                )
-                cand = F.struct(d.alias("d"), F.lit(ci).alias("c"))
-                best = cand if best is None else F.least(best, cand)
-            assigned = sub.select(F.col("_sv"), best["c"].alias("_cell"))
-            sums = assigned.groupBy("_cell").agg(
+    books: list[list[list[float]]] = [
+        [[float(x) for x in r["c"][s * dsub : (s + 1) * dsub]] for r in init]
+        for s in range(m)
+    ]
+    # One Lloyd round = ONE distributed job for ALL subspaces: the
+    # (row, subspace, centroid) assignment runs as a broadcast join
+    # against the m*ksub centroid table — one SMALL fold expression
+    # regardless of ksub (literal-argmin codegen grows with ksub*dsub
+    # and its compile time dominates at these sizes), then a single
+    # groupBy(s, cell) re-centers everything; the driver collects
+    # m*ksub rows per round.
+    spark = df.sparkSession
+    subs = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
                 *[
-                    F.sum(F.element_at(F.col("_sv"), i + 1).cast("double")).alias(
-                        f"s{i}"
+                    F.struct(
+                        F.lit(s).alias("_s"),
+                        F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("_sv"),
                     )
-                    for i in range(dsub)
-                ],
-                F.count("*").alias("n"),
+                    for s in range(m)
+                ]
             )
-            rows = {r["_cell"]: r for r in sums.collect()}
-            cents = [
-                [rows[ci][f"s{i}"] / rows[ci]["n"] for i in range(dsub)]
-                if ci in rows
-                else cents[ci]
+        ).alias("_e"),
+    ).select("_id", "_e._s", "_e._sv")
+    for _ in range(iters):
+        cents_df = spark.createDataFrame(
+            [(s, ci, books[s][ci]) for s in range(m) for ci in range(ksub)],
+            "_s int, _cell int, _cent array<double>",
+        )
+        j = subs.join(F.broadcast(cents_df), "_s")
+        dist = _fold_sum(
+            F.zip_with(
+                F.col("_sv"),
+                F.col("_cent"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            )
+        )
+        assigned = (
+            j.select(
+                "_id",
+                "_s",
+                "_sv",
+                F.struct(dist.alias("d"), F.col("_cell").alias("c")).alias("_dc"),
+            )
+            .groupBy("_id", "_s")
+            .agg(F.min("_dc").alias("_m"), F.first("_sv").alias("_sv"))
+            .select("_s", "_sv", F.col("_m.c").alias("_cell"))
+        )
+        sums = assigned.groupBy("_s", "_cell").agg(
+            *[
+                F.sum(F.element_at(F.col("_sv"), i + 1).cast("double")).alias(f"s{i}")
+                for i in range(dsub)
+            ],
+            F.count("*").alias("n"),
+        )
+        rows = {(r["_s"], r["_cell"]): r for r in sums.collect()}
+        books = [
+            [
+                [
+                    rows[(s, ci)][f"s{i}"] / rows[(s, ci)]["n"]
+                    for i in range(dsub)
+                ]
+                if (s, ci) in rows
+                else books[s][ci]
                 for ci in range(ksub)
             ]
-        books.append(cents)
+            for s in range(m)
+        ]
     return books
 
 
@@ -654,17 +706,7 @@ def pq_encode(
     out_cols = [F.col(id_col)]
     for s in range(m):
         sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-        best = None
-        for ci, c in enumerate(codebooks[s]):
-            arr = F.array(*[F.lit(float(x)) for x in c])
-            d = _fold_sum(
-                F.zip_with(
-                    sub, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-                )
-            )
-            cand = F.struct(d.alias("d"), F.lit(ci).alias("c"))
-            best = cand if best is None else F.least(best, cand)
-        out_cols.append(best["c"].alias(f"code_{s}"))
+        out_cols.append(_argmin_code(sub, codebooks[s]).alias(f"code_{s}"))
     return df.select(*out_cols)
 
 

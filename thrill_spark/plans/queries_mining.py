@@ -1640,3 +1640,43 @@ def q_er_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("score") >= _ER_THRESH).select(
         "a_rid", "b_rid", "score"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio silence segmentation over REAL WAV decode: 20-sample frame
+# energies from actual PCM parsing, then gaps-and-islands into silence
+# segments (the VAD/trim front-end). The fixture WAVs plant silent
+# frames (frame%5 < 2 -> all-zero), and the oracle recomputes every
+# sample, energy, and island from the closed-form generator — a wrong
+# container parse, frame split, or run grouping breaks the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_silence_segments",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             unnest(generate_series(0, 100 + doc_id % 50 - 1)) AS i
+      FROM documents),
+    sm AS (
+      SELECT doc_id, i // 20 AS f,
+             CASE WHEN (i // 20) % 5 < 2 THEN 0
+                  ELSE ((doc_id * 31 + i * 17) % 2048) - 1024 END AS smp
+      FROM s),
+    e AS (SELECT doc_id, f, SUM(smp * smp) AS energy FROM sm GROUP BY doc_id, f),
+    sil AS (
+      SELECT doc_id, f,
+             f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS g
+      FROM e WHERE energy <= 0)
+    SELECT doc_id AS id, CAST(MIN(f) AS INT) AS start_frame,
+           CAST(MAX(f) AS INT) AS end_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames
+    FROM sil GROUP BY doc_id, g
+    """,
+)
+def q_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.functions import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    media = MM.attach_real_wav_media_gated(docs, "id")
+    energies = MM.wav_frame_energies(media, frame_samples=20)
+    return MM.silence_segments(energies, threshold=0)

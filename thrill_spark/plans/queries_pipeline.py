@@ -437,7 +437,7 @@ def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "similarity_pq_ann",
     "SELECT COUNT(*) AS queries_checked, TRUE AS recall_ok "
-    "FROM embeddings WHERE vec_id % 25 = 0",
+    "FROM embeddings WHERE vec_id % 50 = 0",
 )
 def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -446,8 +446,8 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     k = 5
-    ann = S.pq_ann_topk(emb, k=k, m=4, ksub=16, probe_mod=25)
-    probes = emb.filter(F.col("vec_id") % 25 == 0).select(
+    ann = S.pq_ann_topk(emb, k=k, m=4, ksub=16, probe_mod=50)
+    probes = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
     )
     pool = emb.select(
@@ -542,3 +542,80 @@ _CDC_D = 16
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.cdc_dup_report(docs, window=_CDC_W, divisor=_CDC_D)
+
+
+# ---------------------------------------------------------------------------
+# LEFT OUTER stream-stream join: views left-joined to the clicks that
+# followed within 30 minutes; views with NO such click are emitted
+# with NULLs once the watermark passes their join window — the
+# capability inner joins don't exercise (state expiry driving output).
+# A far-future sentinel on both streams pushes the final watermark
+# past every real row, so the final emitted set is exactly the batch
+# LEFT JOIN regardless of micro-batch boundaries (every unmatched view
+# expires before the query ends). Oracle: that batch LEFT JOIN,
+# aggregated per view event.
+# ---------------------------------------------------------------------------
+@query(
+    "events_stream_outer_join",
+    """
+    WITH v AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'view'),
+         c AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click')
+    SELECT v.event_id AS view_id, v.user_id,
+           CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks,
+           COUNT(c.event_id) = 0 AS unmatched
+    FROM v LEFT JOIN c
+      ON c.user_id = v.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    GROUP BY v.event_id, v.user_id
+    """,
+)
+def q_events_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from thrill_spark.streaming.joins import stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    views = ev.filter(F.col("event_type") == "view").drop("event_type")
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    # watermark-flush sentinel: one far-future row per stream
+    flush = ev.agg(
+        (F.max("ts") + F.expr("INTERVAL 12 HOURS")).alias("ts")
+    ).select(F.lit(-1).cast("long").alias("event_id"), "ts",
+             F.lit(-1).cast("long").alias("user_id"))
+    views_s = views.unionByName(flush)
+    clicks_s = clicks.unionByName(flush)
+    base = os.path.join(tempfile.gettempdir(), "thrill_spark_ssoj")
+    vsrc, csrc = base + "_views", base + "_clicks"
+    views_s.write.mode("overwrite").parquet(vsrc)
+    clicks_s.write.mode("overwrite").parquet(csrc)
+    vstream = spark.readStream.schema(views_s.schema).parquet(vsrc)
+    cstream = spark.readStream.schema(clicks_s.schema).parquet(csrc)
+    joined = stream_stream_join(
+        vstream,
+        cstream,
+        key="user_id",
+        watermark="1 hour",
+        max_lag="30 minutes",
+        how="left_outer",
+    )
+    name = "stream_outer_join_sink"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name).filter(F.col("l_event_id") != -1)
+    return out.groupBy(
+        F.col("l_event_id").alias("view_id"), F.col("l_key").alias("user_id")
+    ).agg(
+        F.count("r_event_id").cast("long").alias("n_clicks"),
+        (F.count("r_event_id") == 0).alias("unmatched"),
+    )

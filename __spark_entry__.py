@@ -81,14 +81,16 @@ _NEVER_DRIVER_VERIFIED = [
     "events_json_props",
 ]
 
-# Tail: round-4 additions (driver-verify new work first).
+# Tail: round-4 additions (driver-verify new work first). The other
+# r4 additions (similarity_pq_ann, events_cms_frequency,
+# er_customer_linkage, events_stream_outer_join,
+# multimodal_silence_segments, fn_generators, corpus_dsir_select)
+# queue at the head of the r5 window below.
 _WINDOW_TAIL = [
     "io_lines_sized_roundtrip",
     "io_bz2_lines_roundtrip",
-    "dedup_semantic_keep",
-    "corpus_weighted_sample",
-    "profile_orders",
-    "k_core_orders",
+    "suffix_array_dc3",
+    "dedup_cdc_chunks",
 ]
 
 # r5/r6 rotation plan (VERDICT #4 — every registry query gets a driver

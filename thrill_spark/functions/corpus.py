@@ -313,3 +313,51 @@ def temperature_mix_quotas(
         .cast("long")
         .alias("quota"),
     )
+
+
+def dsir_affinity_select(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 100,
+    scale: int = 100_000,
+) -> DataFrame:
+    """Domain-targeted data selection (DSIR shape, Xie et al. 2023):
+    score every document by how much its unigram distribution leans
+    toward a TARGET subset of the corpus, keep the top_k.
+
+    Integer-exact proxy for the importance weight: per token t,
+    w(t) = count_target(t) * scale div count_corpus(t) (a likelihood
+    ratio in fixed-point; 0 for tokens absent from the target), and
+    doc score = mean token weight in fixed-point
+    (sum(w) * 1000 div n_tokens). Deterministic top-k by
+    (score desc, id).
+
+    Scale: two vocabulary-sized aggregations + one broadcast-friendly
+    term join against the token stream; the target table is a filter
+    of the same scan, no second pass over raw text.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    tok_rows = df.select(
+        F.col(id_col), target_pred.alias("_is_tgt"), F.explode(toks).alias("_t")
+    )
+    vocab = tok_rows.groupBy("_t").agg(
+        F.count("*").cast("long").alias("_corpus_cnt"),
+        F.count_if(F.col("_is_tgt")).cast("long").alias("_tgt_cnt"),
+    )
+    per_doc = (
+        tok_rows.join(F.broadcast(vocab), "_t")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.expr(f"_tgt_cnt * {scale} div _corpus_cnt")
+            ).cast("long").alias("_wsum"),
+            F.count("*").cast("long").alias("_ntok"),
+        )
+        .select(
+            id_col,
+            F.expr("_wsum * 1000 div _ntok").cast("long").alias("affinity"),
+        )
+    )
+    return per_doc.orderBy(F.desc("affinity"), F.asc(id_col)).limit(top_k)

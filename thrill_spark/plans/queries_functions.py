@@ -562,3 +562,59 @@ def q_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr(name, "1").cast("long").alias("pos_one"),
         F.substring(name, -4, 4).alias("name_tail"),
     )
+
+
+@query(
+    "fn_generators",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+             CASE WHEN o_orderkey % 3 = 0 THEN []
+                  ELSE [o_orderkey % 7, o_orderkey % 11] END AS arr
+      FROM orders WHERE o_orderkey <= 2000),
+    exploded AS (
+      -- posexplode_outer: empty arrays keep the row with NULLs
+      SELECT o_orderkey, o_custkey,
+             CAST(u.pos - 1 AS INT) AS pos, u.v AS val
+      FROM base LEFT JOIN LATERAL
+        (SELECT generate_subscripts(arr, 1) AS pos, unnest(arr) AS v) u ON TRUE),
+    unpivoted AS (
+      -- stack/unpivot: two label columns become (field, value) rows
+      SELECT o_orderkey, 'status' AS field, o_orderstatus AS fval FROM base
+      UNION ALL
+      SELECT o_orderkey, 'priority', o_orderpriority FROM base)
+    SELECT e.o_orderkey, e.o_custkey, e.pos, CAST(e.val AS BIGINT) AS val,
+           u.field, u.fval
+    FROM exploded e JOIN unpivoted u USING (o_orderkey)
+    """,
+)
+def q_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/table-function audit: posexplode_outer (row-preserving
+    explode — the LATERAL VIEW OUTER surface) and stack (unpivot);
+    the join shape exercises generator output feeding a join."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 3 == 0, F.array().cast("array<bigint>"))
+        .otherwise(F.array(F.col("o_orderkey") % 7, F.col("o_orderkey") % 11))
+        .alias("arr"),
+    )
+    exploded = base.select(
+        "o_orderkey",
+        "o_custkey",
+        F.posexplode_outer("arr").alias("pos", "val"),
+    )
+    unpivoted = base.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'status', o_orderstatus, 'priority', o_orderpriority) "
+            "as (field, fval)"
+        ),
+    )
+    return exploded.join(unpivoted, "o_orderkey").select(
+        "o_orderkey", "o_custkey", "pos", F.col("val").cast("long").alias("val"),
+        "field", "fval",
+    )

@@ -619,3 +619,37 @@ def q_events_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("r_event_id").cast("long").alias("n_clicks"),
         (F.count("r_event_id") == 0).alias("unmatched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-shape domain-targeted selection (Xie et al. 2023): integer
+# fixed-point unigram likelihood-ratio affinity toward the src0
+# domain, exact top-100. The selected set should (and does) skew
+# heavily toward the target domain — the property that makes
+# importance resampling work — but the oracle checks the full exact
+# scores, not just the skew.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_dsir_select",
+    f"""
+    WITH t AS (SELECT doc_id, source = 'src0' AS is_tgt, {SQL_TOKS} AS toks
+               FROM documents),
+    tok AS (SELECT doc_id, is_tgt, unnest(toks) AS tk FROM t),
+    vocab AS (
+      SELECT tk, CAST(COUNT(*) AS BIGINT) AS corpus_cnt,
+             CAST(COUNT(*) FILTER (WHERE is_tgt) AS BIGINT) AS tgt_cnt
+      FROM tok GROUP BY tk),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(tgt_cnt * 100000 // corpus_cnt) AS BIGINT) AS wsum,
+             CAST(COUNT(*) AS BIGINT) AS ntok
+      FROM tok JOIN vocab USING (tk) GROUP BY doc_id)
+    SELECT doc_id, CAST(wsum * 1000 // ntok AS BIGINT) AS affinity
+    FROM per_doc ORDER BY affinity DESC, doc_id LIMIT 100
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.dsir_affinity_select(
+        docs, F.col("source") == "src0", top_k=100
+    )

@@ -304,3 +304,23 @@ def test_er_blocking_and_resolution(spark):
     )
     e = {r["rid"]: r["entity_id"] for r in ents.collect()}
     assert e == {1: 1, 2: 1}
+
+
+def test_loop_artifacts_planted(spark):
+    from thrill_spark.functions.text import loop_artifact_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "normal text with no repeats at all here"),
+            (2, "start the the the the the the end"),          # p1 run of 7
+            (3, "x a b a b a b a b y"),                        # p2 run of 8
+            (4, "q w e q w e q w e done"),                     # p3 run of 9
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in loop_artifact_report(docs).collect()}
+    assert out[1]["run_p1"] == 0 and not out[1]["loop_flag"]
+    assert out[2]["run_p1"] == 6  # 6 'the' tokens in a row
+    assert out[2]["loop_flag"]
+    assert out[3]["run_p2"] == 8 and out[3]["loop_flag"]
+    assert out[4]["run_p3"] == 9 and out[4]["loop_flag"]

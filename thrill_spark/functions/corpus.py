@@ -361,3 +361,68 @@ def dsir_affinity_select(
         )
     )
     return per_doc.orderBy(F.desc("affinity"), F.asc(id_col)).limit(top_k)
+
+
+def sft_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_prompt_words: int = 8,
+    min_completion_words: int = 8,
+) -> DataFrame:
+    """Instruction-tuning pair construction: split each document at its
+    middle sentence boundary into (prompt, completion), drop pairs
+    where either side is under the word floor, and dedup by prompt
+    hash (identical prompts with different completions are label
+    noise — keep the lowest doc_id deterministically).
+
+    The split rule is deterministic (the '.' closest to the character
+    midpoint, found via array positions — no regex lookahead), so the
+    whole derivation is SQL-replicable. One scan + one groupBy on the
+    prompt hash: linear.
+    """
+    n = F.length(F.col(text_col))
+    # candidate split points: positions of '.' (1-based) in the text
+    dots = F.filter(
+        F.transform(
+            F.split(F.col(text_col), ""),
+            lambda ch, i: F.when(ch == ".", i + 1).otherwise(F.lit(0)),
+        ),
+        lambda p: p > 0,
+    )
+    # the dot nearest the char midpoint; 0 when the doc has no dot
+    mid = n - F.pmod(n, F.lit(2))
+    best_dot = F.aggregate(
+        dots,
+        F.lit(0).cast("long"),
+        lambda acc, p: F.when(
+            (acc == 0)
+            | (F.abs(p.cast("long") * 2 - mid) < F.abs(acc * 2 - mid)),
+            p.cast("long"),
+        ).otherwise(acc),
+    )
+    d = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_txt"),
+        best_dot.alias("_sp"),
+    ).filter(F.col("_sp") > 0)
+    d = d.select(
+        id_col,
+        F.trim(F.expr("substring(_txt, 1, _sp)")).alias("prompt"),
+        F.trim(F.expr("substring(_txt, _sp + 1)")).alias("completion"),
+    )
+    wc = lambda c: F.size(  # noqa: E731
+        F.filter(F.split(F.col(c), r"\s+"), lambda t: t != "")
+    )
+    d = d.filter(
+        (wc("prompt") >= min_prompt_words) & (wc("completion") >= min_completion_words)
+    )
+    d = d.withColumn("prompt_hash", F.md5("prompt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("prompt_hash").orderBy(id_col)
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "prompt", "completion", "prompt_hash")
+    )

@@ -452,3 +452,76 @@ def compression_signals(
             )
 
     return src.mapInPandas(batches, schema=out_schema)
+
+
+def loop_artifact_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    periods: tuple[int, ...] = (1, 2, 3),
+    flag_at: int = 6,
+) -> DataFrame:
+    """Decoder-loop artifact detector: for each period p, the longest
+    consecutive token run satisfying tok[i] == tok[i-p] — a generation
+    loop of period p shows up as a long run ('the the the' at p=1,
+    'a b a b a b' at p=2). Emits (id, run_p{p}..., loop_flag).
+
+    Longest run computed without a struct fold (engine-portable): the
+    match flags' ZERO positions (plus sentinels) bound the 1-runs, so
+    the answer is the max gap between consecutive zero positions.
+    Each intermediate array is a CHAINED PROJECTION column — inlining
+    them makes Catalyst re-evaluate the whole chain per lambda element
+    (the O(n^3)-per-row trap documented at _let)."""
+    d = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    for p in periods:
+        m = F.greatest(F.size("_toks") - p, F.lit(0))
+        def _match_at(pp):
+            # closure factory, NOT a default-arg lambda: a 2-parameter
+            # lambda is interpreted as (element, index) by transform
+            return lambda i: (
+                F.element_at("_toks", i + F.lit(pp)) == F.element_at("_toks", i)
+            ).cast("int")
+
+        d = d.withColumn(f"_f{p}", F.transform(F.sequence(F.lit(1), m), _match_at(p)))
+        d = d.withColumn(
+            f"_z{p}",
+            F.concat(
+                F.array(F.lit(0)),
+                F.filter(
+                    F.transform(
+                        F.col(f"_f{p}"),
+                        lambda f, i: F.when(f == 0, i + 1).otherwise(0),
+                    ),
+                    lambda z: z > 0,
+                ),
+                F.array(F.size(f"_f{p}") + 1),
+            ),
+        )
+        def _gap_at(zcol):
+            return lambda k: (
+                F.element_at(zcol, k + 1) - F.element_at(zcol, k) - 1
+            )
+
+        d = d.withColumn(
+            f"_g{p}",
+            F.transform(
+                F.sequence(F.lit(1), F.size(f"_z{p}") - 1), _gap_at(f"_z{p}")
+            ),
+        )
+        d = d.withColumn(
+            f"run_p{p}",
+            F.when(
+                F.coalesce(F.array_max(f"_g{p}"), F.lit(0)) > 0,
+                F.array_max(f"_g{p}") + p,
+            )
+            .otherwise(0)
+            .cast("long"),
+        )
+    out = d.select(
+        id_col,
+        *[F.col(f"run_p{p}") for p in periods],
+        (F.greatest(*[F.col(f"run_p{p}") for p in periods]) >= flag_at).alias(
+            "loop_flag"
+        ),
+    )
+    return out

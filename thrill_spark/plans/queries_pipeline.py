@@ -653,3 +653,97 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.dsir_affinity_select(
         docs, F.col("source") == "src0", top_k=100
     )
+
+
+# ---------------------------------------------------------------------------
+# SFT pair construction: deterministic midpoint-sentence split into
+# (prompt, completion), word floors both sides, prompt-hash dedup
+# keeping the lowest doc_id. The oracle replays the split-point
+# search (dot nearest the char midpoint) and the dedup exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_sft_pairs",
+    """
+    WITH d0 AS (
+      SELECT doc_id, text, length(text) AS n,
+             length(text) - length(text) % 2 AS mid,
+             list_filter(list_transform(generate_series(1, length(text)),
+                 i -> CASE WHEN substring(text, i, 1) = '.' THEN i ELSE 0 END),
+                 p -> p > 0) AS dots
+      FROM documents),
+    sp AS (
+      SELECT doc_id, text,
+             CASE WHEN len(dots) = 0 THEN 0
+                  ELSE list_reduce(dots, (acc, p) ->
+                       CASE WHEN abs(p*2 - mid) < abs(acc*2 - mid)
+                            THEN p ELSE acc END)
+             END AS s
+      FROM d0),
+    pairs AS (
+      SELECT doc_id,
+             trim(substring(text, 1, s)) AS prompt,
+             trim(substring(text, s + 1)) AS completion
+      FROM sp WHERE s > 0),
+    flt AS (
+      SELECT doc_id, prompt, completion, md5(prompt) AS prompt_hash
+      FROM pairs
+      WHERE len(list_filter(string_split_regex(prompt, '\\s+'), t -> t <> '')) >= 8
+        AND len(list_filter(string_split_regex(completion, '\\s+'), t -> t <> '')) >= 8)
+    SELECT doc_id, prompt, completion, prompt_hash FROM flt
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY prompt_hash ORDER BY doc_id) = 1
+    """,
+)
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return C.sft_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# Decoder-loop artifact detection: longest period-p self-repeat run
+# (p = 1, 2, 3) per document — the filter that catches 'the the the'
+# and 'a b a b a b' generation loops. Run length via zero-position
+# gaps; every intermediate list is a staged CTE column on the oracle
+# side and a chained projection on the Spark side (inline nesting
+# re-evaluates the chain per element — O(n^3)/row).
+# ---------------------------------------------------------------------------
+def _sql_loop_stage(p: int) -> str:
+    return f"""
+    f{p} AS (
+      SELECT doc_id, toks,
+             list_transform(generate_series(1, greatest(len(toks) - {p}, 0)),
+                 i -> CASE WHEN toks[i + {p}] = toks[i] THEN 1 ELSE 0 END) AS fl
+      FROM t),
+    z{p} AS (
+      SELECT doc_id,
+             list_concat(list_concat([0],
+                 list_filter(list_transform(generate_series(1, len(fl)),
+                     i -> CASE WHEN fl[i] = 0 THEN i ELSE 0 END),
+                     x -> x > 0)),
+                 [len(fl) + 1]) AS zp
+      FROM f{p}),
+    g{p} AS (
+      SELECT doc_id,
+             coalesce(list_max(list_transform(generate_series(1, len(zp) - 1),
+                 k -> zp[k + 1] - zp[k] - 1)), 0) AS mx
+      FROM z{p}),
+    r{p} AS (
+      SELECT doc_id,
+             CAST(CASE WHEN mx > 0 THEN mx + {p} ELSE 0 END AS BIGINT) AS run_p{p}
+      FROM g{p})"""
+
+
+@query(
+    "text_loop_artifacts",
+    f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    {_sql_loop_stage(1)},
+    {_sql_loop_stage(2)},
+    {_sql_loop_stage(3)}
+    SELECT r1.doc_id, run_p1, run_p2, run_p3,
+           greatest(run_p1, run_p2, run_p3) >= 6 AS loop_flag
+    FROM r1 JOIN r2 USING (doc_id) JOIN r3 USING (doc_id)
+    """,
+)
+def q_loop_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.loop_artifact_report(docs, "text", "doc_id", periods=(1, 2, 3))

@@ -524,35 +524,6 @@ def attach_real_wav_media_gated(df: DataFrame, id_col: str = "id") -> DataFrame:
     return df.select(F.col(id_col).alias("id")).mapInPandas(op, "id long, media binary")
 
 
-def wav_frame_energies(
-    df: DataFrame, frame_samples: int = 20, id_col: str = "id"
-) -> DataFrame:
-    """REAL-decode frame energies: parse the WAV container, unpack PCM,
-    emit (id, frame_idx, energy=sum(sample^2) over the frame) — the
-    front half of any VAD/silence-trim pipeline. Arrow-batched
-    mapInPandas, per-row work, no shuffle."""
-    import io
-    import struct
-    import wave
-
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for ident, raw in zip(pdf[id_col], pdf["media"]):
-                with wave.open(io.BytesIO(bytes(raw)), "rb") as wf:
-                    n = wf.getnframes()
-                    frames = wf.readframes(n)
-                samples = struct.unpack(f"<{n}h", frames)
-                for f in range((n + frame_samples - 1) // frame_samples):
-                    seg = samples[f * frame_samples : (f + 1) * frame_samples]
-                    rows.append((int(ident), f, sum(s * s for s in seg)))
-            yield pd.DataFrame(rows, columns=["id", "frame_idx", "energy"])
-
-    return df.select(F.col(id_col).alias(id_col), "media").mapInPandas(
-        op, f"{id_col} long, frame_idx int, energy long"
-    )
-
-
 def silence_segments(
     energies: DataFrame,
     threshold: int = 0,
@@ -565,13 +536,11 @@ def silence_segments(
     both partitioned by id: no global funnel."""
     from pyspark.sql import Window
 
-    silent = energies.filter(F.col("energy") <= threshold)
-    w = Window.partitionBy(id_col).orderBy("frame_idx")
-    grp = silent.withColumn(
-        "_grp", F.col("frame_idx") - F.row_number().over(w)
-    )
+    silent = energies.filter(F.col("frame_energy") <= threshold)
+    w = Window.partitionBy(id_col).orderBy("frame")
+    grp = silent.withColumn("_grp", F.col("frame") - F.row_number().over(w))
     return grp.groupBy(id_col, "_grp").agg(
-        F.min("frame_idx").alias("start_frame"),
-        F.max("frame_idx").alias("end_frame"),
+        F.min("frame").alias("start_frame"),
+        F.max("frame").alias("end_frame"),
         F.count("*").cast("long").alias("n_frames"),
     ).drop("_grp")

@@ -633,3 +633,35 @@ def q_suffix_array_dc3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = chars.count()
     return A.suffix_array_dc3(chars, n)
+
+
+# ---------------------------------------------------------------------------
+# XML round-trip (Spark 4 native XML source — new connector surface
+# beside text/csv/json/orc/parquet). Oracle: the aggregates of what
+# came back must equal the source table's.
+# ---------------------------------------------------------------------------
+@query(
+    "io_xml_roundtrip",
+    """SELECT n_nationkey AS nationkey, n_regionkey AS regionkey, n_name AS name
+       FROM nation""",
+)
+def q_io_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_regionkey").alias("regionkey"),
+        F.col("n_name").alias("name"),
+    )
+    out = os.path.join(tempfile.gettempdir(), "thrill_spark_xml")
+    (
+        n.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(out)
+    )
+    back = spark.read.format("xml").option("rowTag", "nation").load(out)
+    return back.select(
+        F.col("nationkey").cast("long"),
+        F.col("regionkey").cast("long"),
+        F.col("name").cast("string"),
+    )

@@ -618,3 +618,34 @@ def q_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "pos", F.col("val").cast("long").alias("val"),
         "field", "fval",
     )
+
+
+@query(
+    "fn_variant_ops",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           json_extract(props, '$.missing') IS NULL AS missing_is_null,
+           CAST(json_array_length(json_extract(props, '$')) IS NOT NULL
+                AND json_type(json_extract(props, '$')) = 'ARRAY' AS BOOLEAN)
+             AS is_array
+    FROM events WHERE event_id % 7 = 0
+    """,
+)
+def q_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType audit (Spark 4's semi-structured type): parse_json
+    into a VARIANT column once, then typed variant_get extraction —
+    the open-schema path that replaces per-field get_json_object
+    re-parsing. The variant column itself never reaches the output
+    (complex types are serialized at the driver boundary); the
+    extracted scalars are the checked semantics."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    v = ev.select("event_id", F.parse_json("props").alias("_v"))
+    return v.select(
+        "event_id",
+        F.variant_get("_v", "$.k", "long").alias("k_val"),
+        (F.variant_get("_v", "$.k", "long") % 10).alias("k_mod"),
+        F.variant_get("_v", "$.missing", "string").isNull().alias("missing_is_null"),
+        (F.schema_of_variant(F.col("_v")).startswith("ARRAY")).alias("is_array"),
+    )

@@ -1568,7 +1568,7 @@ _ER_THRESH = 80
     WITH base AS (
       SELECT c_custkey AS rid, c_name AS name, c_nationkey AS nat,
              c_mktsegment AS seg,
-             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
       FROM customer),
     dirty AS (
       SELECT rid + 10000000 AS rid, translate(name, '0', 'O') AS name,
@@ -1590,7 +1590,8 @@ _ER_THRESH = 80
              b.nat AS b_nat, a.seg AS a_seg, b.seg AS b_seg,
              a.bal_cents AS a_bal, b.bal_cents AS b_bal
       FROM recs a JOIN recs b
-        ON a.seg = b.seg AND a.bal_cents // 1000 = b.bal_cents // 1000
+        ON a.seg = b.seg
+       AND (a.bal_cents + 100000) // 1000 = (b.bal_cents + 100000) // 1000
        AND a.rid < b.rid),
     cand AS (SELECT DISTINCT * FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)),
     scored AS (
@@ -1612,7 +1613,11 @@ def q_er_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("name"),
         F.col("c_nationkey").alias("nat"),
         F.col("c_mktsegment").alias("seg"),
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        # floor(x*100 + 0.5), not round(): Spark rounds HALF_UP and
+        # DuckDB HALF_EVEN, which diverges on exact .5 cents (hit at
+        # sf0.1); floor of the identical double expression is
+        # IEEE-exact on both engines
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal_cents"),
     )
     dirty = base.filter(F.col("rid") % 5 == 0).select(
         (F.col("rid") + 10000000).alias("rid"),
@@ -1623,8 +1628,13 @@ def q_er_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     recs = base.unionByName(dirty)
     p1 = L.block_candidates(recs, ["nat", F.substring("name", -3, 3)], id_col="rid")
+    # band on a NON-NEGATIVE shift of the balance: integer division
+    # floors in Spark's pmod formulation but truncates in DuckDB's //
+    # for negatives — the engines only agree on non-negative operands
+    # (acctbal floor is -999.99, so +100000 cents clears zero)
     p2 = L.block_candidates(
-        recs, ["seg", (F.col("bal_cents") - F.pmod("bal_cents", F.lit(1000))) / 1000],
+        recs,
+        ["seg", F.expr("(bal_cents + 100000) div 1000")],
         id_col="rid",
     )
     cand = p1.unionByName(p2).dropDuplicates(["a_rid", "b_rid"])
@@ -1680,3 +1690,100 @@ def q_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_real_wav_media_gated(docs, "id")
     energies = MM.wav_frame_energies(media, frame_samples=20)
     return MM.silence_segments(energies, threshold=0)
+
+
+# ---------------------------------------------------------------------------
+# Cluster topic cards: sign-LSH buckets over embeddings as
+# deterministic "clusters" (the SemDeDup bucket machinery), joined to
+# the documents' text, then per-cluster top-5 terms by integer lift
+# (cluster tf / corpus tf, scaled). The human-readable summary every
+# corpus-clustering pipeline ships — and fully SQL-replicable, unlike
+# k-means cards.
+# ---------------------------------------------------------------------------
+_CARD_PLANES = 4
+_CARD_TOPN = 5
+_CARD_MIN_CNT = 3
+
+
+def _sql_cluster_cards() -> str:
+    from thrill_spark.functions import similarity as S
+    from thrill_spark.plans.queries_llm import SQL_TOKS
+
+    planes = S.hyperplanes(64, _CARD_PLANES, seed=0)
+    bucket = " + ".join(
+        f"(CASE WHEN {_sql_dot('embedding', p)} > 0 THEN {1 << b} ELSE 0 END)"
+        for b, p in enumerate(planes)
+    )
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM embeddings),
+    tok AS (
+      SELECT s.bucket, unnest({SQL_TOKS}) AS term
+      FROM documents d JOIN sig s ON s.vec_id = d.doc_id),
+    ct AS (SELECT bucket, term, CAST(COUNT(*) AS BIGINT) AS term_cnt
+           FROM tok GROUP BY bucket, term),
+    corpus AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS corpus_cnt FROM tok GROUP BY term),
+    totals AS (SELECT bucket, CAST(SUM(term_cnt) AS BIGINT) AS cluster_total FROM ct GROUP BY bucket),
+    gt AS (SELECT CAST(COUNT(*) AS BIGINT) AS corpus_total FROM tok),
+    lift AS (
+      SELECT ct.bucket, ct.term, ct.term_cnt,
+             CAST(ct.term_cnt * corpus_total * 10000
+                  // (corpus.corpus_cnt * totals.cluster_total) AS BIGINT) AS lift_bp
+      FROM ct JOIN corpus USING (term)
+           JOIN totals USING (bucket) CROSS JOIN gt
+      WHERE ct.term_cnt >= {_CARD_MIN_CNT})
+    SELECT bucket, term, term_cnt, lift_bp,
+           CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+              ORDER BY lift_bp DESC, term_cnt DESC, term) AS rk FROM lift)
+    WHERE rk <= {_CARD_TOPN}
+    """
+
+
+@query("cluster_topic_cards", _sql_cluster_cards())
+def q_cluster_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from thrill_spark.functions import similarity as S
+    from thrill_spark.functions.text import tokens
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    sig = S.lsh_signature(emb, dim=64, n_planes=_CARD_PLANES, seed=0).select(
+        F.col("vec_id").alias("doc_id"), F.col("lsh_bucket").alias("bucket")
+    )
+    tok = docs.join(sig, "doc_id").select(
+        "bucket", F.explode(tokens("text")).alias("term")
+    )
+    from thrill_spark.ordering import _persist
+
+    tok = _persist(tok)
+    ct = tok.groupBy("bucket", "term").agg(F.count("*").cast("long").alias("term_cnt"))
+    ct = _persist(ct)
+    corpus = ct.groupBy("term").agg(F.sum("term_cnt").cast("long").alias("corpus_cnt"))
+    totals = ct.groupBy("bucket").agg(
+        F.sum("term_cnt").cast("long").alias("cluster_total")
+    )
+    gt = ct.agg(F.sum("term_cnt").cast("long").alias("corpus_total"))
+    lift = (
+        ct.filter(F.col("term_cnt") >= _CARD_MIN_CNT)
+        .join(corpus, "term")
+        .join(F.broadcast(totals), "bucket")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "bucket",
+            "term",
+            "term_cnt",
+            F.expr(
+                "term_cnt * corpus_total * 10000 div (corpus_cnt * cluster_total)"
+            ).cast("long").alias("lift_bp"),
+        )
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.desc("lift_bp"), F.desc("term_cnt"), F.asc("term")
+    )
+    return (
+        lift.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _CARD_TOPN)
+        .select("bucket", "term", "term_cnt", "lift_bp", "rank")
+    )

@@ -128,6 +128,22 @@ BUDGETS = {
     "ml_groupwise_ols": 1,
     "io_datasource_wordcount": 1,
     "fn_weighted_median": 1,
+    # round-4 additions (measured)
+    "dedup_cdc_chunks": 4,
+    "events_cms_frequency": 2,
+    "er_customer_linkage": 2,
+    "cluster_topic_cards": 2,
+    "corpus_sft_pairs": 1,
+    "text_loop_artifacts": 0,
+    "corpus_dsir_select": 2,
+    "fn_generators": 0,
+    "fn_variant_ops": 0,
+    "io_xml_roundtrip": 0,
+    # composes the PQ pipeline AND the brute-force baseline it is
+    # evaluated against (the similarity_overlap_at_k pattern)
+    "similarity_pq_ann": 6,
+    "events_stream_outer_join": 1,
+    "multimodal_silence_segments": 1,
 }
 
 

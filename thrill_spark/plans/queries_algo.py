@@ -665,3 +665,46 @@ def q_io_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("regionkey").cast("long"),
         F.col("name").cast("string"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITER round-trip: the custom thrill_lines source
+# (byte-range ReadLines parity) now also writes — per-task temp files
+# renamed into place on commit (two-phase, so failed/speculative
+# tasks never surface partial parts). Write documents through it,
+# read back through the byte-range reader.
+# ---------------------------------------------------------------------------
+@query(
+    "io_datasource_write_roundtrip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+)
+def q_io_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import shutil
+
+    from thrill_spark.sources import linesource
+
+    linesource.register(spark)
+    docs = load_table(spark, sf_dir, "documents").select(F.col("text").alias("line"))
+    out = os.path.join(tempfile.gettempdir(), "thrill_spark_ds_write")
+    shutil.rmtree(out, ignore_errors=True)
+    docs.write.format("thrill_lines").option("path", out).mode("append").save()
+    parts = sorted(_glob.glob(os.path.join(out, "part-*.txt")))
+    backs = [
+        spark.read.format("thrill_lines")
+        .option("path", p)
+        .option("n_splits", "4")
+        .load()
+        for p in parts
+    ]
+    from functools import reduce
+
+    back = reduce(lambda a, b: a.unionByName(b), backs)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("line")).alias("total_chars"),
+    )

@@ -82,6 +82,60 @@ class ByteRangeLinesDataSource(DataSource):
     def reader(self, schema):
         return ByteRangeLinesReader(self.options)
 
+    def writer(self, schema, overwrite):
+        return ByteRangeLinesWriter(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(ByteRangeLinesDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Writer half: WriteLines as a Python DataSource writer with the
+# two-phase commit the reference's sinks rely on the filesystem for
+# (write_lines.hpp): every task writes a uniquely-named temp file and
+# returns its name as the commit message; commit() atomically renames
+# the complete set into place, abort() removes strays — so a failed
+# or speculatively-duplicated task never leaves a partial part file
+# visible. format("thrill_lines").mode("append") with option `path`.
+# ---------------------------------------------------------------------------
+import uuid
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _PartFile(WriterCommitMessage):
+    def __init__(self, tmp: str, final: str):
+        self.tmp = tmp
+        self.final = final
+
+
+class ByteRangeLinesWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.col = options.get("col", "line")
+
+    def write(self, iterator):
+        os.makedirs(self.path, exist_ok=True)
+        token = uuid.uuid4().hex
+        tmp = os.path.join(self.path, f"._tmp-{token}")
+        n = 0
+        with open(tmp, "wb") as f:
+            for row in iterator:
+                f.write(str(row[self.col]).encode("utf-8"))
+                f.write(b"\n")
+                n += 1
+        final = os.path.join(self.path, f"part-{token}.txt")
+        return _PartFile(tmp, final)
+
+    def commit(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp):
+                os.replace(m.tmp, m.final)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp):
+                os.remove(m.tmp)
+
+

@@ -708,3 +708,219 @@ def q_io_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum(F.length("line")).alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Suffix-sorting family completion (examples/suffix_sorting/): BWT
+# (construct_bwt.hpp), run-length BWT (rl_bwt.cpp), and the LCP array
+# (construct_lcp.hpp) — all derived from the doc0 suffix array the
+# prefix-doubling query already ranks. LCP here is the direct
+# adjacent-suffix comparison (n small); at corpus scale you'd run a
+# distributed Kasai/Φ pass instead, same output contract.
+# ---------------------------------------------------------------------------
+def _doc0_ranked(spark: SparkSession, sf_dir: str):
+    """(pos, rank) for doc0 + the doc0 text as a 1-row broadcastable DF."""
+    doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
+    txt = doc.select(F.col("text").alias("_txt"))
+    chars = doc.select(
+        F.posexplode(F.split(F.col("text"), "")).alias("pos", "ch")
+    ).filter(F.col("ch") != "")
+    n = chars.count()
+    ranked = A.suffix_array(chars, n)
+    return ranked, chars, txt
+
+
+@query(
+    "suffix_bwt_doc0",
+    """
+    WITH p AS (SELECT text, unnest(generate_series(0, length(text)-1)) AS pos
+               FROM documents WHERE doc_id = 0),
+    r AS (SELECT pos, ROW_NUMBER() OVER (ORDER BY substr(text, pos+1)) - 1 AS rnk,
+                 text
+          FROM p)
+    SELECT CAST(rnk AS BIGINT) AS rank,
+           CASE WHEN pos = 0 THEN '$' ELSE substr(text, pos, 1) END AS bwt_ch
+    FROM r
+    """,
+)
+def q_suffix_bwt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows-Wheeler transform from the suffix array: bwt[r] is the
+    character PRECEDING the rank-r suffix ('$' for the full-string
+    suffix) — one join of the rank table against the shifted char
+    table, no text reassembly."""
+    ranked, chars, _ = _doc0_ranked(spark, sf_dir)
+    prev = chars.select((F.col("pos") + 1).alias("pos"), F.col("ch").alias("_prev"))
+    return (
+        ranked.join(prev, "pos", "left")
+        .select(
+            F.col("rank"),
+            F.coalesce(F.col("_prev"), F.lit("$")).alias("bwt_ch"),
+        )
+    )
+
+
+@query(
+    "suffix_rlbwt_doc0",
+    """
+    WITH p AS (SELECT text, unnest(generate_series(0, length(text)-1)) AS pos
+               FROM documents WHERE doc_id = 0),
+    r AS (SELECT pos, ROW_NUMBER() OVER (ORDER BY substr(text, pos+1)) - 1 AS rnk,
+                 text
+          FROM p),
+    b AS (SELECT rnk,
+                 CASE WHEN pos = 0 THEN '$' ELSE substr(text, pos, 1) END AS ch
+          FROM r),
+    g AS (SELECT rnk, ch,
+                 rnk - ROW_NUMBER() OVER (PARTITION BY ch ORDER BY rnk) AS grp
+          FROM b)
+    SELECT ch, CAST(MIN(rnk) AS BIGINT) AS run_start,
+           CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM g GROUP BY ch, grp
+    """,
+)
+def q_suffix_rlbwt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length BWT (rl_bwt.cpp): gaps-and-islands over the BWT
+    string — the compression step BWT exists for."""
+    from pyspark.sql import Window
+
+    ranked, chars, _ = _doc0_ranked(spark, sf_dir)
+    prev = chars.select((F.col("pos") + 1).alias("pos"), F.col("ch").alias("_prev"))
+    bwt = ranked.join(prev, "pos", "left").select(
+        "rank", F.coalesce(F.col("_prev"), F.lit("$")).alias("ch")
+    )
+    w = Window.partitionBy("ch").orderBy("rank")
+    g = bwt.withColumn("_grp", F.col("rank") - F.row_number().over(w))
+    return g.groupBy("ch", "_grp").agg(
+        F.min("rank").alias("run_start"),
+        F.count("*").cast("long").alias("run_len"),
+    ).drop("_grp")
+
+
+@query(
+    "suffix_lcp_doc0",
+    """
+    WITH p AS (SELECT text, unnest(generate_series(0, length(text)-1)) AS pos
+               FROM documents WHERE doc_id = 0),
+    r AS (SELECT pos, ROW_NUMBER() OVER (ORDER BY substr(text, pos+1)) - 1 AS rnk,
+                 text
+          FROM p),
+    adj AS (
+      SELECT rnk, text,
+             substr(text, LAG(pos) OVER (ORDER BY rnk) + 1) AS s_prev,
+             substr(text, pos + 1) AS s_cur
+      FROM r),
+    lcp AS (
+      SELECT rnk,
+             CASE WHEN s_prev IS NULL THEN 0
+                  ELSE coalesce(
+                    (SELECT MIN(i) - 1
+                     FROM unnest(generate_series(1,
+                            least(length(s_prev), length(s_cur)))) AS t(i)
+                     WHERE substr(s_prev, i, 1) <> substr(s_cur, i, 1)),
+                    least(length(s_prev), length(s_cur)))
+             END AS v
+      FROM adj)
+    SELECT CAST(rnk AS BIGINT) AS rank, CAST(v AS BIGINT) AS lcp
+    FROM lcp
+    """,
+)
+def q_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LCP array: lcp[r] = longest common prefix of the rank-r and
+    rank-(r-1) suffixes (0 at r=0). Adjacent pairing via a lag join on
+    rank; the prefix length is the first mismatch position over the
+    shorter suffix (zero-position trick, chained projections)."""
+    ranked, _, txt = _doc0_ranked(spark, sf_dir)
+    prev = ranked.select((F.col("rank") + 1).alias("rank"), F.col("pos").alias("_ppos"))
+    adj = (
+        ranked.join(prev, "rank", "left")
+        .crossJoin(F.broadcast(txt))
+        .select(
+            "rank",
+            F.when(
+                F.col("_ppos").isNotNull(),
+                F.col("_txt").substr(F.col("_ppos") + 1, F.length("_txt")),
+            ).alias("_sp"),
+            F.col("_txt").substr(F.col("pos") + 1, F.length("_txt")).alias("_sc"),
+        )
+    )
+    m = F.least(F.length("_sp"), F.length("_sc"))
+    adj = adj.withColumn(
+        "_mm",
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+                lambda i: F.when(
+                    F.col("_sp").substr(i, F.lit(1))
+                    != F.col("_sc").substr(i, F.lit(1)),
+                    i,
+                ).otherwise(0),
+            ),
+            lambda z: z > 0,
+        ),
+    )
+    return adj.select(
+        "rank",
+        F.when(F.col("_sp").isNull(), F.lit(0))
+        .otherwise(F.coalesce(F.array_min("_mm") - 1, m))
+        .cast("long")
+        .alias("lcp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wavelet tree construction (construct_wt.hpp / wavelet_tree.cpp):
+# symbols get dense 6-bit codes (alphabet <= 64 here); level l splits
+# each node by bit (5-l) of the code, and the per-(level, node) 0/1
+# bit counts ARE the rank structure the wavelet tree serves. Emitted
+# as counts per node per level — the distributed representation of
+# the reference's per-level bit vectors.
+# ---------------------------------------------------------------------------
+_WT_LEVELS = 6
+
+
+@query(
+    "suffix_wavelet_doc0",
+    f"""
+    WITH p AS (SELECT text, unnest(generate_series(0, length(text)-1)) AS pos
+               FROM documents WHERE doc_id = 0),
+    ch AS (SELECT substr(text, pos+1, 1) AS c FROM p),
+    alpha AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) - 1 AS code
+              FROM (SELECT DISTINCT c FROM ch)),
+    coded AS (SELECT code FROM ch JOIN alpha USING (c)),
+    lv AS (SELECT code, unnest(generate_series(0, {_WT_LEVELS - 1})) AS level
+           FROM coded)
+    SELECT CAST(level AS INT) AS level,
+           CAST(code // CAST(pow(2, {_WT_LEVELS} - level) AS BIGINT) AS BIGINT)
+             AS node,
+           CAST(COUNT(*) FILTER (WHERE (code // CAST(pow(2, {_WT_LEVELS - 1}
+                - level) AS BIGINT)) % 2 = 0) AS BIGINT) AS n0,
+           CAST(COUNT(*) FILTER (WHERE (code // CAST(pow(2, {_WT_LEVELS - 1}
+                - level) AS BIGINT)) % 2 = 1) AS BIGINT) AS n1
+    FROM lv GROUP BY level, node
+    """,
+)
+def q_suffix_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark import ordering as O
+
+    doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
+    chars = doc.select(
+        F.posexplode(F.split(F.col("text"), "")).alias("pos", "c")
+    ).filter(F.col("c") != "")
+    alpha = O.with_index(chars.select("c").distinct(), ["c"], name="code")
+    coded = chars.join(alpha, "c").select("code")
+    lv = coded.select(
+        "code",
+        F.explode(F.sequence(F.lit(0), F.lit(_WT_LEVELS - 1))).alias("level"),
+    )
+    node = F.expr(
+        "code div cast(pow(2, 6 - level) as bigint)"
+    )
+    bit = F.expr(
+        "code div cast(pow(2, 5 - level) as bigint)"
+    ) % 2
+    return lv.groupBy(
+        F.col("level").cast("int").alias("level"), node.cast("long").alias("node")
+    ).agg(
+        F.count_if(bit == 0).cast("long").alias("n0"),
+        F.count_if(bit == 1).cast("long").alias("n1"),
+    )

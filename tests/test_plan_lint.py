@@ -35,7 +35,7 @@ FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 # the scalar-merge pattern (one row per upstream task).
 # (HashAggregate prints "keys=[]", SortAggregate prints "key=[]")
 _SCALAR_MERGE_CHILD = re.compile(
-    r"^[\s:+|-]*(Hash|Sort|ObjectHash)?Aggregate\(keys?=\[\],"
+    r"^[\s:+|-]*(\*\(\d+\)\s*)?(Hash|Sort|ObjectHash)?Aggregate\(keys?=\[\],"
     r" functions=\[(partial_|merge_)"
 )
 

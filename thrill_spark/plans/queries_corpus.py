@@ -375,3 +375,142 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("_n"), F.lit(0)) > 0).alias("flagged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level decontamination (Lee et al. 2022 shape): winnowing
+# fingerprints (rolling-min over shingle hashes) intersected between
+# the train split and the benchmark split — catches long verbatim
+# spans that 3-gram COUNT overlap underweights. A train doc is
+# contaminated when it shares >= _SUBDECON_MIN fingerprints with any
+# benchmark doc. Fingerprint selection is deterministic (md5 shingle
+# hashes), so the whole pipeline replays in SQL.
+# ---------------------------------------------------------------------------
+_SUBDECON_BENCH_N = 20
+_SUBDECON_MIN = 3
+
+
+def _sql_subdecon() -> str:
+    from thrill_spark.plans.queries_llm import SQL_TOKS
+
+    fp = f"""
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 generate_series(0, greatest(len(hs)-4, 0)),
+                 i -> list_min(hs[i+1:i+4])))) AS fp
+      FROM (SELECT doc_id,
+                   list_transform(
+                       list_transform(generate_series(0, greatest(len(toks)-2, 1)-1),
+                                      i -> array_to_string(toks[i+1:i+3], ' ')),
+                       g -> CAST('0x' || substr(md5(g),1,15) AS BIGINT)) AS hs
+            FROM (SELECT doc_id, {SQL_TOKS} AS toks FROM documents))
+    """
+    return f"""
+    WITH fps AS ({fp}),
+    bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id < {_SUBDECON_BENCH_N}),
+    train AS (SELECT doc_id, fp FROM fps WHERE doc_id >= {_SUBDECON_BENCH_N}),
+    hits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM (SELECT DISTINCT doc_id, fp FROM train) t
+      SEMI JOIN bench USING (fp)
+      GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(n_shared, 0) AS n_shared,
+           coalesce(n_shared, 0) >= {_SUBDECON_MIN} AS contaminated
+    FROM (SELECT DISTINCT doc_id FROM train) t
+    LEFT JOIN hits USING (doc_id)
+    """
+
+
+@query("corpus_decontaminate_substring", _sql_subdecon())
+def q_decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark.functions.dedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(
+        docs, "text", "doc_id", shingle_words=3, window=4
+    ).select("doc_id", F.explode("fp").alias("fp"))
+    bench = (
+        fps.filter(F.col("doc_id") < _SUBDECON_BENCH_N).select("fp").distinct()
+    )
+    train = fps.filter(F.col("doc_id") >= _SUBDECON_BENCH_N).distinct()
+    hits = (
+        train.join(bench, "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    base = train.select("doc_id").distinct()
+    return (
+        base.join(hits, "doc_id", "left")
+        .fillna({"n_shared": 0})
+        .select(
+            "doc_id",
+            "n_shared",
+            (F.col("n_shared") >= _SUBDECON_MIN).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder (Hamilton) quota apportionment: turn a target
+# sample size into EXACT integer per-domain quotas proportional to
+# corpus shares — floor(share*N) for everyone plus one extra for the
+# largest remainders until the total hits N exactly. The integer
+# apportionment every mixing pipeline needs before quota_interleave;
+# wholly SQL-replicable (window rank over remainders).
+# ---------------------------------------------------------------------------
+_APPORTION_N = 137  # deliberately awkward so remainders matter
+
+
+@query(
+    "corpus_quota_apportionment",
+    f"""
+    WITH cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM cnt),
+    base AS (
+      SELECT source, n_docs,
+             CAST(n_docs * {_APPORTION_N} // total AS BIGINT) AS floor_q,
+             CAST(n_docs * {_APPORTION_N} % total AS BIGINT) AS rem
+      FROM cnt CROSS JOIN tot),
+    short AS (SELECT CAST({_APPORTION_N} - SUM(floor_q) AS BIGINT) AS k FROM base),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      FROM base)
+    SELECT source, n_docs, floor_q,
+           CAST(floor_q + CASE WHEN rk <= k THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM ranked CROSS JOIN short
+    """,
+)
+def q_quota_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    tot = cnt.agg(F.sum("n_docs").cast("long").alias("total"))
+    base = cnt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total",
+        F.expr(f"n_docs * {_APPORTION_N} div total").cast("long").alias("floor_q"),
+        F.expr(f"n_docs * {_APPORTION_N} % total").cast("long").alias("rem"),
+    )
+    short = base.agg(
+        (F.lit(_APPORTION_N) - F.sum("floor_q")).cast("long").alias("k")
+    )
+    # remainder rank via the distributed with_index discipline, not a
+    # global Window.orderBy — the domain table is small HERE, but a
+    # 100k-domain mix must not funnel through one partition
+    from thrill_spark import ordering as O
+
+    base = base.withColumn("_negrem", F.col("total") - F.col("rem"))
+    ranked = O.with_index(base, ["_negrem", "source"], name="_rk0").withColumn(
+        "rk", F.col("_rk0") + 1
+    )
+    return ranked.crossJoin(F.broadcast(short)).select(
+        "source",
+        "n_docs",
+        "floor_q",
+        (F.col("floor_q") + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0))
+        .cast("long")
+        .alias("quota"),
+    )

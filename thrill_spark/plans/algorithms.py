@@ -343,39 +343,51 @@ def _cc_star(edges: DataFrame, a: str, b: str, max_iters: int) -> DataFrame:
     )
 
 
-def suffix_array(chars: DataFrame, n: int, pos: str = "pos") -> DataFrame:
-    """Suffix sorting by prefix doubling (reference example listing,
-    SURVEY §2.13 — DC3/prefix-doubling, a heavy Zip/Sort/Merge user in
-    Thrill; here a heavy with_index/join user).
+def suffix_array(
+    chars: DataFrame, n: int, pos: str = "pos", step: int = 2
+) -> DataFrame:
+    """Suffix sorting by prefix doubling — or prefix QUADRUPLING with
+    step=4 (the reference ships both: prefix_doubling.cpp and
+    prefix_quadrupling.cpp; quadrupling trades wider per-round tuples
+    for half the rounds, the right trade when round setup dominates).
 
     chars: (pos, ch) one row per character, pos in [0, n).
     Returns (pos, rank): rank of suffix starting at pos in the sorted
     suffix order, dense in [0, n).
 
-    Each doubling round: self-join at offset k (a Zip-with-shift),
-    re-rank pairs via the distributed with_index discipline, stop when
-    all ranks are distinct — O(log n) rounds, every step a
+    Each round: self-joins at offsets k..(step-1)k (Zip-with-shift),
+    re-rank tuples via the distributed with_index discipline, stop
+    when all ranks are distinct — O(log_step n) rounds, every step a
     shuffle-bounded DataFrame op (no driver-side strings), which is
     what makes this viable for distributed corpora, not just one doc."""
     from thrill_spark import ordering as O
 
+    if step < 2:
+        raise ValueError("step must be >= 2")
     alpha = chars.select("ch").distinct()
     alpha_ranked = O.with_index(alpha, ["ch"], name="r")
     ranks = chars.join(alpha_ranked, on="ch").select(pos, "r").localCheckpoint()
     k = 1
+    rcols = [f"r{j}" for j in range(2, step + 1)]
     while True:
-        shifted = ranks.select((F.col(pos) - k).alias(pos), F.col("r").alias("r2"))
-        paired = ranks.join(shifted, on=pos, how="left").fillna({"r2": -1})
-        idx = O.with_index(paired, [F.col("r"), F.col("r2"), F.col(pos)])
-        grp = idx.groupBy("r", "r2").agg(F.min(O.IDX).alias("nr"))
+        paired = ranks
+        for j, rc in enumerate(rcols, start=1):
+            shifted = ranks.select(
+                (F.col(pos) - j * k).alias(pos), F.col("r").alias(rc)
+            )
+            paired = paired.join(shifted, on=pos, how="left")
+        paired = paired.fillna({rc: -1 for rc in rcols})
+        key = [F.col("r"), *[F.col(rc) for rc in rcols]]
+        idx = O.with_index(paired, [*key, F.col(pos)])
+        grp = idx.groupBy("r", *rcols).agg(F.min(O.IDX).alias("nr"))
         ranks = (
-            idx.join(grp, on=["r", "r2"])
+            idx.join(grp, on=["r", *rcols])
             .select(pos, F.col("nr").alias("r"))
             .localCheckpoint()
         )
         if grp.count() >= n:
             break
-        k *= 2
+        k *= step
     return ranks.select(F.col(pos), F.col("r").cast("long").alias("rank"))
 
 

@@ -924,3 +924,23 @@ def q_suffix_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(bit == 0).cast("long").alias("n0"),
         F.count_if(bit == 1).cast("long").alias("n1"),
     )
+
+
+# Prefix QUADRUPLING (prefix_quadrupling.cpp): same output contract as
+# suffix_array_doc0, half the rounds with 4-wide rank tuples.
+@query(
+    "suffix_array_quadrupling_doc0",
+    """
+    SELECT pos,
+           CAST(ROW_NUMBER() OVER (ORDER BY substr(text, pos+1)) - 1 AS BIGINT) AS rank
+    FROM (SELECT text, unnest(generate_series(0, length(text)-1)) AS pos
+          FROM documents WHERE doc_id = 0)
+    """,
+)
+def q_suffix_array_quad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
+    chars = doc.select(
+        F.posexplode(F.split(F.col("text"), "")).alias("pos", "ch")
+    ).filter(F.col("ch") != "")
+    n = chars.count()
+    return A.suffix_array(chars, n, step=4)

@@ -1787,3 +1787,52 @@ def q_cluster_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _CARD_TOPN)
         .select("bucket", "term", "term_cnt", "lift_bp", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed activity counters: each event contributes
+# 2^20 >> hours_ago (integer halving per hour, capped at 20h) to its
+# user's score — the exponential-decay counter every freshness-aware
+# ranking keeps, in exact integer arithmetic both engines reproduce.
+# ---------------------------------------------------------------------------
+@query(
+    "events_decay_counters",
+    """
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+    h AS (
+      SELECT user_id,
+             least((CAST(floor(epoch(max_ts)) AS BIGINT)
+                    - CAST(floor(epoch(ts)) AS BIGINT)) // 3600, 20) AS hrs
+      FROM events CROSS JOIN mx)
+    SELECT user_id,
+           CAST(SUM(1048576 // CAST(pow(2, hrs) AS BIGINT)) AS BIGINT)
+             AS decay_score,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM h GROUP BY user_id
+    """,
+)
+def q_decay_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("_max_ts"))
+    h = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.least(
+            (
+                (F.unix_timestamp("_max_ts") - F.unix_timestamp("ts"))
+                - F.pmod(
+                    F.unix_timestamp("_max_ts") - F.unix_timestamp("ts"),
+                    F.lit(3600),
+                )
+            )
+            / 3600,
+            F.lit(20),
+        )
+        .cast("long")
+        .alias("hrs"),
+    )
+    return h.groupBy("user_id").agg(
+        F.sum(F.expr("1048576 div cast(pow(2, hrs) as bigint)"))
+        .cast("long")
+        .alias("decay_score"),
+        F.count("*").cast("long").alias("n_events"),
+    )

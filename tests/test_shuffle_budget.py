@@ -144,6 +144,14 @@ BUDGETS = {
     "similarity_pq_ann": 6,
     "events_stream_outer_join": 1,
     "multimodal_silence_segments": 1,
+    "suffix_bwt_doc0": 0,
+    "suffix_rlbwt_doc0": 1,
+    "suffix_lcp_doc0": 0,
+    "suffix_wavelet_doc0": 2,
+    "corpus_decontaminate_substring": 4,
+    "corpus_quota_apportionment": 1,
+    "events_decay_counters": 2,
+    "io_datasource_write_roundtrip": 1,
 }
 
 

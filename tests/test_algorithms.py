@@ -174,3 +174,19 @@ def test_suffix_array_dc3_matches_bruteforce(spark):
     assert out == truth
     O.release_persisted()
     spark.catalog.clearCache()
+
+
+def test_scc_known_graph(spark):
+    """SCC coloring on a hand-built graph: two 3-cycles joined by a
+    one-way bridge plus a sink singleton."""
+    from thrill_spark.plans.algorithms import strongly_connected_components
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (6, 7)],
+        "src long, dst long",
+    )
+    out = sorted(
+        (r["node"], r["scc_id"])
+        for r in strongly_connected_components(e).collect()
+    )
+    assert out == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4), (7, 7)]

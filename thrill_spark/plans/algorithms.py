@@ -759,3 +759,149 @@ def suffix_array_dc3(
     )
     out = _dc3_rec(spark, s, n, base_threshold)
     return out.select(F.col("pos").alias(pos), F.col("r").cast("long").alias("rank"))
+
+
+_FIXPOINT_BOUNCE_EVERY = 6
+
+
+def _stats_bounce(df: DataFrame, tag: str) -> DataFrame:
+    """Write/read through parquet to RESET Catalyst's sizeInBytes
+    estimate to the true file size. localCheckpoint truncates lineage
+    but KEEPS the compounded stats of the plan it checkpointed; in a
+    self-join fixpoint the estimate multiplies ~3x per round, the
+    BigInt doubles its bit-length every round, and by round ~16-20
+    InjectRuntimeFilter's canBroadcastBySize spends the whole round
+    multiplying astronomically-wide integers (observed: 0.4s rounds
+    doubling to minutes; jstack pins BigInteger.multiply under
+    SizeInBytesOnlyStatsPlanVisitor). Alternating directories so the
+    round that reads dir A has fully materialized before dir A is
+    overwritten two bounces later."""
+    import os
+    import tempfile
+
+    spark = df.sparkSession
+    p = os.path.join(
+        tempfile.gettempdir(), "thrill_spark_fixpoint", f"{tag}"
+    )
+    df.write.mode("overwrite").parquet(p)
+    return spark.read.parquet(p)
+
+
+def _min_label_fixpoint(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 64
+) -> DataFrame:
+    """Min-label propagation with POINTER DOUBLING: each round takes
+    the min over (self, in-neighbors' labels, label-of-label), so a
+    label crosses distance 2^r paths after r rounds — O(log diameter)
+    rounds instead of O(diameter) (the one-edge-per-round version
+    silently truncates on long rings). nodes: (node); edges: (u, v)
+    meaning u's label flows to v. Returns (node, c) = min id with a
+    path to node. Every _FIXPOINT_BOUNCE_EVERY rounds the frame
+    bounces through parquet (see _stats_bounce — exponential stats
+    compounding otherwise stalls long fixpoints)."""
+    import uuid as _uuid
+
+    run = _uuid.uuid4().hex[:8]
+    color = nodes.select("node", F.col("node").alias("c")).localCheckpoint()
+    for _round in range(max_rounds):
+        via_edge = color.join(edges, color["node"] == edges["u"]).select(
+            F.col("v").alias("node"), F.col("c")
+        )
+        via_double = (
+            color.select("node", F.col("c").alias("_mid"))
+            .join(
+                color.select(F.col("node").alias("_mid"), F.col("c").alias("c")),
+                "_mid",
+            )
+            .select("node", "c")
+        )
+        nxt = (
+            color.unionByName(via_edge)
+            .unionByName(via_double)
+            .groupBy("node")
+            .agg(F.min("c").alias("c"))
+            .localCheckpoint()
+        )
+        stable = (
+            nxt.select("node", F.col("c").alias("_cn"))
+            .join(color.select("node", F.col("c").alias("_co")), "node")
+            .filter(F.col("_cn") != F.col("_co"))
+            .limit(1)
+            .isEmpty()
+        )
+        color = nxt
+        if stable:
+            return color
+        if (_round + 1) % _FIXPOINT_BOUNCE_EVERY == 0:
+            color = _stats_bounce(color, f"{run}_{(_round // _FIXPOINT_BOUNCE_EVERY) % 2}")
+    raise RuntimeError("min-label propagation did not converge")
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Strongly connected components by iterative coloring (the
+    FW-BW/coloring family used by distributed graph engines):
+
+    Each round: (1) forward min-label fixpoint — every node gets the
+    smallest id that can REACH it (its color; the color root c is the
+    minimum member of its class and reaches the whole class); (2) a
+    backward min-label fixpoint over REVERSED same-color edges —
+    bcolor(v) is the smallest same-class id v can reach, so
+    bcolor(v) == c exactly when v reaches its root: those nodes are
+    SCC(c); (3) peel them, repeat on the remainder. Both fixpoints
+    use pointer doubling (O(log diameter) rounds); the driver only
+    checks convergence. Worst case O(#SCCs) peel rounds, but every
+    color-root SCC peels per round — heavy-tailed graphs finish fast.
+
+    Returns (node, scc_id) with scc_id = min member id.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    out = spark.createDataFrame([], "node long, scc_id long")
+    for _ in range(max_rounds):
+        if nodes.isEmpty():
+            return out
+        color = _min_label_fixpoint(nodes, e)
+        # same-color edge set, REVERSED for the backward fixpoint
+        ec = (
+            e.join(color.withColumnRenamed("node", "u"), "u")
+            .withColumnRenamed("c", "cu")
+            .join(
+                color.select(F.col("node").alias("v"), F.col("c").alias("cv")),
+                "v",
+            )
+            .filter(F.col("cu") == F.col("cv"))
+            .select(F.col("v").alias("u"), F.col("u").alias("v"))
+            .localCheckpoint()
+        )
+        bcolor = _min_label_fixpoint(nodes, ec)
+        scc = (
+            color.join(
+                bcolor.select("node", F.col("c").alias("_bc")), "node"
+            )
+            .filter(F.col("c") == F.col("_bc"))
+            .select("node", F.col("c").alias("scc_id"))
+        )
+        out = out.unionByName(scc).localCheckpoint()
+        nodes = nodes.join(scc, "node", "left_anti").localCheckpoint()
+        e = (
+            e.join(scc.select(F.col("node").alias("u")), "u", "left_anti")
+            .join(scc.select(F.col("node").alias("v")), "v", "left_anti")
+            .localCheckpoint()
+        )
+    raise RuntimeError(f"SCC did not converge in {max_rounds} rounds")

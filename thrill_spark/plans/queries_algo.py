@@ -944,3 +944,55 @@ def q_suffix_array_quad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("ch") != "")
     n = chars.count()
     return A.suffix_array(chars, n, step=4)
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components (iterative FW-BW coloring) on a
+# deterministic directed graph derived from orders: 12 rings of 10
+# nodes (block-internal successor cycles) plus one-way even->odd
+# block links — 12 size-10 SCCs the one-way links must NOT merge,
+# structured so half the SCCs are color roots each round (2 peel
+# rounds, exercising BOTH the multi-class peel and the re-color on
+# the remainder). Oracle:
+# full reachability closure by recursive CTE, scc_id = min mutual-
+# reach partner (the definition itself, not the algorithm).
+# ---------------------------------------------------------------------------
+@query(
+    "graph_scc",
+    """
+    WITH RECURSIVE n AS (
+      SELECT DISTINCT o_orderkey % 120 AS u FROM orders),
+    e AS (
+      SELECT u, (u - u % 10) + (u + 1) % 10 AS v FROM n
+      UNION
+      SELECT u, u + 17 FROM n WHERE u % 10 = 0 AND (u // 10) % 2 = 0),
+    reach(a, b) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b),
+    mutual AS (
+      SELECT r1.a AS v, r1.b AS w
+      FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+    scc AS (
+      SELECT n.u AS node,
+             least(n.u, coalesce(MIN(m.w), n.u)) AS scc_id
+      FROM n LEFT JOIN mutual m ON m.v = n.u
+      GROUP BY n.u)
+    SELECT CAST(node AS BIGINT) AS node, CAST(scc_id AS BIGINT) AS scc_id
+    FROM scc
+    """,
+)
+def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    n = o.select((F.col("o_orderkey") % 120).alias("u")).distinct()
+    ring = n.select(
+        "u",
+        ((F.col("u") - F.col("u") % 10) + (F.col("u") + 1) % 10).alias("v"),
+    )
+    cross = n.filter(
+        (F.col("u") % 10 == 0) & (F.expr("(u div 10) % 2") == 0)
+    ).select("u", (F.col("u") + 17).alias("v"))
+    edges = ring.unionByName(cross).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    return A.strongly_connected_components(edges)

@@ -19,102 +19,106 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from thrill_spark.plans.queries import ORACLES, QUERIES  # noqa: E402
 
 # The driver's correctness gate checks the FIRST 50 registry entries.
-# Round-4 rotation (per VERDICT r3 "Next round" #1-#3): the full
-# 22-query TPC-H suite (the reference's own acceptance workload,
-# examples/tpch/tpch_run.cpp:175-255) + the 2 round-3 reds (now
-# array-free) + the 14 never-windowed fn_* families + the 4
-# never-windowed §2.13 examples + the 4 events batch queries whose
-# last official record is r2's catalog-regression FAIL.
-_NEVER_DRIVER_VERIFIED = [
-    # Fixed round-3 reds (arrays now serialized on both engines)
-    "fn_collect_aggs",
-    "doc_fingerprint_winnow",
-    # Full TPC-H suite — never inside a driver window before
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_shipments",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_part_supplier_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_excess_stock_suppliers",
-    "tpch_q21_waiting_orders",
-    "tpch_q22_global_sales_opportunity",
-    # Remaining fn_* families never in a window (array outputs audited
-    # repo-wide: all oracle queries are scalar-typed as of r4)
-    "fn_array_ops",
-    "fn_array_sort_comparator",
-    "fn_bitwise_hash_ops",
-    "fn_datetime_ops",
-    "fn_higher_order_array",
-    "fn_json_shred_nested",
-    "fn_map_higher_order",
-    "fn_percentiles_exact",
-    "fn_ranking_windows",
-    "fn_stats_exact",
-    "fn_string_distance",
-    "fn_string_ops",
-    "fn_weighted_median",
-    "fn_window_frames",
-    # §2.13 examples never in a window
-    "kth_statistic",
-    "triangle_count",
-    "bfs_distances",
-    "logreg_sgd_planted",
-    # events batch family: last driver record is r2's FAIL (the
-    # TIMESTAMP(NANOS) catalog regression, fixed in r3) — supersede it
-    "events_tumbling_hourly",
-    "events_sliding_1h_30m",
-    "events_sessionize",
-    "events_json_props",
+# Round-5 rotation (per VERDICT r4 "Next round" #1): 50 first-time
+# names — the 7 r4-built-but-never-windowed queries at the head, then
+# the events-analytics family, the streaming jobs, and the
+# corpus/curation/dedup never-verified set. Every name already has the
+# identical local differential green at sf0.001 + sf0.01 + sf0.1
+# (tests/test_oracle_queries.py + tools/validate_sf.py).
+_R5_WINDOW = [
+    # r4-built, never windowed
+    "similarity_pq_ann",
+    "events_cms_frequency",
+    "er_customer_linkage",
+    "events_stream_outer_join",
+    "multimodal_silence_segments",
+    "fn_generators",
+    "corpus_dsir_select",
+    # events analytics (batch)
+    "events_sliding_distinct_users",
+    "events_sessionize_capped",
+    "events_session_window_builtin",
+    "events_hll_mergeable",
+    "events_gap_fill",
+    "events_attribution_last_touch",
+    "events_attribution_first_touch",
+    "events_attribution_linear",
+    "events_rolling_hour_counts",
+    "events_user_retention",
+    "events_kmv_sketch",
+    "events_burst_detection",
+    "events_funnel_view_click_purchase",
+    "events_funnel_in_session",
+    "events_top_types_per_hour",
+    "events_decay_counters",
+    "events_anomaly_mad",
+    "events_histogram_quantile",
+    "events_time_weighted_avg",
+    "events_conversion_latency",
+    "events_incremental_rollup",
+    "events_gaps_and_islands",
+    "events_markov_transitions",
+    "events_seasonality_profile",
+    "events_ab_experiment",
+    "events_watermark_lateness",
+    # streaming jobs (stream ≡ batch oracles)
+    "events_stream_sessionize",
+    "events_stream_upsert",
+    "events_stream_restart_exactly_once",
+    "events_stream_enrich",
+    # corpus / curation / dedup never-verified
+    "dedup_pipeline_survivors",
+    "dedup_ngram_cover",
+    "dedup_simhash_hamming",
+    "dedup_fuzzy_levenshtein",
+    "dedup_cluster_histogram",
+    "corpus_epoch_shuffles",
+    "corpus_pack_greedy",
+    "corpus_temperature_mix",
+    "corpus_span_corruption",
+    "corpus_dataset_card",
+    "corpus_decontaminate_substring",
+    "corpus_quota_apportionment",
+    "text_gopher_gate",
 ]
 
-# Tail: round-4 additions (driver-verify new work first). The other
-# r4 additions (similarity_pq_ann, events_cms_frequency,
-# er_customer_linkage, events_stream_outer_join,
-# multimodal_silence_segments, fn_generators, corpus_dsir_select)
-# queue at the head of the r5 window below.
-_WINDOW_TAIL = [
-    "io_lines_sized_roundtrip",
-    "io_bz2_lines_roundtrip",
-    "suffix_array_dc3",
-    "dedup_cdc_chunks",
-]
-
-# r5/r6 rotation plan (VERDICT #4 — every registry query gets a driver
-# row within two more rounds). r5 window (~50): the events analytics
-# family (events_sliding_distinct_users, events_sessionize_capped,
-# events_session_window_builtin, events_hll_mergeable, events_gap_fill,
-# events_attribution_last_touch / _first_touch, events_rolling_hour_counts,
-# events_user_retention, events_kmv_sketch, events_burst_detection,
-# events_funnel_steps, events_stream_sessionize / _upsert /
-# _restart_exactly_once / _enrich, ...) + corpus/curation never-verified
-# (corpus_epoch_shuffle, corpus_pack_sequences, corpus_temperature_mix,
-# corpus_span_corruption, corpus_dataset_card, dedup_pipeline_survivors,
-# dedup_ngram_cover, dedup_simhash_*, dedup_hamming_ball,
-# dedup_cluster_histogram, dedup_fuzzy_levenshtein, text_bigram_lm,
-# text_gopher_gate, text_lexical_diversity, ...). r6 window (~50):
-# graph/ml (ml_pca_power_iteration, ml_quantile_binning,
-# ml_feature_hashing, label_propagation, k_core, sssp, connected
-# components shapes), layout (layout_zorder_stats, layout_hilbert_stats),
-# io extras (io_python_datasource_lines, io_datasource_wordcount,
-# compact_files path), profile/skew family, merge_upsert_orders,
-# scd2_orders_status, interval_join_promotions, salted joins, plus any
-# r5/r6 additions. All already have the identical local differential at
-# sf0.001 + sf0.01 (tests/test_oracle_queries.py + tools/validate_sf.py).
-_DRIVER_WINDOW_PRIORITY = (_NEVER_DRIVER_VERIFIED + _WINDOW_TAIL)[:50]
+# r6 window plan (swap in at round-6 start; ~85 never-verified remain
+# after r5, so r6 takes 50 and r7 closes the tail). r6 (~50):
+# graph/ml (graph_scc, graph_label_propagation, graph_link_prediction,
+# graph_degree_distribution, k_core_orders, sssp_weighted_dag,
+# ml_pca_power_iteration, ml_quantile_binning, ml_feature_hashing,
+# ml_negative_sampling, ml_embedding_quantize, ml_random_projection,
+# ml_groupwise_ols, ml_eval_confusion, ml_feature_label_covariance),
+# suffix family tail (suffix_bwt_doc0, suffix_rlbwt_doc0,
+# suffix_lcp_doc0, suffix_wavelet_doc0, suffix_array_quadrupling_doc0),
+# joins (asof_join_purchase_click, asof_join_next_click,
+# range_join_price_bands, interval_join_promotions,
+# salted_join_lineitem_supplier, salted_agg_events,
+# merge_upsert_orders, scd2_orders_status), io extras
+# (io_xml_roundtrip, io_datasource_write_roundtrip,
+# io_python_datasource_lines, io_datasource_wordcount,
+# io_compact_small_files, io_manifest_roundtrip, io_schema_evolution,
+# io_snapshot_diff, io_csv_corrupt_records,
+# io_dynamic_partition_pruning), layout (layout_zorder_stats,
+# layout_hilbert_stats), profile (profile_orders, profile_key_skew,
+# profile_join_cardinality, profile_data_quality,
+# profile_source_drift), multimodal (multimodal_real_png_decode,
+# multimodal_real_resize, multimodal_real_wav_decode,
+# multimodal_phash_dedup, multimodal_wav_frame_energy). r7 tail:
+# remaining corpus/text/dedup/events (corpus_split_assign,
+# corpus_stratified_sample, corpus_shuffle_index, corpus_weighted_sample,
+# corpus_token_budget, corpus_leakage_check, corpus_chunk_dedup_pack,
+# corpus_length_buckets, corpus_dedup_by_source, corpus_sft_pairs,
+# corpus_curation_full, corpus_vocab_growth, text_repetition_scores,
+# text_loop_artifacts, text_url_canonicalize, text_bigram_lm,
+# text_lexical_diversity, text_compression_ratio,
+# text_keyword_extraction, dedup_cluster_assign, dedup_embedding_cosine,
+# dedup_semantic_keep, dedup_quality_survivors, dedup_threshold_sweep,
+# similarity_rp_ann, similarity_overlap_at_k, fn_variant_ops,
+# cluster_topic_cards, basket_frequent_pairs, skyline_price_quantity,
+# customer_rfm_segments, customer_cohort_ltv, part_abc_analysis,
+# nation_revenue_yoy, orders_backlog_daily) plus any r5/r6 additions.
+_DRIVER_WINDOW_PRIORITY = _R5_WINDOW[:50]
 assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
 
 

@@ -33,6 +33,50 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# --- expanded fixed-dimension kernels -------------------------------------
+# F.aggregate / zip_with / transform are interpreted per element (no
+# whole-stage codegen) — ~100x slower on wide-vector hot paths. For a
+# statically-known dim we expand to plain arithmetic with the SAME
+# left-fold order (bit-identical results). The expansion is emitted as
+# ONE SQL string through F.expr: building the same tree per-term with
+# Column operators costs thousands of Py4J round-trips (~10 s of
+# driver time per query build at dim 64).
+
+
+def _lit_sql(x: float) -> str:
+    """Exact double literal for Spark SQL text (repr round-trips)."""
+    return f"{float(x)!r}D"
+
+
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    """Left-fold dot product of two array columns, expanded."""
+    terms = "".join(
+        f" + (cast(element_at({a}, {i}) as double)"
+        f" * cast(element_at({b}, {i}) as double))"
+        for i in range(1, dim + 1)
+    )
+    return f"(0.0D{terms})"
+
+
+def _norm_sql(a: str, dim: int) -> str:
+    terms = "".join(
+        f" + (cast(element_at({a}, {i}) as double)"
+        f" * cast(element_at({a}, {i}) as double))"
+        for i in range(1, dim + 1)
+    )
+    return f"sqrt(0.0D{terms})"
+
+
+def _cosine_sql(a: str, b: str, dim: int) -> str:
+    return f"({_dot_sql(a, b, dim)} / ({_norm_sql(a, dim)} * {_norm_sql(b, dim)}))"
+
+
+def cosine_fixed(a: str, b: str, dim: int) -> Column:
+    """cosine() for a statically-known dimension over two named array
+    columns — bit-identical values, whole-stage-codegen execution."""
+    return F.expr(_cosine_sql(a, b, dim))
+
+
 def cosine_topk_for_query(
     df: DataFrame,
     query_vec: list[float],
@@ -287,40 +331,51 @@ def cosine_near_dup_pairs(
     )
 
 
+def _train_sample(df: DataFrame, vec_col: str, id_col: str, cap: int):
+    """Bounded deterministic training sample: the `cap` lowest-id
+    vectors, collected as a cap x dim float64 matrix. Sort+limit plans
+    as TakeOrderedAndProject — one pass, no full shuffle — and the
+    driver holds at most cap*dim doubles regardless of corpus size.
+    Quantizer training on a fixed-size sample is the standard ANN
+    discipline (FAISS trains IVF/PQ on ~10-100k sampled vectors); the
+    distributed passes are encode and search only."""
+    import numpy as np
+
+    rows = (
+        df.orderBy(id_col).limit(cap).select(F.col(vec_col).alias("_v")).collect()
+    )
+    return np.asarray([[float(x) for x in r["_v"]] for r in rows], dtype=np.float64)
+
+
 def ivf_centroids(df: DataFrame, n_cells: int, vec_col: str = "embedding",
-                  id_col: str = "vec_id", iters: int = 2) -> DataFrame:
+                  id_col: str = "vec_id", iters: int = 2,
+                  sample_cap: int = 16384) -> DataFrame:
     """Trained coarse quantizer: spherical k-means with deterministic
-    lowest-id initialization and `iters` distributed Lloyd rounds
-    (examples/k-means/k-means.hpp loop shape: classify JVM-side against
-    broadcast literal centroids, re-center via one groupBy per round).
-    The driver only ever holds the k x dim codebook; iters=0 degrades
-    to the old ids-as-codebook stand-in."""
-    init = df.orderBy(id_col).limit(n_cells).select(F.col(vec_col).alias("c")).collect()
-    cents = [[float(x) for x in r["c"]] for r in init]
-    dim = len(cents[0])
+    lowest-id initialization and `iters` Lloyd rounds over a bounded
+    driver-side sample (see _train_sample; examples/k-means/k-means.hpp
+    is the loop shape — classify against current centroids, re-center
+    by mean). Assignment = argmax cosine, ties to the lowest cell id;
+    empty cells keep their previous centroid. Returns the k x dim
+    codebook as a (cell_id, centroid) DataFrame."""
+    import numpy as np
+
+    X = _train_sample(df, vec_col, id_col, sample_cap)
+    cents = X[: min(n_cells, len(X))].copy()
+    xn = np.linalg.norm(X, axis=1)
+    xn[xn == 0.0] = 1.0
+    Xn = X / xn[:, None]
     for _ in range(iters):
-        best = None
-        for ci, c in enumerate(cents):
-            arr = F.array(*[F.lit(x) for x in c])
-            cn = sum(x * x for x in c) ** 0.5 or 1.0
-            sim = dot(F.col(vec_col), arr) / (norm(F.col(vec_col)) * F.lit(cn))
-            cand = F.struct((-sim).alias("d"), F.lit(ci).alias("c"))
-            best = cand if best is None else F.least(best, cand)
-        assigned = df.select(F.col(vec_col), best["c"].alias("_cell"))
-        sums = assigned.groupBy("_cell").agg(
-            *[
-                F.sum(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"s{i}")
-                for i in range(dim)
-            ],
-            F.count("*").alias("n"),
-        )
-        rows = {r["_cell"]: r for r in sums.collect()}
-        cents = [
-            [rows[ci][f"s{i}"] / rows[ci]["n"] for i in range(dim)] if ci in rows else cents[ci]
-            for ci in range(n_cells)
-        ]
+        cn = np.linalg.norm(cents, axis=1)
+        cn[cn == 0.0] = 1.0
+        sims = Xn @ (cents / cn[:, None]).T
+        a = sims.argmax(axis=1)  # first occurrence == lowest cell id on ties
+        for ci in range(len(cents)):
+            mask = a == ci
+            if mask.any():
+                cents[ci] = X[mask].mean(axis=0)
     return df.sparkSession.createDataFrame(
-        [(ci, cents[ci]) for ci in range(n_cells)], ["cell_id", "centroid"]
+        [(ci, [float(x) for x in cents[ci]]) for ci in range(len(cents))],
+        ["cell_id", "centroid"],
     )
 
 
@@ -582,21 +637,40 @@ def semantic_dedup(
 # codebooks), never the raw vectors, and only the final rescore of
 # ~3k candidates per query touches full embeddings.
 # ---------------------------------------------------------------------------
-def _argmin_code(sub: Column, cents: list[list[float]]) -> Column:
-    """Index (0-based) of the squared-L2-nearest centroid, ties to the
-    lowest index. One transform over a literal centroid array — a
-    compact expression tree that stays inside whole-stage codegen,
-    where a chain of ksub struct-least comparisons does not."""
-    carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
-    dists = F.transform(
-        carr,
-        lambda c: _fold_sum(
-            F.zip_with(
-                sub, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-            )
-        ),
+def _sq_l2_to_cents_sql(sub_sql: str, cents: list[list[float]]) -> str:
+    """SQL text: array of squared-L2 distances from `sub_sql` to each
+    literal centroid. transform/zip_with keeps the literal table in the
+    tree ONCE (an expanded form would clone it per term and blow up
+    plan serialization); the interpreted-HOF cost is paid only where
+    the row count is small or the scan is one-shot."""
+    carr = ", ".join(
+        "array(" + ", ".join(_lit_sql(x) for x in c) + ")" for c in cents
     )
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return (
+        f"transform(array({carr}), c -> aggregate(zip_with({sub_sql}, c, "
+        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        "0.0D, (acc, x) -> acc + x))"
+    )
+
+
+def _argmin_code(vec_sql: str, offset: int, cents: list[list[float]]) -> Column:
+    """Index (0-based) of the squared-L2-nearest centroid for the
+    subvector vec[offset : offset+dsub], ties to the lowest index.
+    Uses argmin ||s-c||^2 == argmax (s.c - ||c||^2/2): the expansion
+    keeps each centroid literal exactly once and the encode scan stays
+    whole-stage-codegen'd (first-match array_position == lowest code
+    on ties)."""
+    scores = []
+    for c in cents:
+        dot_terms = "".join(
+            f" + (cast(element_at({vec_sql}, {offset + i + 1}) as double)"
+            f" * {_lit_sql(c[i])})"
+            for i in range(len(c))
+        )
+        half = sum(x * x for x in c) / 2.0
+        scores.append(f"(0.0D{dot_terms} - {_lit_sql(half)})")
+    arr = "array(" + ", ".join(scores) + ")"
+    return F.expr(f"cast(array_position({arr}, array_max({arr})) - 1 as int)")
 
 
 def pq_train_codebooks(
@@ -606,89 +680,34 @@ def pq_train_codebooks(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     iters: int = 2,
+    sample_cap: int = 16384,
 ) -> list[list[list[float]]]:
-    """Train M per-subspace codebooks of ksub centroids each with
-    deterministic lowest-id init + `iters` distributed Lloyd rounds
-    (one groupBy per round per subspace; driver holds only the
-    M x ksub x (dim/M) codebook floats)."""
-    dim_row = df.agg(F.max(F.size(vec_col)).alias("n")).collect()[0]
-    dim = dim_row["n"]
-    if dim is None or dim <= 0 or dim % m != 0:
+    """Train M per-subspace codebooks of ksub centroids each:
+    deterministic lowest-id init + `iters` Lloyd rounds over a bounded
+    driver-side sample (see _train_sample). Per subspace, assignment is
+    argmin squared-L2 with ties to the lowest code — the same metric
+    pq_encode applies corpus-wide — and empty codes keep their previous
+    centroid. The driver holds sample_cap*dim + M*ksub*(dim/M) floats,
+    independent of corpus size."""
+    import numpy as np
+
+    X = _train_sample(df, vec_col, id_col, sample_cap)
+    dim = X.shape[1] if len(X) else 0
+    if dim <= 0 or dim % m != 0:
         raise ValueError(f"pq_train_codebooks: dim {dim} not divisible by m={m}")
     dsub = dim // m
-    init = (
-        df.orderBy(id_col).limit(ksub).select(F.col(vec_col).alias("c")).collect()
-    )
-    books: list[list[list[float]]] = [
-        [[float(x) for x in r["c"][s * dsub : (s + 1) * dsub]] for r in init]
-        for s in range(m)
-    ]
-    # One Lloyd round = ONE distributed job for ALL subspaces: the
-    # (row, subspace, centroid) assignment runs as a broadcast join
-    # against the m*ksub centroid table — one SMALL fold expression
-    # regardless of ksub (literal-argmin codegen grows with ksub*dsub
-    # and its compile time dominates at these sizes), then a single
-    # groupBy(s, cell) re-centers everything; the driver collects
-    # m*ksub rows per round.
-    spark = df.sparkSession
-    subs = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("_s"),
-                        F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("_sv"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("_e"),
-    ).select("_id", "_e._s", "_e._sv")
-    for _ in range(iters):
-        cents_df = spark.createDataFrame(
-            [(s, ci, books[s][ci]) for s in range(m) for ci in range(ksub)],
-            "_s int, _cell int, _cent array<double>",
-        )
-        j = subs.join(F.broadcast(cents_df), "_s")
-        dist = _fold_sum(
-            F.zip_with(
-                F.col("_sv"),
-                F.col("_cent"),
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            )
-        )
-        assigned = (
-            j.select(
-                "_id",
-                "_s",
-                "_sv",
-                F.struct(dist.alias("d"), F.col("_cell").alias("c")).alias("_dc"),
-            )
-            .groupBy("_id", "_s")
-            .agg(F.min("_dc").alias("_m"), F.first("_sv").alias("_sv"))
-            .select("_s", "_sv", F.col("_m.c").alias("_cell"))
-        )
-        sums = assigned.groupBy("_s", "_cell").agg(
-            *[
-                F.sum(F.element_at(F.col("_sv"), i + 1).cast("double")).alias(f"s{i}")
-                for i in range(dsub)
-            ],
-            F.count("*").alias("n"),
-        )
-        rows = {(r["_s"], r["_cell"]): r for r in sums.collect()}
-        books = [
-            [
-                [
-                    rows[(s, ci)][f"s{i}"] / rows[(s, ci)]["n"]
-                    for i in range(dsub)
-                ]
-                if (s, ci) in rows
-                else books[s][ci]
-                for ci in range(ksub)
-            ]
-            for s in range(m)
-        ]
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        cents = Xs[: min(ksub, len(Xs))].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)  # first occurrence == lowest code on ties
+            for ci in range(len(cents)):
+                mask = a == ci
+                if mask.any():
+                    cents[ci] = Xs[mask].mean(axis=0)
+        books.append([[float(x) for x in c] for c in cents])
     return books
 
 
@@ -697,16 +716,19 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    extra_cols: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector to M codes: per subspace, argmin squared-L2
     against the broadcast literal codebook (tie-break lowest code).
-    Pure JVM expressions — the encode pass is a scan, no shuffle."""
+    Pure JVM expressions — the encode pass is a scan, no shuffle.
+    `extra_cols` are carried through unchanged (e.g. an IVF cell id)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    out_cols = [F.col(id_col)]
+    out_cols = [F.col(id_col)] + [F.col(c) for c in extra_cols]
     for s in range(m):
-        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-        out_cols.append(_argmin_code(sub, codebooks[s]).alias(f"code_{s}"))
+        out_cols.append(
+            _argmin_code(vec_col, s * dsub, codebooks[s]).alias(f"code_{s}")
+        )
     return df.select(*out_cols)
 
 
@@ -720,43 +742,133 @@ def pq_ann_topk(
     probe_mod: int = 25,
     rescore_factor: int = 8,
     train_iters: int = 2,
+    n_cells: int = 8,
+    nprobe: int = 4,
 ) -> DataFrame:
-    """PQ-ANN with asymmetric distance computation (ADC) + exact
-    rescore: candidates ranked by sum of per-subspace distances from
-    the query subvector to the CENTROID named by each neighbor's code
-    (codebooks ride along as broadcast literal array-of-array columns;
-    the candidate scan never touches neighbor embeddings), then the
-    top rescore_factor*k candidates per query are exactly rescored by
-    cosine and the final top-k returned.
+    """IVF-PQ (Jégou et al. 2011 §V): an IVF coarse quantizer restricts
+    the ADC candidate scan to the probe's top-`nprobe` cells, then
+    candidates are ranked by asymmetric distance — sum of per-subspace
+    squared-L2 from the query subvector to the CENTROID named by each
+    neighbor's code (codebooks ride along as broadcast literal
+    array-of-array columns; the candidate scan never touches neighbor
+    embeddings) — and the top rescore_factor*k per query are exactly
+    rescored by cosine for the final top-k.
+
+    Scale shape (the discipline of the reference's InnerJoin location
+    detection, thrill/api/inner_join.hpp:150-164 — never materialize
+    non-matching pairs): corpus rows are assigned to exactly ONE cell
+    and probes explode to `nprobe` cells, so the candidate join is an
+    equi-join on cell_id touching ~nprobe/n_cells of the code table per
+    probe instead of all N×Q pairs; n_cells scales with sqrt(N) to keep
+    cells bounded. Cell assignment itself is a literal-centroid scan —
+    no join, no window shuffle.
 
     Returns (query_id, neighbor_id, rank). Probes = id % probe_mod == 0.
     """
     from pyspark.sql import Window
 
+    import numpy as np
+    import pandas as pd
+
+    nprobe = min(nprobe, n_cells)
     books = pq_train_codebooks(
         df, m=m, ksub=ksub, vec_col=vec_col, id_col=id_col, iters=train_iters
     )
     dsub = len(books[0][0])
-    codes = pq_encode(df, books, vec_col=vec_col, id_col=id_col)
-    probes = df.filter(F.col(id_col) % probe_mod == 0).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    cell_rows = sorted(
+        (r["cell_id"], [float(x) for x in r["centroid"]])
+        for r in ivf_centroids(
+            df, n_cells, vec_col, id_col, iters=train_iters
+        ).collect()
     )
-    # ADC: distance tables as literal nested arrays, indexed by code
-    cand = codes.join(
-        F.broadcast(probes), on=F.col(id_col) != F.col("query_id")
+    B = [np.asarray(b, dtype=np.float64) for b in books]
+    Bh = [0.5 * (b * b).sum(axis=1) for b in B]
+    C = np.asarray([c for _, c in cell_rows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0.0] = 1.0
+    Cn = C / cn[:, None]
+
+    # Corpus side: cell assignment + PQ codes in ONE Arrow-batched
+    # numpy pass — vector kernels (dim-64 dots against tiny codebooks)
+    # belong in vectorized matmuls, not per-element JVM expressions.
+    # argmin ||s-c||^2 == argmax (s.c - ||c||^2/2); argmax's
+    # first-occurrence tie == lowest code. The output IS the IVF-PQ
+    # index (id, cell, M codes — a few bytes/row), a linear scan with
+    # no shuffle; in production it is written to storage once and
+    # reused across query batches.
+    def _encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            out = {id_col: pdf[id_col].to_numpy()}
+            out["cell_id"] = (V @ Cn.T).argmax(axis=1).astype("int32")
+            for s in range(m):
+                Vs = V[:, s * dsub : (s + 1) * dsub]
+                out[f"code_{s}"] = (
+                    (Vs @ B[s].T - Bh[s]).argmax(axis=1).astype("int32")
+                )
+            yield pd.DataFrame(out)
+
+    codes_schema = f"{id_col} long, cell_id int, " + ", ".join(
+        f"code_{s} int" for s in range(m)
+    )
+    codes = df.select(id_col, vec_col).mapInPandas(_encode, schema=codes_schema)
+
+    # Probe side: top-nprobe cells (stable argsort — lowest cell on
+    # ties) + the classic ADC distance TABLE per probe (m x ksub
+    # squared-L2 from each query subvector to every centroid), exploded
+    # to one row per probed cell.
+    def _probe_tab(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            top = np.argsort(-(V @ Cn.T), axis=1, kind="stable")[:, :nprobe]
+            dts = [
+                (
+                    (
+                        V[:, s * dsub : (s + 1) * dsub][:, None, :]
+                        - B[s][None, :, :]
+                    )
+                    ** 2
+                ).sum(axis=2)
+                for s in range(m)
+            ]
+            ids = pdf[id_col].to_numpy()
+            qid, cell, dt_col = [], [], []
+            for i in range(len(ids)):
+                row_dt = [dts[s][i].tolist() for s in range(m)]
+                for c in top[i]:
+                    qid.append(ids[i])
+                    cell.append(int(c))
+                    dt_col.append(row_dt)
+            yield pd.DataFrame(
+                {"query_id": qid, "cell_id": cell, "_dt": dt_col}
+            )
+
+    probes_cells = (
+        df.filter(F.col(id_col) % probe_mod == 0)
+        .select(F.col(id_col), F.col(vec_col))
+        .mapInPandas(
+            _probe_tab,
+            schema="query_id long, cell_id int, _dt array<array<double>>",
+        )
+    )
+    # ADC within probed cells only: equi-join on cell_id (each corpus
+    # row lives in one cell, so a (query, neighbor) pair occurs at most
+    # once — no dedup needed). The candidate scan is m table lookups
+    # per row, summed in the same order as the per-subspace fold.
+    cand = codes.join(probes_cells, on="cell_id").filter(
+        F.col(id_col) != F.col("query_id")
     )
     approx = None
     for s in range(m):
-        qsub = F.slice(F.col("_qv"), s * dsub + 1, dsub)
-        cents = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in books[s]]
-        )
-        csub = F.element_at(cents, F.col(f"code_{s}") + 1)
-        d = _fold_sum(
-            F.zip_with(
-                qsub, csub, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-            )
-        )
+        d = F.element_at(F.element_at(F.col("_dt"), s + 1), F.col(f"code_{s}") + 1)
         approx = d if approx is None else approx + d
     cand = cand.select(
         "query_id", F.col(id_col).alias("neighbor_id"), approx.alias("_ad")
@@ -769,12 +881,20 @@ def pq_ann_topk(
         .filter(F.col("_rk") <= rescore_factor * k)
         .drop("_rk", "_ad")
     )
-    # exact rescore on the shortlist only
+    # exact rescore on the shortlist only (shortlist ≤ rescore_factor*k
+    # rows per query — both joins are equi-joins on bounded sets)
     nbr = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    probes_q = df.filter(F.col(id_col) % probe_mod == 0).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
     scored = (
         short.join(nbr, "neighbor_id")
-        .join(F.broadcast(probes), "query_id")
-        .select("query_id", "neighbor_id", cosine(F.col("_nv"), F.col("_qv")).alias("_cs"))
+        .join(probes_q, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_fixed("_nv", "_qv", m * dsub).alias("_cs"),
+        )
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("_cs").desc(), F.col("neighbor_id").asc()

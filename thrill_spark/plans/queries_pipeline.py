@@ -446,6 +446,7 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     k = 5
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
     ann = S.pq_ann_topk(emb, k=k, m=4, ksub=16, probe_mod=50)
     probes = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
@@ -453,10 +454,15 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_nv")
     )
+    # Brute-force recall check — the verification harness, not the
+    # operator (N×Q only at test scale); cosine_fixed keeps the scan
+    # codegen'd and bit-identical to cosine().
     scored = pool.join(
         F.broadcast(probes), on=F.col("neighbor_id") != F.col("query_id")
     ).select(
-        "query_id", "neighbor_id", S.cosine(F.col("_nv"), F.col("_qv")).alias("_cs")
+        "query_id",
+        "neighbor_id",
+        S.cosine_fixed("_nv", "_qv", dim).alias("_cs"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_cs").desc(), F.col("neighbor_id").asc()

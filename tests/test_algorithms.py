@@ -190,3 +190,45 @@ def test_scc_known_graph(spark):
         for r in strongly_connected_components(e).collect()
     )
     assert out == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4), (7, 7)]
+
+
+def test_scc_dag_chain_bulk_trims(spark):
+    """A 200-node chain of singleton SCCs must NOT need ~200 peel
+    rounds (the pre-trim coloring peeled only the class-min root per
+    round and exhausted max_rounds): the (color, rcolor) pair trim
+    collapses the whole DAG region, so a tight round budget suffices."""
+    from thrill_spark.plans.algorithms import strongly_connected_components
+
+    n = 200
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    out = sorted(
+        (r["node"], r["scc_id"])
+        for r in strongly_connected_components(e, max_rounds=4).collect()
+    )
+    assert out == [(i, i) for i in range(n)]
+
+
+def test_scc_chain_of_cycles_with_tail(spark):
+    """Mixed topology: 2-cycles chained through one-way bridges plus a
+    pure-DAG tail — the trim peels the tail wholesale while the
+    same-color backward peel takes the cycles."""
+    from thrill_spark.plans.algorithms import strongly_connected_components
+
+    edges = []
+    # three 2-cycles 0-1, 10-11, 20-21 bridged one-way
+    for base in (0, 10, 20):
+        edges += [(base, base + 1), (base + 1, base)]
+    edges += [(1, 10), (11, 20)]
+    # DAG tail off the last cycle
+    edges += [(21, 30), (30, 31), (31, 32)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = sorted(
+        (r["node"], r["scc_id"])
+        for r in strongly_connected_components(e, max_rounds=6).collect()
+    )
+    assert out == [
+        (0, 0), (1, 0), (10, 10), (11, 10), (20, 20), (21, 20),
+        (30, 30), (31, 31), (32, 32),
+    ]

@@ -9,7 +9,7 @@ into a concrete node) to keep planning cost bounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -799,25 +799,45 @@ def _min_label_fixpoint(
     path to node. Every _FIXPOINT_BOUNCE_EVERY rounds the frame
     bounces through parquet (see _stats_bounce — exponential stats
     compounding otherwise stalls long fixpoints)."""
+    import os
+    import shutil
+    import tempfile
     import uuid as _uuid
 
     run = _uuid.uuid4().hex[:8]
+    try:
+        return _min_label_fixpoint_inner(nodes, edges, max_rounds, run)
+    finally:
+        # The bounce directories are only read mid-loop; the returned
+        # frame is always an (eager) localCheckpoint, so the run's
+        # parquet bounces can be deleted as soon as the fixpoint
+        # returns (they otherwise accumulate per run, unbounded).
+        for half in (0, 1):
+            shutil.rmtree(
+                os.path.join(
+                    tempfile.gettempdir(), "thrill_spark_fixpoint", f"{run}_{half}"
+                ),
+                ignore_errors=True,
+            )
+
+
+def _min_label_fixpoint_inner(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int, run: str
+) -> DataFrame:
     color = nodes.select("node", F.col("node").alias("c")).localCheckpoint()
     for _round in range(max_rounds):
-        via_edge = color.join(edges, color["node"] == edges["u"]).select(
+        # One propagation join over (graph edges ∪ label edges): the
+        # label edge c(v) -> v delivers c(c(v)) to v — the pointer-
+        # doubling hop — in the same shuffle as the one-edge hop,
+        # instead of two separate joins per round.
+        ed = edges.unionByName(
+            color.select(F.col("c").alias("u"), F.col("node").alias("v"))
+        )
+        via = color.join(ed, color["node"] == ed["u"]).select(
             F.col("v").alias("node"), F.col("c")
         )
-        via_double = (
-            color.select("node", F.col("c").alias("_mid"))
-            .join(
-                color.select(F.col("node").alias("_mid"), F.col("c").alias("c")),
-                "_mid",
-            )
-            .select("node", "c")
-        )
         nxt = (
-            color.unionByName(via_edge)
-            .unionByName(via_double)
+            color.unionByName(via)
             .groupBy("node")
             .agg(F.min("c").alias("c"))
             .localCheckpoint()
@@ -849,13 +869,22 @@ def strongly_connected_components(
     Each round: (1) forward min-label fixpoint — every node gets the
     smallest id that can REACH it (its color; the color root c is the
     minimum member of its class and reaches the whole class); (2) a
-    backward min-label fixpoint over REVERSED same-color edges —
-    bcolor(v) is the smallest same-class id v can reach, so
-    bcolor(v) == c exactly when v reaches its root: those nodes are
-    SCC(c); (3) peel them, repeat on the remainder. Both fixpoints
-    use pointer doubling (O(log diameter) rounds); the driver only
-    checks convergence. Worst case O(#SCCs) peel rounds, but every
-    color-root SCC peels per round — heavy-tailed graphs finish fast.
+    backward min-label fixpoint over ALL reversed edges — rcolor(v) is
+    the smallest id v can reach; (3) BULK TRIM: every (color, rcolor)
+    pair class of size 1 is a singleton SCC and peels immediately
+    (members of a nontrivial SCC share the exact ancestor and
+    descendant sets, hence the same pair — so a pair-singleton cannot
+    sit in a nontrivial SCC). This collapses whole DAG regions — a
+    k-node chain of singleton SCCs finishes in ONE peel round at
+    O(log k) pointer-doubling depth, where peeling only color-root
+    SCCs needed ~k rounds; (4) a backward min-label fixpoint over
+    REVERSED same-color edges among the remainder — bcolor(v) == c
+    exactly when v reaches its root: those nodes are SCC(c); (5) peel
+    them, repeat. All fixpoints use pointer doubling (O(log diameter)
+    rounds); the driver only checks convergence. Worst case O(#SCCs)
+    peel rounds for chains OF NONTRIVIAL SCCs, but every color-root
+    SCC peels per round and all trivial SCCs peel wholesale — both
+    web-like and DAG-like topologies finish fast.
 
     Returns (node, scc_id) with scc_id = min member id.
     """
@@ -877,7 +906,35 @@ def strongly_connected_components(
         if nodes.isEmpty():
             return out
         color = _min_label_fixpoint(nodes, e)
-        # same-color edge set, REVERSED for the backward fixpoint
+        rev = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        rcolor = _min_label_fixpoint(nodes, rev)
+        pair = color.join(
+            rcolor.select("node", F.col("c").alias("_rc")), "node"
+        )
+        singles = (
+            pair.withColumn(
+                "_n", F.count("*").over(Window.partitionBy("c", "_rc"))
+            )
+            .filter(F.col("_n") == 1)
+            .select("node", F.col("node").alias("scc_id"))
+            .localCheckpoint()
+        )
+        trimmed = not singles.isEmpty()
+        if trimmed:
+            out = out.unionByName(singles).localCheckpoint()
+            nodes = nodes.join(singles, "node", "left_anti").localCheckpoint()
+            e = (
+                e.join(singles.select(F.col("node").alias("u")), "u", "left_anti")
+                .join(singles.select(F.col("node").alias("v")), "v", "left_anti")
+                .localCheckpoint()
+            )
+            if nodes.isEmpty():
+                return out
+        # same-color edge set among the remainder, REVERSED for the
+        # backward fixpoint. Color labels stay valid as class markers
+        # after the trim: nontrivial-SCC members are never trimmed
+        # (they share their pair with ≥2 nodes), so each surviving
+        # class root's SCC still peels below.
         ec = (
             e.join(color.withColumnRenamed("node", "u"), "u")
             .withColumnRenamed("c", "cu")

@@ -509,6 +509,58 @@ def test_byte_range_lines_exactly_once(spark, tmp_path):
             assert blob[r.offset : r.offset + len(r.line)].decode() == r.line
 
 
+def test_byte_range_writer_two_phase_commit(tmp_path):
+    """Two-phase commit contract, exercised at the writer level: a
+    retried attempt's orphan tmp file is swept, the committed output
+    holds exactly one copy of each partition, and no ._tmp-* files
+    survive commit() or abort()."""
+    import os
+
+    from thrill_spark.sources.linesource import ByteRangeLinesWriter
+
+    d = str(tmp_path / "out")
+    w = ByteRangeLinesWriter({"path": d, "col": "line"})
+    rows = [{"line": f"r{i}"} for i in range(5)]
+    first_attempt = w.write(iter(rows))  # attempt 1: never reaches commit
+    second_attempt = w.write(iter(rows))  # attempt 2: wins
+    other = w.write(iter([{"line": "solo"}]))
+    # driver commits only the winning messages
+    w.commit([second_attempt, other])
+    files = sorted(os.listdir(d))
+    assert not [f for f in files if f.startswith("._tmp-")], files
+    parts = [f for f in files if f.startswith("part-")]
+    assert len(parts) == 2
+    content = sorted(
+        ln
+        for f in parts
+        for ln in open(os.path.join(d, f)).read().splitlines()
+    )
+    assert content == sorted(["solo"] + [r["line"] for r in rows])
+    assert not os.path.exists(first_attempt.tmp)
+
+
+def test_byte_range_writer_abort_and_null_rejection(tmp_path):
+    import os
+
+    import pytest
+
+    from thrill_spark.sources.linesource import ByteRangeLinesWriter
+
+    d = str(tmp_path / "out")
+    w = ByteRangeLinesWriter({"path": d, "col": "line"})
+    # NULL cells fail the task (a text sink has no NULL representation)
+    # and clean their own tmp file
+    with pytest.raises(ValueError, match="NULL"):
+        w.write(iter([{"line": "ok"}, {"line": None}]))
+    assert not [f for f in os.listdir(d) if f.startswith("._tmp-")]
+    # abort() removes message'd tmp files AND strays from dead tasks
+    m = w.write(iter([{"line": "a"}]))
+    stray = os.path.join(d, "._tmp-deadbeef")
+    open(stray, "w").write("partial")
+    w.abort([m])
+    assert os.listdir(d) == []
+
+
 # ---------------------------------------------------------------------------
 # transformWithState (gated: needs google.protobuf for its driver worker)
 # ---------------------------------------------------------------------------

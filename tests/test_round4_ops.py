@@ -256,6 +256,22 @@ def test_cdc_short_doc_single_chunk(spark):
     assert sorted((r["doc_id"], r["chunk_no"]) for r in rows) == [(1, 1), (2, 1)]
 
 
+def test_cdc_dup_report_empty_doc_zero_share(spark):
+    """An empty/whitespace-only document yields one empty chunk with
+    total_tokens=0; the report must give dup_bp=0 rather than raise
+    DIVIDE_BY_ZERO under ANSI mode."""
+    from thrill_spark.functions.dedup import cdc_dup_report
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c a b c"), (3, "   "), (4, "")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in cdc_dup_report(docs).collect()}
+    assert rows[3]["total_tokens"] == 0 and rows[3]["dup_bp"] == 0
+    assert rows[4]["total_tokens"] == 0 and rows[4]["dup_bp"] == 0
+    assert rows[1]["dup_bp"] == 10000  # fully duplicated across docs 1/2
+
+
 def test_pq_encode_shapes_and_determinism(spark):
     from thrill_spark.functions.similarity import pq_encode, pq_train_codebooks
 
@@ -304,6 +320,21 @@ def test_er_blocking_and_resolution(spark):
     )
     e = {r["rid"]: r["entity_id"] for r in ents.collect()}
     assert e == {1: 1, 2: 1}
+
+
+def test_er_blocking_null_keys_never_match(spark):
+    """SQL equi-join semantics: a NULL blocking key matches nothing —
+    NULL-keyed records must not block with each other nor with
+    genuinely-empty keys (concat_ws alone would map both to '')."""
+    from thrill_spark.functions import linkage as L
+
+    recs = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, ""), (5, "NY")],
+        ["rid", "state"],
+    )
+    cand = L.block_candidates(recs, ["state"], id_col="rid")
+    pairs = {(r["a_rid"], r["b_rid"]) for r in cand.collect()}
+    assert pairs == {(3, 4)}  # only the genuinely-empty keys block together
 
 
 def test_loop_artifacts_planted(spark):

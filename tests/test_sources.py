@@ -19,6 +19,24 @@ def test_lines_roundtrip(spark):
     assert back.filter(F.col("line") == "line-42").count() == 1
 
 
+def test_write_lines_sized_counts_utf8_bytes(spark):
+    """target_file_bytes sizes by OCTET length: a corpus of 3-byte
+    UTF-8 chars must produce ~3x the files a char-count sizing would
+    pick, keeping achieved file sizes at the target on non-ASCII
+    text."""
+    import math
+
+    d = tempfile.mkdtemp(prefix="ts_sized_utf8_")
+    # 200 lines x 30 chars of U+4E2D (3 bytes each) = 91 B/line incl \n
+    df = spark.range(200).select(F.lit("中" * 30).alias("line"))
+    target = 2048
+    n = IO.write_lines(df, d, target_file_bytes=target)
+    assert n == math.ceil(200 * (30 * 3 + 1) / target)  # bytes, not chars
+    files = [f for f in os.listdir(d) if f.startswith("part-")]
+    assert len(files) == n
+    assert IO.read_lines(spark, d).count() == 200
+
+
 def test_write_lines_one_single_file(spark):
     d = tempfile.mkdtemp(prefix="ts_one_")
     df = spark.range(10).select(F.col("id").cast("string").alias("line")).repartition(4)

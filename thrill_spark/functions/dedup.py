@@ -830,6 +830,12 @@ def cdc_dup_report(
             "n_chunks",
             "total_tokens",
             "dup_tokens",
-            F.expr("dup_tokens * 10000 div total_tokens").cast("long").alias("dup_bp"),
+            # nullif guards the all-whitespace document (one empty
+            # chunk, total_tokens = 0) from ANSI DIVIDE_BY_ZERO;
+            # duplication share of an empty doc is 0.
+            F.coalesce(
+                F.expr("dup_tokens * 10000 div nullif(total_tokens, 0)"),
+                F.lit(0),
+            ).cast("long").alias("dup_bp"),
         )
     )

@@ -28,14 +28,17 @@ def block_candidates(
 ) -> DataFrame:
     """Candidate pairs via blocking-key equi-join: (a_rid, b_rid) with
     a_rid < b_rid, deduplicated across blocks. Linear in block sizes,
-    not corpus size."""
-    blocked = records.withColumn(
-        "_blk",
-        F.concat_ws(
-            "\x01",
-            *[c if isinstance(c, Column) else F.col(c) for c in block_cols],
-        ),
-    )
+    not corpus size.
+
+    Records with a NULL in any blocking column generate no candidates
+    — SQL equi-join semantics, where NULL never matches. (concat_ws
+    alone would silently map NULL to '' and block such records both
+    with each other and with genuinely-empty keys.)"""
+    cols = [c if isinstance(c, Column) else F.col(c) for c in block_cols]
+    blocked = records
+    for c in cols:
+        blocked = blocked.filter(c.isNotNull())
+    blocked = blocked.withColumn("_blk", F.concat_ws("\x01", *cols))
     a = blocked.select(
         F.col("_blk"), *[F.col(c).alias(f"a_{c}") for c in records.columns]
     )

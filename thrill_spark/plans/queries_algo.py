@@ -407,7 +407,7 @@ def q_io_lines_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_files = IO.write_lines(docs, out, target_file_bytes=target)
     n_parts = len(_glob.glob(os.path.join(out, "part-*")))
     total = docs.agg(
-        F.sum(F.length("line") + F.lit(1)).alias("b")
+        F.sum(F.octet_length("line") + F.lit(1)).alias("b")
     ).collect()[0]["b"]
     expect = max(1, _math.ceil(int(total) / target))
     back = IO.read_lines(spark, out)

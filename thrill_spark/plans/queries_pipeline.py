@@ -540,7 +540,8 @@ _CDC_D = 16
       GROUP BY ch.doc_id)
     SELECT p.doc_id, n_chunks, total_tokens,
            CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
-           CAST(coalesce(dup_tokens, 0) * 10000 // total_tokens AS BIGINT)
+           CAST(coalesce(coalesce(dup_tokens, 0) * 10000
+                         // nullif(total_tokens, 0), 0) AS BIGINT)
              AS dup_bp
     FROM per_doc p LEFT JOIN dup USING (doc_id)
     """,

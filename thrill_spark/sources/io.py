@@ -55,8 +55,11 @@ def write_lines(
     if target_file_bytes is not None:
         import math
 
+        # octet_length, not length: character count undercounts
+        # multi-byte UTF-8 payloads, drifting file sizes above target
+        # on non-ASCII corpora.
         total = out.agg(
-            F.coalesce(F.sum(F.length("value") + F.lit(1)), F.lit(0)).alias("b")
+            F.coalesce(F.sum(F.octet_length("value") + F.lit(1)), F.lit(0)).alias("b")
         ).collect()[0]["b"]
         n_files = max(1, math.ceil(int(total) / int(target_file_bytes)))
         out = out.repartition(n_files)

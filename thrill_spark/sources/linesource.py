@@ -120,22 +120,54 @@ class ByteRangeLinesWriter(DataSourceWriter):
         token = uuid.uuid4().hex
         tmp = os.path.join(self.path, f"._tmp-{token}")
         n = 0
-        with open(tmp, "wb") as f:
-            for row in iterator:
-                f.write(str(row[self.col]).encode("utf-8"))
-                f.write(b"\n")
-                n += 1
+        try:
+            with open(tmp, "wb") as f:
+                for row in iterator:
+                    v = row[self.col]
+                    if v is None:
+                        # a text sink has no NULL representation;
+                        # writing the literal "None" would silently
+                        # corrupt the corpus
+                        raise ValueError(
+                            f"write_lines: NULL in column {self.col!r} "
+                            f"(filter or fillna before writing)"
+                        )
+                    f.write(str(v).encode("utf-8"))
+                    f.write(b"\n")
+                    n += 1
+        except BaseException:
+            # a failing task cleans its own temp file; tasks that die
+            # before reaching commit()/abort() are additionally swept
+            # by _sweep_stray_tmp below
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
         final = os.path.join(self.path, f"part-{token}.txt")
         return _PartFile(tmp, final)
 
+    def _sweep_stray_tmp(self, keep: set[str]) -> None:
+        """Remove ._tmp-* files no surviving commit message references
+        — left by tasks killed before returning a message (e.g. a
+        retried task's first attempt)."""
+        import glob as _glob
+
+        for stray in _glob.glob(os.path.join(self.path, "._tmp-*")):
+            if stray not in keep and os.path.exists(stray):
+                os.remove(stray)
+
     def commit(self, messages):
-        for m in messages:
-            if m is not None and os.path.exists(m.tmp):
+        live = [m for m in messages if m is not None]
+        # rename the committed set first, then sweep: a stray can never
+        # be a committed tmp because each message's tmp is renamed away
+        for m in live:
+            if os.path.exists(m.tmp):
                 os.replace(m.tmp, m.final)
+        self._sweep_stray_tmp(set())
 
     def abort(self, messages):
         for m in messages:
             if m is not None and os.path.exists(m.tmp):
                 os.remove(m.tmp)
+        self._sweep_stray_tmp(set())
 
 

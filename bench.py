@@ -104,6 +104,42 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+_GROUP_SEQ = [0]
+
+
+def run_query_with_metrics(spark, name: str, sf_dir: str):
+    """Run under a dedicated job group and return (seconds, metrics):
+    jobs/stages/tasks counts from the status tracker, so a wall-clock
+    drift decomposes into scheduler pressure (stage/task explosion)
+    vs per-task work (counts flat, time up) round-over-round."""
+    sc = spark.sparkContext
+    _GROUP_SEQ[0] += 1
+    group = f"bench:{name}:{_GROUP_SEQ[0]}"  # unique per invocation —
+    # reusing one group would accumulate jobs across the 3 passes
+    sc.setJobGroup(group, name, interruptOnCancel=False)
+    try:
+        t = run_query(spark, name, sf_dir)
+    finally:
+        sc.setJobGroup(None, None)
+    st = sc.statusTracker()
+    stage_ids: set[int] = set()
+    n_jobs = 0
+    n_tasks = 0
+    for jid in st.getJobIdsForGroup(group):
+        ji = st.getJobInfo(jid)
+        if ji is None:
+            continue
+        n_jobs += 1
+        for sid in ji.stageIds:
+            if sid in stage_ids:
+                continue
+            stage_ids.add(sid)
+            si = st.getStageInfo(sid)
+            if si is not None:
+                n_tasks += si.numTasks
+    return t, {"jobs": n_jobs, "stages": len(stage_ids), "tasks": n_tasks}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -129,15 +165,19 @@ def main() -> None:
     # noise) it lands in; round-robin passes decorrelate that, and the
     # min-over-passes drops slow phases for every query equally.
     timings: dict[str, float] = {}
+    stage_counts: dict[str, dict] = {}
     for _ in range(3):
         for name in names:
             try:
-                t = run_query(spark, name, sf_dir)
+                t, metrics = run_query_with_metrics(spark, name, sf_dir)
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 continue
             if name not in timings or t < timings[name]:
                 timings[name] = t
+            # plans are deterministic → counts identical across passes;
+            # keep the latest (steady-state) observation
+            stage_counts[name] = metrics
             _ordering.release_persisted()
             spark.catalog.clearCache()  # drop remaining persists between queries
         names = [n for n in names if n not in errors]
@@ -150,6 +190,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "stage_counts": stage_counts,
     }
     if errors:
         out["errors"] = errors

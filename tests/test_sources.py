@@ -46,6 +46,44 @@ def test_write_lines_one_single_file(spark):
     assert IO.read_lines(spark, d).count() == 10
 
 
+def test_read_lines_xz_and_mixed_dir(spark):
+    """xz parity (reference vfs/file_io.cpp:48-50): .xz files decode
+    through the per-file lzma pass and union transparently with
+    plain/gz files in the same directory."""
+    import lzma
+
+    d = tempfile.mkdtemp(prefix="ts_xz_")
+    with lzma.open(os.path.join(d, "a.txt.xz"), "wt") as f:
+        f.write("alpha\nbeta\n")
+    with open(os.path.join(d, "b.txt"), "w") as f:
+        f.write("gamma\n")
+    got = sorted(r["line"] for r in IO.read_lines(spark, d).collect())
+    assert got == ["alpha", "beta", "gamma"]
+    only_xz = IO.read_lines(spark, os.path.join(d, "*.xz"))
+    assert sorted(r["line"] for r in only_xz.collect()) == ["alpha", "beta"]
+
+
+def test_write_lines_xz_roundtrip(spark):
+    from thrill_spark.sources import linesource
+
+    linesource.register(spark)
+    d = tempfile.mkdtemp(prefix="ts_xzw_") + "/out"
+    df = spark.range(50).select(F.concat(F.lit("ln-"), F.col("id")).alias("line"))
+    (
+        df.write.format("thrill_lines")
+        .option("path", d)
+        .option("compression", "xz")
+        .mode("append")
+        .save()
+    )
+    parts = [f for f in os.listdir(d) if f.startswith("part-")]
+    assert parts and all(f.endswith(".txt.xz") for f in parts)
+    back = IO.read_lines(spark, d)
+    assert sorted(r["line"] for r in back.collect()) == sorted(
+        f"ln-{i}" for i in range(50)
+    )
+
+
 def test_read_lines_gzip_and_glob(spark):
     # reference: vfs gzip filter + Glob (thrill/vfs/file_io.hpp:99-112)
     d = tempfile.mkdtemp(prefix="ts_gz_")

@@ -381,6 +381,44 @@ def q_io_bz2_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# xz parity — the third codec the reference's vfs recognizes
+# (vfs/file_io.cpp:48-50; it pipes streams through the external xz
+# binary, file_io.cpp:197+). Hadoop ships no XZ codec, so the write
+# goes through the thrill_lines Python DataSource writer (per-part
+# lzma streams, two-phase commit) and the read through read_lines'
+# per-file lzma pass. Parallelism is per-file on both sides (xz
+# without a block index is not splittable — size-target the parts).
+@query(
+    "io_xz_lines_roundtrip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+)
+def q_io_xz_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from thrill_spark.sources import linesource
+
+    linesource.register(spark)
+    docs = load_table(spark, sf_dir, "documents").select(F.col("text").alias("line"))
+    out = os.path.join(tempfile.gettempdir(), "thrill_spark_xz_lines")
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        docs.write.format("thrill_lines")
+        .option("path", out)
+        .option("compression", "xz")
+        .mode("append")
+        .save()
+    )
+    back = IO.read_lines(spark, out)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("line")).alias("total_chars"),
+    )
+
+
 # Size-targeted WriteLines (thrill/api/write_lines.hpp:33 +
 # dia.hpp:823-845 `$$$$$`/`#####` templating): the reference re-shards
 # text output into files of a target size; write_lines(target_file_

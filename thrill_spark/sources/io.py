@@ -15,16 +15,78 @@ Reference behaviors being matched (not ported):
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _local_matches(path: str) -> list[str]:
+    """Files a local path/dir/glob resolves to (empty for remote URIs —
+    those go straight to the Hadoop reader). Spark's hidden-file rule
+    applies: names starting with '.' or '_' are ignored."""
+    import glob as _glob
+
+    p = str(path)
+    if "://" in p:
+        return []
+    if os.path.isdir(p):
+        hits = [os.path.join(p, f) for f in os.listdir(p)]
+    else:
+        hits = _glob.glob(p)
+    return [
+        f
+        for f in hits
+        if os.path.isfile(f) and not os.path.basename(f)[0] in "._"
+    ]
+
+
+def _read_lines_xz(spark: SparkSession, paths: list[str], name: str) -> DataFrame:
+    """Lines from .xz files: whole-file reads through the binaryFile
+    source (cluster-correct content transfer), lzma-decompressed in an
+    Arrow-batched pass. xz streams are not splittable without a block
+    index, so parallelism is per-file — exactly the reference's
+    external-filter behavior (vfs/file_io.cpp:197+ pipes the whole
+    stream through the xz binary)."""
+
+    def _dec(batches):
+        import lzma
+
+        import pandas as pd
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                text = lzma.decompress(bytes(content)).decode("utf-8")
+                lines = text.split("\n")
+                if lines and lines[-1] == "":
+                    lines.pop()
+                yield pd.DataFrame({name: lines})
+
+    binary = spark.read.format("binaryFile").load(paths)
+    return binary.select("content").mapInPandas(_dec, schema=f"{name} string")
+
+
 def read_lines(spark: SparkSession, path: str, name: str = "line") -> DataFrame:
     """ReadLines: text file(s)/glob -> one string column. Compression
     (.gz/.bz2/...) auto-detected by the Hadoop codec factory, matching
-    the reference's vfs filter layer (thrill/vfs/gzip_filter.hpp)."""
+    the reference's vfs filter layer (thrill/vfs/gzip_filter.hpp).
+    `.xz` — the third codec the reference recognizes
+    (vfs/file_io.cpp:48-50) — has no Hadoop codec and is served by a
+    per-file lzma pass (_read_lines_xz), transparently unioned with
+    the Hadoop-read remainder for mixed directories."""
+    matches = _local_matches(path)
+    xz = [f for f in matches if f.endswith(".xz")]
+    if xz:
+        xz_df = _read_lines_xz(spark, xz, name)
+        rest = [f for f in matches if not f.endswith(".xz")]
+        if not rest:
+            return xz_df
+        return (
+            spark.read.text(rest)
+            .withColumnRenamed("value", name)
+            .unionByName(xz_df)
+        )
     return spark.read.text(path).withColumnRenamed("value", name)
 
 

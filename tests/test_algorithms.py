@@ -176,6 +176,29 @@ def test_suffix_array_dc3_matches_bruteforce(spark):
     spark.catalog.clearCache()
 
 
+def test_suffix_array_dc7_matches_truth(spark):
+    """DC7 through forced recursion (threshold 8) equals the python
+    ground truth — and therefore DC3's output — on a random string."""
+    import random
+
+    from thrill_spark import ordering as O
+    from thrill_spark.plans.algorithms import suffix_array_dc7
+
+    random.seed(11)
+    s = "".join(random.choice("ab") for _ in range(64))
+    truth = {p: rk for rk, p in enumerate(sorted(range(64), key=lambda i: s[i:]))}
+    chars = spark.createDataFrame(
+        [(i, s[i]) for i in range(64)], "pos long, ch string"
+    )
+    out = {
+        r["pos"]: r["rank"]
+        for r in suffix_array_dc7(chars, 64, base_threshold=8).collect()
+    }
+    assert out == truth
+    O.release_persisted()
+    spark.catalog.clearCache()
+
+
 def test_scc_known_graph(spark):
     """SCC coloring on a hand-built graph: two 3-cycles joined by a
     one-way bridge plus a sink singleton."""

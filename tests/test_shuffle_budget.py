@@ -140,6 +140,7 @@ BUDGETS = {
     "fn_variant_ops": 0,
     "io_xml_roundtrip": 0,
     "io_xz_lines_roundtrip": 1,  # the scalar-agg SinglePartition only
+    "suffix_array_dc7": 0,  # checkpointed recursion output; consumer is a select
     # composes the PQ pipeline AND the brute-force baseline it is
     # evaluated against (the similarity_overlap_at_k pattern)
     "similarity_pq_ann": 6,

@@ -761,6 +761,182 @@ def suffix_array_dc3(
     return out.select(F.col("pos").alias(pos), F.col("r").cast("long").alias("rank"))
 
 
+# ---------------------------------------------------------------------------
+# DC7 suffix sorting (examples/suffix_sorting/dc7.cpp — the reference's
+# 7-periodic difference-cover variant of DC3). Same output contract as
+# suffix_array_dc3; the recursion shrinks to 3n/7 per level (vs 2n/3),
+# trading fewer levels for a wider counting merge. Not a port: the
+# reference interleaves a sequential multiway merge; here the merge is
+# the generalized pairwise counting scheme — for every residue pair
+# (a, b) there is a shift l with a+l and b+l both in the cover, so one
+# distributed with_index over each class union yields exact
+# cross-class counts and final ranks are pure arithmetic.
+# ---------------------------------------------------------------------------
+_DC7_D = (0, 1, 3)  # perfect difference cover mod 7
+
+
+def _dc7_pair_shift(a: int, b: int) -> int:
+    """Smallest l >= 0 with (a+l) % 7 and (b+l) % 7 both in the cover
+    — exists for every pair by the difference-cover property."""
+    for l in range(7):
+        if (a + l) % 7 in _DC7_D and (b + l) % 7 in _DC7_D:
+            return l
+    raise AssertionError("difference cover property violated")
+
+
+def _dc7_rec(spark, s: DataFrame, n: int, base_threshold: int) -> DataFrame:
+    """One DC7 level over s=(pos, sym) with sym >= 0: returns (pos, r),
+    r the dense rank of the suffix starting at pos, 0..n-1.
+
+    End-of-string handling uses POSITION-DEPENDENT sentinels
+    P[n+j] = -(j+1): every tuple or key prefix that runs past the end
+    contains a globally-unique negative symbol, so (a) padded sample
+    tuples are unique (each residue group's last tuple is padded —
+    comparisons in the reduced string terminate before crossing group
+    boundaries) and (b) every merge-key tie case at the string end
+    resolves to the shorter-suffix-first rule exactly."""
+    from thrill_spark import ordering as O
+    from thrill_spark.ordering import _persist
+
+    if n <= base_threshold:
+        return _dc3_base(spark, s, n)
+
+    pad = spark.createDataFrame(
+        [(n + j, -(j + 1)) for j in range(14)], "pos long, sym long"
+    )
+    P = s.unionByName(pad).localCheckpoint()
+
+    # --- sample tuples: positions p in [0, n+7) with p % 7 in D -------
+    samples = (
+        spark.range(n + 7)
+        .filter((F.col("id") % 7).isin(list(_DC7_D)))
+        .select(F.col("id").alias("pos"))
+    )
+    t = samples
+    for off in range(7):
+        t = t.join(
+            P.select((F.col("pos") - off).alias("pos"), F.col("sym").alias(f"c{off}")),
+            on="pos",
+            how="inner",
+        )
+    t = _persist(t)
+    n_samp = t.count()
+
+    tuple_cols = [f"c{off}" for off in range(7)]
+    dist = t.select(*tuple_cols).distinct()
+    named = O.with_index(dist, tuple_cols, name="nm")
+    n_names = dist.count()
+    tn = t.join(named, tuple_cols).select("pos", "nm")
+
+    # reduced position: groups in cover order, within group by p // 7
+    counts = [len(range(d, n + 7, 7)) for d in _DC7_D]
+    offsets = {}
+    acc = 0
+    for d, cnt in zip(_DC7_D, counts):
+        offsets[d] = acc
+        acc += cnt
+    ridx = None
+    for d in _DC7_D:
+        branch = F.lit(offsets[d]) + (F.col("pos") - d) / 7
+        cond = F.col("pos") % 7 == d
+        ridx = F.when(cond, branch) if ridx is None else ridx.when(cond, branch)
+
+    if n_names == n_samp:
+        R = tn.select("pos", F.col("nm").alias("r"))
+    else:
+        reduced = tn.select(
+            ridx.cast("long").alias("pos"), F.col("nm").alias("sym")
+        ).localCheckpoint()
+        rr = _dc7_rec(spark, reduced, n_samp, base_threshold)
+        back = tn.select("pos", ridx.cast("long").alias("ridx"))
+        R = back.join(
+            rr.select(F.col("pos").alias("ridx"), "r"), on="ridx"
+        ).select("pos", "r")
+    # drop padded samples (pos >= n) and re-densify
+    R = O.with_index(
+        R.filter(F.col("pos") < n), ["r"], name="_r2"
+    ).select("pos", F.col("_r2").alias("r"))
+    R = R.localCheckpoint()
+
+    # --- attributes for the counting merge ----------------------------
+    attr = spark.range(n).select(F.col("id").alias("pos"))
+    for off in range(6):  # c0..c5 cover every pair shift (l <= 6 keys)
+        attr = attr.join(
+            P.select((F.col("pos") - off).alias("pos"), F.col("sym").alias(f"c{off}")),
+            "pos",
+            "inner",
+        )
+    shifts = sorted(
+        {
+            _dc7_pair_shift(a, b)
+            for a in range(7)
+            for b in range(7)
+        }
+    )
+    for l in shifts:
+        attr = attr.join(
+            R.select((F.col("pos") - l).alias("pos"), F.col("r").alias(f"r{l}")),
+            "pos",
+            "left",
+        )
+    attr = attr.fillna({f"r{l}": -1 for l in shifts}).localCheckpoint()
+
+    def key_for(l: int) -> list[str]:
+        return [f"c{i}" for i in range(l)] + [f"r{l}", "pos"]
+
+    # rank(x in class a) = sum over b != a of U_ab(x)  -  5 * rc_a(x):
+    # each U_ab counts predecessors of x within the union a ∪ b, so the
+    # six unions containing a count every other class once and class a
+    # itself six times — stacking all contributions (rc weighted -5)
+    # and summing per pos assembles the final dense rank in ONE
+    # groupBy, with no per-class join chains.
+    m = F.col("pos") % 7
+    contrib = []
+    for a in range(7):
+        la = _dc7_pair_shift(a, a)
+        contrib.append(
+            O.with_index(attr.filter(m == a), key_for(la), name="_v")
+            .select("pos", (F.lit(-5) * F.col("_v")).alias("_v"))
+        )
+    for a in range(7):
+        for b in range(a + 1, 7):
+            l = _dc7_pair_shift(a, b)
+            contrib.append(
+                O.with_index(
+                    attr.filter(m.isin([a, b])), key_for(l), name="_v"
+                ).select("pos", F.col("_v").cast("long").alias("_v"))
+            )
+    stacked = contrib[0]
+    for c in contrib[1:]:
+        stacked = stacked.unionByName(c)
+    return (
+        stacked.groupBy("pos")
+        .agg(F.sum("_v").alias("r"))
+        .localCheckpoint()
+    )
+
+
+def suffix_array_dc7(
+    chars: DataFrame, n: int, pos: str = "pos", base_threshold: int = 4096
+) -> DataFrame:
+    """Suffix sorting by DC7 (reference examples/suffix_sorting/dc7.cpp
+    re-expressed as DataFrame ops — see _dc7_rec). Same contract as
+    suffix_array_dc3: chars=(pos, ch) one row per character; returns
+    (pos, rank) with rank dense in [0, n)."""
+    from thrill_spark import ordering as O
+
+    spark = chars.sparkSession
+    alpha = chars.select("ch").distinct()
+    alpha_ranked = O.with_index(alpha, ["ch"], name="_sym")
+    s = (
+        chars.join(alpha_ranked, on="ch")
+        .select(F.col(pos).alias("pos"), F.col("_sym").alias("sym"))
+        .localCheckpoint()
+    )
+    out = _dc7_rec(spark, s, n, base_threshold)
+    return out.select(F.col("pos").alias(pos), F.col("r").cast("long").alias("rank"))
+
+
 _FIXPOINT_BOUNCE_EVERY = 6
 
 

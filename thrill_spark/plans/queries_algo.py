@@ -673,6 +673,40 @@ def q_suffix_array_dc3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.suffix_array_dc3(chars, n)
 
 
+# DC7 (examples/suffix_sorting/dc7.cpp) — same workload and oracle as
+# suffix_array_dc3; only the algorithm differs (7-periodic difference
+# cover, 3n/7 recursion, pairwise counting merge — algorithms._dc7_rec).
+@query(
+    "suffix_array_dc7",
+    """
+    WITH s AS (SELECT string_agg(text, '' ORDER BY doc_id) AS str
+               FROM documents WHERE doc_id < 20),
+    p AS (SELECT str, unnest(generate_series(0, length(str)-1)) AS pos FROM s)
+    SELECT pos,
+           CAST(ROW_NUMBER() OVER (ORDER BY substr(str, pos+1)) - 1 AS BIGINT)
+             AS rank
+    FROM p
+    """,
+)
+def q_suffix_array_dc7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark import ordering as O
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    lens = docs.select("doc_id", F.length("text").alias("_len"))
+    offs = O.prefix_sum(lens, ["doc_id"], "_len", name="_off", exclusive=True)
+    chars = (
+        docs.join(offs.select("doc_id", "_off"), "doc_id")
+        .select(
+            F.col("_off"),
+            F.posexplode(F.split(F.col("text"), "")).alias("_i", "ch"),
+        )
+        .filter(F.col("ch") != "")
+        .select((F.col("_off") + F.col("_i")).alias("pos"), "ch")
+    )
+    n = chars.count()
+    return A.suffix_array_dc7(chars, n)
+
+
 # ---------------------------------------------------------------------------
 # XML round-trip (Spark 4 native XML source — new connector surface
 # beside text/csv/json/orc/parquet). Oracle: the aggregates of what

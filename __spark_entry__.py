@@ -99,7 +99,8 @@ _R5_WINDOW = [
 # io_python_datasource_lines, io_datasource_wordcount,
 # io_compact_small_files, io_manifest_roundtrip, io_schema_evolution,
 # io_snapshot_diff, io_csv_corrupt_records,
-# io_dynamic_partition_pruning), layout (layout_zorder_stats,
+# io_dynamic_partition_pruning, plus the round-5 additions
+# io_xz_lines_roundtrip and suffix_array_dc7), layout (layout_zorder_stats,
 # layout_hilbert_stats), profile (profile_orders, profile_key_skew,
 # profile_join_cardinality, profile_data_quality,
 # profile_source_drift), multimodal (multimodal_real_png_decode,

@@ -349,7 +349,7 @@ def _train_sample(df: DataFrame, vec_col: str, id_col: str, cap: int):
 
 def ivf_centroids(df: DataFrame, n_cells: int, vec_col: str = "embedding",
                   id_col: str = "vec_id", iters: int = 2,
-                  sample_cap: int = 16384) -> DataFrame:
+                  sample_cap: int = 16384, sample=None) -> DataFrame:
     """Trained coarse quantizer: spherical k-means with deterministic
     lowest-id initialization and `iters` Lloyd rounds over a bounded
     driver-side sample (see _train_sample; examples/k-means/k-means.hpp
@@ -359,7 +359,7 @@ def ivf_centroids(df: DataFrame, n_cells: int, vec_col: str = "embedding",
     codebook as a (cell_id, centroid) DataFrame."""
     import numpy as np
 
-    X = _train_sample(df, vec_col, id_col, sample_cap)
+    X = sample if sample is not None else _train_sample(df, vec_col, id_col, sample_cap)
     cents = X[: min(n_cells, len(X))].copy()
     xn = np.linalg.norm(X, axis=1)
     xn[xn == 0.0] = 1.0
@@ -681,6 +681,7 @@ def pq_train_codebooks(
     id_col: str = "vec_id",
     iters: int = 2,
     sample_cap: int = 16384,
+    sample=None,
 ) -> list[list[list[float]]]:
     """Train M per-subspace codebooks of ksub centroids each:
     deterministic lowest-id init + `iters` Lloyd rounds over a bounded
@@ -691,7 +692,7 @@ def pq_train_codebooks(
     independent of corpus size."""
     import numpy as np
 
-    X = _train_sample(df, vec_col, id_col, sample_cap)
+    X = sample if sample is not None else _train_sample(df, vec_col, id_col, sample_cap)
     dim = X.shape[1] if len(X) else 0
     if dim <= 0 or dim % m != 0:
         raise ValueError(f"pq_train_codebooks: dim {dim} not divisible by m={m}")
@@ -771,14 +772,17 @@ def pq_ann_topk(
     import pandas as pd
 
     nprobe = min(nprobe, n_cells)
+    # one sample collect feeds both trainers
+    X = _train_sample(df, vec_col, id_col, 16384)
     books = pq_train_codebooks(
-        df, m=m, ksub=ksub, vec_col=vec_col, id_col=id_col, iters=train_iters
+        df, m=m, ksub=ksub, vec_col=vec_col, id_col=id_col, iters=train_iters,
+        sample=X,
     )
     dsub = len(books[0][0])
     cell_rows = sorted(
         (r["cell_id"], [float(x) for x in r["centroid"]])
         for r in ivf_centroids(
-            df, n_cells, vec_col, id_col, iters=train_iters
+            df, n_cells, vec_col, id_col, iters=train_iters, sample=X
         ).collect()
     )
     B = [np.asarray(b, dtype=np.float64) for b in books]

@@ -129,7 +129,7 @@ def _sql_pipeline_survivors() -> str:
       JOIN sh sa ON sa.doc_id = id_a
       JOIN sh sb ON sb.doc_id = id_b
       WHERE CAST({inter} AS DOUBLE) / (sa.n + sb.n - {inter}) >= {_VERIFY_TAU}),
-    edges AS (SELECT id_a AS u, id_b AS v FROM ver
+    edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM ver
               UNION SELECT id_b AS u, id_a AS v FROM ver),
     reach(src, n) AS (
       SELECT u, u FROM edges
@@ -178,7 +178,7 @@ def q_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST({_sql_md5_long("CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS} AS INT)
                AS shard
       FROM documents),
-    s AS (SELECT doc_id, n_tokens, shard,
+    s AS MATERIALIZED (SELECT doc_id, n_tokens, shard,
                  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
           FROM d),
     p AS (

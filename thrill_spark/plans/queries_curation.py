@@ -654,7 +654,7 @@ def _sql_quality_survivors() -> str:
       JOIN sh sa ON sa.doc_id = id_a
       JOIN sh sb ON sb.doc_id = id_b
       WHERE CAST({inter} AS DOUBLE) / (sa.n + sb.n - {inter}) >= {_VERIFY_TAU}),
-    edges AS (SELECT id_a AS u, id_b AS v FROM ver
+    edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM ver
               UNION SELECT id_b AS u, id_a AS v FROM ver),
     reach(src, n) AS (
       SELECT u, u FROM edges
@@ -3459,7 +3459,7 @@ def _sql_curation_full() -> str:
       JOIN sh sa ON sa.doc_id = id_a
       JOIN sh sb ON sb.doc_id = id_b
       WHERE CAST({inter} AS DOUBLE) / (sa.n + sb.n - {inter}) >= {_VERIFY_TAU}),
-    edges AS (SELECT id_a AS u, id_b AS v FROM ver
+    edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM ver
               UNION SELECT id_b AS u, id_a AS v FROM ver),
     reach(src, n) AS (
       SELECT u, u FROM edges

@@ -414,7 +414,7 @@ from thrill_spark.plans import algorithms as ALG  # noqa: E402
     "dedup_cluster_assign",
     f"""
     WITH RECURSIVE pairs AS (SELECT * FROM ({_sql_lsh_pairs()})),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS u, id_b AS v FROM pairs
       UNION
       SELECT id_b AS u, id_a AS v FROM pairs),

@@ -651,7 +651,7 @@ def _install_cluster_histogram_oracle() -> None:
 
     ORACLES["dedup_cluster_histogram"] = f"""
     WITH RECURSIVE pairs AS (SELECT * FROM ({_sql_lsh_pairs()})),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS u, id_b AS v FROM pairs
       UNION
       SELECT id_b AS u, id_a AS v FROM pairs),
@@ -1255,7 +1255,7 @@ _CP_SHARDS = 8
       SELECT uid, n_tokens,
              CAST({SQL_MD5LONG.format(x="CAST(uid AS VARCHAR)")} % {_CP_SHARDS} AS INT) AS shard
       FROM surv),
-    r AS (
+    r AS MATERIALIZED (
       SELECT uid, n_tokens, shard,
              row_number() OVER (PARTITION BY shard ORDER BY uid) AS rn
       FROM s),

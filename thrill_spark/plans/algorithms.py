@@ -1012,20 +1012,21 @@ def _min_label_fixpoint_inner(
         via = color.join(ed, color["node"] == ed["u"]).select(
             F.col("v").alias("node"), F.col("c")
         )
-        nxt = (
-            color.unionByName(via)
-            .groupBy("node")
-            .agg(F.min("c").alias("c"))
+        # Carry the previous label through the aggregation so the
+        # changed flag materializes inside the SAME checkpoint job;
+        # the stability probe is then a plain scan of the checkpointed
+        # rows instead of a second shuffle join per round.
+        nxt_full = (
+            color.select("node", F.col("c").alias("_co"))
+            .join(
+                color.unionByName(via).groupBy("node").agg(F.min("c").alias("c")),
+                "node",
+            )
+            .withColumn("_chg", F.col("c") != F.col("_co"))
             .localCheckpoint()
         )
-        stable = (
-            nxt.select("node", F.col("c").alias("_cn"))
-            .join(color.select("node", F.col("c").alias("_co")), "node")
-            .filter(F.col("_cn") != F.col("_co"))
-            .limit(1)
-            .isEmpty()
-        )
-        color = nxt
+        stable = nxt_full.filter(F.col("_chg")).limit(1).isEmpty()
+        color = nxt_full.select("node", "c")
         if stable:
             return color
         if (_round + 1) % _FIXPOINT_BOUNCE_EVERY == 0:

@@ -889,26 +889,39 @@ def _dc7_rec(spark, s: DataFrame, n: int, base_threshold: int) -> DataFrame:
     # six unions containing a count every other class once and class a
     # itself six times — stacking all contributions (rc weighted -5)
     # and summing per pos assembles the final dense rank in ONE
-    # groupBy, with no per-class join chains.
+    # groupBy, with no per-class join chains. The 28 ranking passes are
+    # independent (each with_index samples boundaries and counts its
+    # own subset), so their driver-side jobs are submitted from a
+    # thread pool — wall time is the longest pass, not the sum.
+    from concurrent.futures import ThreadPoolExecutor
+
     m = F.col("pos") % 7
-    contrib = []
-    for a in range(7):
+
+    def _class_rank(a: int) -> DataFrame:
         la = _dc7_pair_shift(a, a)
-        contrib.append(
-            O.with_index(attr.filter(m == a), key_for(la), name="_v")
-            .select("pos", (F.lit(-5) * F.col("_v")).alias("_v"))
+        return O.with_index(attr.filter(m == a), key_for(la), name="_v").select(
+            "pos", (F.lit(-5) * F.col("_v")).alias("_v")
         )
-    for a in range(7):
-        for b in range(a + 1, 7):
-            l = _dc7_pair_shift(a, b)
-            contrib.append(
-                O.with_index(
-                    attr.filter(m.isin([a, b])), key_for(l), name="_v"
-                ).select("pos", F.col("_v").cast("long").alias("_v"))
-            )
-    stacked = contrib[0]
+
+    def _pair_rank(ab) -> DataFrame:
+        a, b = ab
+        l = _dc7_pair_shift(a, b)
+        return O.with_index(
+            attr.filter(m.isin([a, b])), key_for(l), name="_v"
+        ).select("pos", F.col("_v").cast("long").alias("_v"))
+
+    pairs = [(a, b) for a in range(7) for b in range(a + 1, 7)]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        contrib = list(pool.map(_class_rank, range(7))) + list(
+            pool.map(_pair_rank, pairs)
+        )
+    # coalesce each narrow (pos, _v) contribution before the union:
+    # 28 branches x n_buckets partitions of tiny tasks otherwise give
+    # the final groupBy a ~900-map-task stage that is pure scheduling
+    # overhead at any scale where the per-branch output fits 8 tasks
+    stacked = contrib[0].coalesce(8)
     for c in contrib[1:]:
-        stacked = stacked.unionByName(c)
+        stacked = stacked.unionByName(c.coalesce(8))
     return (
         stacked.groupBy("pos")
         .agg(F.sum("_v").alias("r"))

@@ -140,6 +140,57 @@ def run_query_with_metrics(spark, name: str, sf_dir: str):
     return t, {"jobs": n_jobs, "stages": len(stage_ids), "tasks": n_tasks}
 
 
+# The driver captures only the LAST ~2000 chars of stdout and parses the
+# final line as the bench record. Round 5 shipped `parsed: null` because
+# stage_counts shared the final JSON line and pushed it to ~4.9 KB, cutting
+# off the head. Contract now: diagnostics (stage_counts, errors) go to
+# EARLIER stdout lines + a side file; the FINAL line is the compact
+# {metric, value, unit, queries, sf} object, hard-capped below the window.
+FINAL_LINE_MAX = 1900
+
+
+def format_output(
+    timings: dict[str, float],
+    sf,
+    stage_counts: dict[str, dict],
+    errors: dict[str, str],
+) -> tuple[list[str], str]:
+    """Return (earlier stdout lines, final stdout line).
+
+    The final line always parses standalone and stays under
+    FINAL_LINE_MAX chars: if full per-query timings don't fit, they are
+    trimmed to the slowest movers (detail survives in the side file and
+    the earlier diagnostic lines).
+    """
+    earlier: list[str] = []
+    if stage_counts:
+        earlier.append(json.dumps({"stage_counts": stage_counts}))
+    if errors:
+        earlier.append(json.dumps({"errors": errors}))
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["error_count"] = len(errors)
+    final = json.dumps(out)
+    if len(final) > FINAL_LINE_MAX:
+        movers = dict(
+            sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+        )
+        while len(final) > FINAL_LINE_MAX and movers:
+            movers.pop(next(reversed(movers)))
+            out["queries"] = movers
+            out["queries_truncated_to_top"] = len(movers)
+            final = json.dumps(out)
+    assert len(final) <= FINAL_LINE_MAX, len(final)
+    return earlier, final
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -183,18 +234,23 @@ def main() -> None:
         names = [n for n in names if n not in errors]
         spark.sparkContext._jvm.System.gc()
     timings = {n: round(t, 3) for n, t in timings.items()}
-    total = round(sum(timings.values()), 3)
-    out = {
-        "metric": "headline_queries_total_runtime",
-        "value": total,
-        "unit": "sec",
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full detail to a side file (never size-limited).
+    detail = {
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         "stage_counts": stage_counts,
+        "errors": errors,
     }
-    if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    earlier, final = format_output(timings, sf_val, stage_counts, errors)
+    for line in earlier:
+        print(line)
+    print(final)
 
 
 if __name__ == "__main__":

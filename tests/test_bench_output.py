@@ -1,0 +1,52 @@
+"""bench.py output contract: the driver keeps only the last ~2000 chars
+of stdout and parses the FINAL line. Round 5's official bench record was
+lost because stage_counts shared that line and pushed it to ~4.9 KB.
+These tests pin the contract without starting Spark."""
+
+import json
+
+import bench
+
+
+def _mk(n_queries: int):
+    timings = {f"query_name_number_{i:03d}": round(0.123 + i * 0.01, 3) for i in range(n_queries)}
+    stage_counts = {n: {"jobs": 3, "stages": 7, "tasks": 224} for n in timings}
+    return timings, stage_counts
+
+
+def test_final_line_compact_and_parseable_at_current_size():
+    timings, stage_counts = _mk(51)  # the current headline-set size
+    earlier, final = bench.format_output(timings, 0.1, stage_counts, {})
+    assert len(final) <= bench.FINAL_LINE_MAX
+    rec = json.loads(final)
+    assert rec["metric"] == "headline_queries_total_runtime"
+    assert rec["unit"] == "sec"
+    assert rec["value"] == round(sum(timings.values()), 3)
+    assert rec["queries"] == timings  # full detail fits at this scale
+    assert rec["sf"] == 0.1
+    # stage_counts live on an earlier line, never the final one
+    assert "stage_counts" not in rec
+    assert any("stage_counts" in json.loads(l) for l in earlier)
+
+
+def test_final_line_truncates_to_top_movers_when_oversized():
+    timings, stage_counts = _mk(400)  # would be ~16 KB if inlined
+    _, final = bench.format_output(timings, 0.1, stage_counts, {})
+    assert len(final) <= bench.FINAL_LINE_MAX
+    rec = json.loads(final)
+    assert rec["value"] == round(sum(timings.values()), 3)
+    kept = rec["queries"]
+    assert rec["queries_truncated_to_top"] == len(kept)
+    # kept set is the slowest queries, so the max dropped < min kept
+    dropped = {n: t for n, t in timings.items() if n not in kept}
+    assert max(dropped.values()) <= min(kept.values())
+
+
+def test_errors_reported_on_earlier_line_and_counted():
+    timings, stage_counts = _mk(10)
+    errors = {"bad_query": "ValueError: boom"}
+    earlier, final = bench.format_output(timings, 0.01, stage_counts, errors)
+    rec = json.loads(final)
+    assert rec["error_count"] == 1
+    assert "errors" not in rec or isinstance(rec.get("error_count"), int)
+    assert any("errors" in json.loads(l) for l in earlier)

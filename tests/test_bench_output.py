@@ -48,5 +48,26 @@ def test_errors_reported_on_earlier_line_and_counted():
     earlier, final = bench.format_output(timings, 0.01, stage_counts, errors)
     rec = json.loads(final)
     assert rec["error_count"] == 1
-    assert "errors" not in rec or isinstance(rec.get("error_count"), int)
+    assert "errors" not in rec  # the errors MAP never rides the final line
     assert any("errors" in json.loads(l) for l in earlier)
+
+
+def test_final_line_always_emitted_even_when_nothing_fits():
+    # pathological sf payload: even with queries fully trimmed the line
+    # would overflow — the degrade path drops per-query detail but MUST
+    # still emit a parseable headline record (a bare assert here would
+    # have lost the whole bench run)
+    timings, stage_counts = _mk(5)
+    huge_sf = "sf" * 2000
+    _, final = bench.format_output(timings, huge_sf, stage_counts, {})
+    rec = json.loads(final)
+    assert rec["metric"] == "headline_queries_total_runtime"
+    assert rec["value"] == round(sum(timings.values()), 3)
+    assert "queries" not in rec
+    assert rec["queries_dropped_oversize"] is True
+
+
+def test_truncation_warns_on_stderr(capsys):
+    timings, stage_counts = _mk(400)
+    bench.format_output(timings, 0.1, stage_counts, {})
+    assert "truncated to top" in capsys.readouterr().err

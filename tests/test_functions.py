@@ -241,3 +241,45 @@ def test_ann_lsh_cap_invariant(spark):
     big = sorted(map(tuple, S.ann_lsh_topk(df, dim=3, k=3, bucket_cap=10_000).collect()))
     small = sorted(map(tuple, S.ann_lsh_topk(df, dim=3, k=3, bucket_cap=5).collect()))
     assert big == small
+
+
+def test_derive_n_cells_grows_with_n():
+    # sqrt(N/64) clamped to [4, 4096] — must be monotone in N and hit
+    # both clamps at the extremes
+    sizes = [0, 100, 1_000, 100_000, 10_000_000, 1_000_000_000]
+    cells = [S.derive_n_cells(n) for n in sizes]
+    assert cells == sorted(cells)
+    assert cells[0] == 4 and cells[1] == 4          # floor clamp
+    assert cells[-1] == 3953                         # sqrt(1e9/64)
+    assert S.derive_n_cells(10**12) == 4096          # ceiling clamp
+    # target_cell_size steers the count
+    assert S.derive_n_cells(100_000, target_cell_size=16) > S.derive_n_cells(
+        100_000, target_cell_size=256
+    )
+
+
+def test_train_sample_is_id_decorrelated_and_deterministic(spark):
+    """An id-correlated corpus must not train on its lowest-id prefix:
+    the capped sample is ordered by md5(id), so it draws from the whole
+    id range — and stays deterministic across invocations."""
+    rows = [(i, [float(i), 0.0]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    X1 = S._train_sample(df, "embedding", "vec_id", cap=50)
+    X2 = S._train_sample(df, "embedding", "vec_id", cap=50)
+    assert (X1 == X2).all()
+    ids = sorted(int(v[0]) for v in X1)
+    # a lowest-id sample would be exactly 0..49; the decorrelated one
+    # must reach well past the prefix
+    assert ids != list(range(50))
+    assert max(ids) > 100
+
+
+def test_lit_sql_rejects_non_finite():
+    import math
+
+    import pytest
+
+    assert S._lit_sql(1.5) == "1.5D"
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError):
+            S._lit_sql(bad)

@@ -207,3 +207,60 @@ def test_csv_json_roundtrip_types(spark, tmp_path):
     for back in (IO.read_csv(spark, p_csv, df.schema), IO.read_json(spark, p_json, df.schema)):
         r = back.collect()[0]
         assert (r["a"], r["b"], r["c"], r["d"]) == rows[0]
+
+
+def test_read_lines_xz_hadoop_text_semantics(spark):
+    """The xz pass must match Hadoop LineRecordReader semantics so an
+    .xz file yields the same rows its decompressed sibling would: CR,
+    LF, and CRLF all terminate lines (no \\r tainting), and invalid
+    UTF-8 bytes are tolerated instead of aborting the directory scan."""
+    import lzma
+
+    d = tempfile.mkdtemp(prefix="ts_xzsem_")
+    payload = b"dos\r\nunix\nmac\rlast"
+    with open(os.path.join(d, "x.xz"), "wb") as f:
+        f.write(lzma.compress(payload))
+    got = sorted(r["line"] for r in IO.read_lines(spark, d).collect())
+    assert got == ["dos", "last", "mac", "unix"]
+    # same rows as the Hadoop text path reading the raw sibling
+    with open(os.path.join(d, "y.txt"), "wb") as f:
+        f.write(payload)
+    both = IO.read_lines(spark, d).groupBy("line").count().collect()
+    assert all(r["count"] == 2 for r in both)
+    # invalid UTF-8 inside an xz stream: scan survives, bad byte
+    # becomes the replacement char
+    d2 = tempfile.mkdtemp(prefix="ts_xzbad_")
+    with open(os.path.join(d2, "bad.xz"), "wb") as f:
+        f.write(lzma.compress(b"ok\nbad\xffbyte\n"))
+    rows = sorted(r["line"] for r in IO.read_lines(spark, d2).collect())
+    assert rows[1] == "ok" and rows[0] == "bad�byte"
+
+
+def test_thrill_lines_writer_sweep_is_job_scoped(spark):
+    """Two-phase-commit cleanup must not delete a CONCURRENT append
+    writer's in-flight temp file: the stray sweep is scoped by a
+    per-write job token (reference write_lines.hpp relies on unique
+    per-worker paths for the same isolation)."""
+    from thrill_spark.sources import linesource
+
+    linesource.register(spark)
+    d = tempfile.mkdtemp(prefix="ts_tok_") + "/out"
+    os.makedirs(d, exist_ok=True)
+    # simulate another job's in-flight temp (different job token)
+    foreign = os.path.join(d, "._tmp-deadbeef-0123abc")
+    with open(foreign, "wb") as f:
+        f.write(b"other job, still writing\n")
+    df = spark.range(10).select(F.concat(F.lit("v-"), F.col("id")).alias("line"))
+    (
+        df.write.format("thrill_lines")
+        .option("path", d)
+        .mode("append")
+        .save()
+    )
+    # this job committed its parts AND left the foreign temp alone
+    assert os.path.exists(foreign)
+    names = sorted(os.listdir(d))
+    parts = [f for f in names if f.startswith("part-")]
+    assert parts
+    own_tmps = [f for f in names if f.startswith("._tmp-") and f != os.path.basename(foreign)]
+    assert own_tmps == []  # this job's temps all renamed or swept

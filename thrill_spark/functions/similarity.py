@@ -44,8 +44,13 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _lit_sql(x: float) -> str:
-    """Exact double literal for Spark SQL text (repr round-trips)."""
-    return f"{float(x)!r}D"
+    """Exact double literal for Spark SQL text (repr round-trips).
+    Non-finite values (a NaN/inf centroid from degenerate training
+    data) would emit invalid SQL like `nanD` — fail loudly instead."""
+    v = float(x)
+    if v != v or v in (float("inf"), float("-inf")):
+        raise ValueError(f"_lit_sql: non-finite value {v!r} cannot be embedded in SQL")
+    return f"{v!r}D"
 
 
 def _dot_sql(a: str, b: str, dim: int) -> str:
@@ -332,33 +337,57 @@ def cosine_near_dup_pairs(
 
 
 def _train_sample(df: DataFrame, vec_col: str, id_col: str, cap: int):
-    """Bounded deterministic training sample: the `cap` lowest-id
-    vectors, collected as a cap x dim float64 matrix. Sort+limit plans
-    as TakeOrderedAndProject — one pass, no full shuffle — and the
-    driver holds at most cap*dim doubles regardless of corpus size.
-    Quantizer training on a fixed-size sample is the standard ANN
-    discipline (FAISS trains IVF/PQ on ~10-100k sampled vectors); the
-    distributed passes are encode and search only."""
+    """Bounded deterministic training sample: the `cap` vectors with
+    the lowest md5(id) — an id-DECORRELATED order, so an id-correlated
+    corpus (time-ordered crawl, per-source id blocks) cannot bias the
+    codebooks toward its earliest rows the way a lowest-id sample
+    would. Sort+limit still plans as TakeOrderedAndProject — one pass,
+    no full shuffle — and the driver holds at most cap*dim doubles
+    regardless of corpus size. Quantizer training on a fixed-size
+    sample is the standard ANN discipline (FAISS trains IVF/PQ on
+    ~10-100k sampled vectors); the distributed passes are encode and
+    search only."""
     import numpy as np
 
     rows = (
-        df.orderBy(id_col).limit(cap).select(F.col(vec_col).alias("_v")).collect()
+        df.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(cap)
+        .select(F.col(vec_col).alias("_v"))
+        .collect()
     )
     return np.asarray([[float(x) for x in r["_v"]] for r in rows], dtype=np.float64)
 
 
-def ivf_centroids(df: DataFrame, n_cells: int, vec_col: str = "embedding",
+def derive_n_cells(n_rows: int, target_cell_size: int = 64,
+                   max_cells: int = 4096) -> int:
+    """IVF cell count from corpus size: ceil(sqrt(N / target_cell_size)),
+    clamped to [4, max_cells]. Grows with N (≈4 at test fixtures, ~4k
+    cells at 10^9 rows) so per-cell candidate scans stay bounded while
+    the codebook remains a broadcastable few-MB literal; max_cells also
+    keeps the driver-side Lloyd rounds over the 16k training sample
+    meaningful (cells ≤ sample size)."""
+    import math
+
+    if n_rows <= 0:
+        return 4
+    return max(4, min(max_cells, math.ceil(math.sqrt(n_rows / float(target_cell_size)))))
+
+
+def ivf_centroids(df: DataFrame, n_cells: int | None, vec_col: str = "embedding",
                   id_col: str = "vec_id", iters: int = 2,
                   sample_cap: int = 16384, sample=None) -> DataFrame:
     """Trained coarse quantizer: spherical k-means with deterministic
-    lowest-id initialization and `iters` Lloyd rounds over a bounded
+    sample-order initialization and `iters` Lloyd rounds over a bounded
     driver-side sample (see _train_sample; examples/k-means/k-means.hpp
     is the loop shape — classify against current centroids, re-center
     by mean). Assignment = argmax cosine, ties to the lowest cell id;
-    empty cells keep their previous centroid. Returns the k x dim
-    codebook as a (cell_id, centroid) DataFrame."""
+    empty cells keep their previous centroid. `n_cells=None` derives
+    the cell count from the corpus size (see derive_n_cells). Returns
+    the k x dim codebook as a (cell_id, centroid) DataFrame."""
     import numpy as np
 
+    if n_cells is None:
+        n_cells = derive_n_cells(df.count())
     X = sample if sample is not None else _train_sample(df, vec_col, id_col, sample_cap)
     cents = X[: min(n_cells, len(X))].copy()
     xn = np.linalg.norm(X, axis=1)
@@ -382,7 +411,7 @@ def ivf_centroids(df: DataFrame, n_cells: int, vec_col: str = "embedding",
 def ann_ivf_topk(
     df: DataFrame,
     k: int = 5,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     nprobe: int = 1,
@@ -741,9 +770,9 @@ def pq_ann_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_mod: int = 25,
-    rescore_factor: int = 8,
-    train_iters: int = 2,
-    n_cells: int = 8,
+    rescore_factor: int = 16,
+    train_iters: int = 6,
+    n_cells: int | None = None,
     nprobe: int = 4,
 ) -> DataFrame:
     """IVF-PQ (Jégou et al. 2011 §V): an IVF coarse quantizer restricts
@@ -760,9 +789,11 @@ def pq_ann_topk(
     non-matching pairs): corpus rows are assigned to exactly ONE cell
     and probes explode to `nprobe` cells, so the candidate join is an
     equi-join on cell_id touching ~nprobe/n_cells of the code table per
-    probe instead of all N×Q pairs; n_cells scales with sqrt(N) to keep
-    cells bounded. Cell assignment itself is a literal-centroid scan —
-    no join, no window shuffle.
+    probe instead of all N×Q pairs; `n_cells=None` (the default)
+    derives the cell count from the corpus size — ceil(sqrt(N/64)),
+    see derive_n_cells — so cells stay bounded as N grows. Cell
+    assignment itself is a literal-centroid scan — no join, no window
+    shuffle.
 
     Returns (query_id, neighbor_id, rank). Probes = id % probe_mod == 0.
     """
@@ -771,6 +802,8 @@ def pq_ann_topk(
     import numpy as np
     import pandas as pd
 
+    if n_cells is None:
+        n_cells = derive_n_cells(df.count())
     nprobe = min(nprobe, n_cells)
     # one sample collect feeds both trainers
     X = _train_sample(df, vec_col, id_col, 16384)

@@ -428,11 +428,15 @@ def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Product-quantization ANN (Jégou et al. 2011): M=4 subspace codebooks,
-# ADC candidate scan over codes only, exact rescore of 8k candidates.
-# Recall-floor oracle vs brute-force cosine (the IVF pattern): the
-# fixture embeddings are near-uniform — the coarse-quantizer worst case
-# — measured recall@5 ~0.47-0.48 at sf0.001/0.01; floor 0.25.
+# IVF-PQ ANN (Jégou et al. 2011 §V): an IVF coarse quantizer
+# (n_cells derived from N, ceil(sqrt(N/64))) restricts the candidate
+# scan to each probe's top-nprobe cells; within them, M=4 subspace
+# codebooks rank candidates by asymmetric distance over codes only,
+# then the top rescore_factor*k are exactly rescored by cosine.
+# Recall-floor oracle vs brute-force cosine: the fixture embeddings
+# are near-uniform — the coarse-quantizer worst case — measured
+# recall@5 ~0.39-0.48 across sf0.001/0.01/0.1 with nprobe=4,
+# train_iters=6, rescore_factor=16; floor 0.25.
 # ---------------------------------------------------------------------------
 @query(
     "similarity_pq_ann",

@@ -52,13 +52,23 @@ def _read_lines_xz(spark: SparkSession, paths: list[str], name: str) -> DataFram
 
     def _dec(batches):
         import lzma
+        import re
 
         import pandas as pd
 
+        # Hadoop LineRecordReader semantics, so an .xz file yields the
+        # same rows its decompressed sibling would on the spark.read.text
+        # path: CR, LF, and CRLF are all line terminators (the \r is
+        # never part of the line), and undecodable bytes are tolerated
+        # (replacement char) instead of aborting the scan mid-directory.
+        _term = re.compile("\r\n|\r|\n")
+
         for pdf in batches:
             for content in pdf["content"]:
-                text = lzma.decompress(bytes(content)).decode("utf-8")
-                lines = text.split("\n")
+                text = lzma.decompress(bytes(content)).decode(
+                    "utf-8", errors="replace"
+                )
+                lines = _term.split(text)
                 if lines and lines[-1] == "":
                     lines.pop()
                 yield pd.DataFrame({name: lines})

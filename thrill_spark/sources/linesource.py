@@ -114,6 +114,12 @@ class ByteRangeLinesWriter(DataSourceWriter):
     def __init__(self, options):
         self.path = options["path"]
         self.col = options.get("col", "line")
+        # Per-write job token, minted once on the driver and shipped to
+        # every task inside the serialized writer: temp files are named
+        # ._tmp-{job}-{task} and commit/abort sweep ONLY this job's
+        # prefix, so a concurrent append-mode writer's in-flight temp
+        # files are never deleted by another job's cleanup.
+        self.job = uuid.uuid4().hex
         # 'xz' streams each part file through lzma — the third codec
         # the reference's vfs recognizes (file_io.cpp:48-50); gz/bz2
         # are served by Hadoop codecs on the standard text write path.
@@ -134,7 +140,7 @@ class ByteRangeLinesWriter(DataSourceWriter):
     def write(self, iterator):
         os.makedirs(self.path, exist_ok=True)
         token = uuid.uuid4().hex
-        tmp = os.path.join(self.path, f"._tmp-{token}")
+        tmp = os.path.join(self.path, f"._tmp-{self.job}-{token}")
         n = 0
         try:
             with self._open(tmp) as f:
@@ -163,12 +169,14 @@ class ByteRangeLinesWriter(DataSourceWriter):
         return _PartFile(tmp, final)
 
     def _sweep_stray_tmp(self, keep: set[str]) -> None:
-        """Remove ._tmp-* files no surviving commit message references
-        — left by tasks killed before returning a message (e.g. a
-        retried task's first attempt)."""
+        """Remove THIS JOB's ._tmp-{job}-* files that no surviving
+        commit message references — left by tasks killed before
+        returning a message (e.g. a retried task's first attempt).
+        Scoped by the job token so a concurrent writer into the same
+        directory (legal in append mode) keeps its in-flight temps."""
         import glob as _glob
 
-        for stray in _glob.glob(os.path.join(self.path, "._tmp-*")):
+        for stray in _glob.glob(os.path.join(self.path, f"._tmp-{self.job}-*")):
             if stray not in keep and os.path.exists(stray):
                 os.remove(stray)
 

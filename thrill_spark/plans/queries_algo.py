@@ -419,6 +419,64 @@ def q_io_xz_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mixed-codec directory (thrill/vfs/file_io.cpp:42-58: the reference
+# picks the decompression filter PER FILE from its extension, so one
+# directory can legally mix plain, .gz, and .xz members): a third of
+# the corpus is written with each codec into ONE directory and a
+# single read_lines scan unions the Hadoop-codec members (plain, gz)
+# with the per-file lzma pass (xz). At scale the read stays parallel:
+# per-split for plain, per-file for the non-splittable codecs.
+@query(
+    "io_mixed_codec_roundtrip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+)
+def q_io_mixed_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import shutil
+
+    from thrill_spark.sources import linesource
+
+    linesource.register(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.gettempdir(), "thrill_spark_mixed_codec")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    staging = {}
+    for tag, codec in (("plain", None), ("gz", "gzip")):
+        part = docs.filter(
+            F.col("doc_id") % 3 == (0 if tag == "plain" else 1)
+        ).select(F.col("text").cast("string").alias("value"))
+        d = os.path.join(out, f"_stage_{tag}")
+        w = part.write.mode("overwrite")
+        if codec:
+            w = w.option("compression", codec)
+        w.text(d)
+        staging[tag] = d
+    (
+        docs.filter(F.col("doc_id") % 3 == 2)
+        .select(F.col("text").alias("line"))
+        .write.format("thrill_lines")
+        .option("path", out)
+        .option("compression", "xz")
+        .mode("append")
+        .save()
+    )
+    # surface the staged part files as direct members of the mixed dir
+    for tag, d in staging.items():
+        for i, f in enumerate(sorted(_glob.glob(os.path.join(d, "part-*")))):
+            os.replace(f, os.path.join(out, f"{tag}-{i:05d}{os.path.splitext(f)[1] or '.txt'}"))
+        shutil.rmtree(d, ignore_errors=True)
+    back = IO.read_lines(spark, out)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("line")).alias("total_chars"),
+    )
+
+
 # Size-targeted WriteLines (thrill/api/write_lines.hpp:33 +
 # dia.hpp:823-845 `$$$$$`/`#####` templating): the reference re-shards
 # text output into files of a target size; write_lines(target_file_

@@ -116,5 +116,136 @@ def main() -> None:
     print(json.dumps({"k": k, "queries": report}, indent=2))
 
 
+
+
+# ---------------------------------------------------------------------------
+# heavy mode: the two ops whose cost is NOT driven by the fact tables —
+# suffix sorting (input = one long character sequence) and IVF-PQ ANN
+# (input = the embeddings table). `python tools/scale_check.py heavy [K]`
+# grows each op's OWN input K× and reports the runtime ratio; for n log n
+# (DC7) and ~linear (IVF-PQ at fixed probe count + sqrt(N) cells) shapes
+# the ratio should stay close to K on a fixed-core machine.
+# ---------------------------------------------------------------------------
+
+
+def _dc7_chars(spark, copies: int):
+    """Character rows (pos, ch) for `copies` concatenations of the
+    sf0.1 doc_id<20 text (the registered query's corpus). Repeated text
+    is a worst case for suffix sorting — long shared prefixes push the
+    recursion deep — so the ratio is conservative."""
+    docs = spark.read.parquet(f"{BASE}/documents.parquet").filter(
+        F.col("doc_id") < 20
+    )
+    lens = docs.select("doc_id", F.length("text").alias("_len"))
+    from thrill_spark import ordering as O
+
+    offs = O.prefix_sum(lens, ["doc_id"], "_len", name="_off", exclusive=True)
+    one = (
+        docs.join(offs.select("doc_id", "_off"), "doc_id")
+        .select(
+            F.col("_off"),
+            F.posexplode(F.split(F.col("text"), "")).alias("_i", "ch"),
+        )
+        .filter(F.col("ch") != "")
+        .select((F.col("_off") + F.col("_i")).alias("pos"), "ch")
+    )
+    total = one.count()
+    out = None
+    for i in range(copies):
+        c = one.select((F.col("pos") + F.lit(i * total)).alias("pos"), "ch")
+        out = c if out is None else out.unionByName(c)
+    return out, total * copies
+
+
+def heavy(k: int, only: str | None = None) -> None:
+    import time as _t
+
+    from thrill_spark.functions import similarity as S
+    from thrill_spark.plans import algorithms as A
+
+    spark = get_spark("scale_check_heavy")
+    report = {}
+
+    if only in (None, "dc7"):
+        _heavy_dc7(spark, k, report)
+    if only in (None, "pq"):
+        _heavy_pq(spark, k, report)
+    print(json.dumps({"k": k, "heavy": report}, indent=2))
+
+
+def _heavy_dc7(spark, k, report):
+    import time as _t
+
+    from thrill_spark.plans import algorithms as A
+
+    # --- DC7 suffix sorting: 1x vs kx character input
+    # untimed warmup (JVM/codegen) so the 1x number is steady-state
+    w_chars, w_n = _dc7_chars(spark, 1)
+    A.suffix_array_dc7(w_chars, w_n).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.catalog.clearCache()
+    times = {}
+    for copies in (1, k):
+        chars, n = _dc7_chars(spark, copies)
+        t0 = _t.perf_counter()
+        A.suffix_array_dc7(chars, n).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        times[copies] = round(_t.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+    report["suffix_array_dc7"] = {
+        "t_1x_s": times[1],
+        f"t_{k}x_s": times[k],
+        "ratio": round(times[k] / times[1], 2),
+    }
+
+
+def _heavy_pq(spark, k, report):
+    import time as _t
+
+    from thrill_spark.functions import similarity as S
+
+    # --- IVF-PQ: 1x vs kx embeddings, FIXED probe count (probe_mod
+    # scales with the copies so query volume stays constant and the
+    # ratio isolates index build + per-probe candidate scan growth)
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    n0 = emb.count()
+    # untimed warmup pass for the pq shape
+    S.pq_ann_topk(emb, k=5, m=4, ksub=16, probe_mod=25).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    spark.catalog.clearCache()
+    times = {}
+    for copies in (1, k):
+        big = None
+        for i in range(copies):
+            c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+            big = c if big is None else big.unionByName(c)
+        big = big.repartition(32).localCheckpoint()
+        best = None
+        for _ in range(2):  # min-of-2: drop one-time plan-compile cost
+            t0 = _t.perf_counter()
+            S.pq_ann_topk(
+                big, k=5, m=4, ksub=16, probe_mod=25 * copies
+            ).write.format("noop").mode("overwrite").save()
+            dt = _t.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+            spark.catalog.clearCache()
+        times[copies] = round(best, 2)
+    report["similarity_pq_ann"] = {
+        "n_rows_1x": n0,
+        "t_1x_s": times[1],
+        f"t_{k}x_s": times[k],
+        "ratio": round(times[k] / times[1], 2),
+    }
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "heavy":
+        heavy(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 4,
+            sys.argv[3] if len(sys.argv) > 3 else None,
+        )
+    else:
+        main()

@@ -512,6 +512,44 @@ def _halo_window(idf: DataFrame, size: int, aggs: dict[str, Column], partial_tai
     return out.drop("_bkt", "_halo")
 
 
+def flat_window_partial(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    size: int,
+    aggs: dict[str, Column],
+    size_col: str = "window_size",
+) -> DataFrame:
+    """Thrill FlatWindow WITH a partial-window function
+    (thrill/api/window.hpp:215-236): one output per START index — the
+    window is the k items beginning at that row, and the last <k
+    windows are emitted as partial suffixes (the drain loop PushData
+    runs on the last worker). Forward-halo mirror of _halo_window:
+    each bucket additionally receives copies of the FIRST k-1 rows of
+    the next bucket, so partition-local [current, current+k-1] frames
+    are exact globally — shuffle-bounded at any scale, no global
+    single-partition window."""
+    idf = with_index(df, order_by)
+    bucket_rows = max(size * 64, 65536)
+    b = F.floor(F.col(IDX) / F.lit(bucket_rows))
+    own = idf.withColumn("_bkt", b).withColumn("_halo", F.lit(False))
+    halo = (
+        idf.withColumn("_bkt", b - 1)
+        .filter(
+            ((F.col(IDX) % bucket_rows) <= size - 2)
+            & (F.col(IDX) >= bucket_rows)
+        )
+        .withColumn("_halo", F.lit(True))
+    )
+    both = own.unionByName(halo)
+    w = Window.partitionBy("_bkt").orderBy(IDX).rowsBetween(0, size - 1)
+    out = both.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias(size_col),
+        *[expr.over(w).alias(name) for name, expr in aggs.items()],
+    ).filter(~F.col("_halo"))
+    return out.drop("_bkt", "_halo")
+
+
 def disjoint_window(
     df: DataFrame,
     order_by: Sequence[str | Column],

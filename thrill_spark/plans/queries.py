@@ -422,6 +422,42 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# FlatWindow with a PARTIAL window function (thrill/api/window.hpp:
+# 215-236): windows are START-indexed — the frame is the k items
+# beginning at each row — and the trailing <k suffix windows are
+# emitted too (Thrill's partial_window_function_, drained by the last
+# worker). win_cnt IS each window's actual size, so the partial tail
+# is visible in the output (7,7,...,7,6,5,4,3,2,1).
+# ---------------------------------------------------------------------------
+@query(
+    "window_sliding_partial_tail",
+    """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (ORDER BY o_orderkey ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) AS DOUBLE)
+               AS win_sum,
+           COUNT(*) OVER (ORDER BY o_orderkey ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)
+               AS win_cnt
+    FROM orders
+    """,
+)
+def q_window_sliding_partial_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _dec("o_totalprice").alias("p")
+    )
+    out = O.flat_window_partial(
+        orders,
+        ["o_orderkey"],
+        size=7,
+        aggs={"win_sum": F.sum("p")},
+        size_col="win_cnt",
+    )
+    return out.select(
+        "o_orderkey", _dbl(F.col("win_sum")).alias("win_sum"), "win_cnt"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Disjoint (tumbling) window (thrill/api/window.hpp:389 DisjointWindowNode)
 # ---------------------------------------------------------------------------
 @query(

@@ -960,6 +960,13 @@ def q_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank; the prefix length is the first mismatch position over the
     shorter suffix (zero-position trick, chained projections)."""
     ranked, _, txt = _doc0_ranked(spark, sf_dir)
+    return _lcp_from_ranked(ranked, txt)
+
+
+def _lcp_from_ranked(ranked: DataFrame, txt: DataFrame) -> DataFrame:
+    """(rank, lcp) from a (pos, rank) suffix table + 1-row `_txt` frame
+    (construct_lcp.hpp output contract; shared by the doc0 and
+    part-names fixtures)."""
     prev = ranked.select((F.col("rank") + 1).alias("rank"), F.col("pos").alias("_ppos"))
     adj = (
         ranked.join(prev, "rank", "left")
@@ -1048,6 +1055,116 @@ def q_suffix_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit = F.expr(
         "code div cast(pow(2, 5 - level) as bigint)"
     ) % 2
+    return lv.groupBy(
+        F.col("level").cast("int").alias("level"), node.cast("long").alias("node")
+    ).agg(
+        F.count_if(bit == 0).cast("long").alias("n0"),
+        F.count_if(bit == 1).cast("long").alias("n1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Second fixture column for the suffix family (the reference's suffix
+# programs take ANY input sequence — examples/suffix_sorting reads
+# arbitrary files): LCP + wavelet over the concatenated part-name
+# string instead of documents.text — different alphabet (lowercase +
+# space, heavy word repetition across names → long LCPs), same output
+# contracts as the doc0 queries.
+# ---------------------------------------------------------------------------
+def _partnames_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row `_txt` frame: p_name of the first 40 parts joined by ' '
+    in p_partkey order (array_sort on (key, name) structs — an
+    order-deterministic aggregate, unlike bare collect_list)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 40)
+    return part.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p_partkey", "p_name"))),
+                lambda s: s["p_name"],
+            ),
+            " ",
+        ).alias("_txt")
+    )
+
+
+@query(
+    "suffix_lcp_partnames",
+    """
+    WITH s AS (SELECT string_agg(p_name, ' ' ORDER BY p_partkey) AS text
+               FROM part WHERE p_partkey <= 40),
+    p AS (SELECT text, unnest(generate_series(0, length(text)-1)) AS pos
+          FROM s),
+    r AS (SELECT pos, ROW_NUMBER() OVER (ORDER BY substr(text, pos+1)) - 1 AS rnk,
+                 text
+          FROM p),
+    adj AS (
+      SELECT rnk, text,
+             substr(text, LAG(pos) OVER (ORDER BY rnk) + 1) AS s_prev,
+             substr(text, pos + 1) AS s_cur
+      FROM r),
+    lcp AS (
+      SELECT rnk,
+             CASE WHEN s_prev IS NULL THEN 0
+                  ELSE coalesce(
+                    (SELECT MIN(i) - 1
+                     FROM unnest(generate_series(1,
+                            least(length(s_prev), length(s_cur)))) AS t(i)
+                     WHERE substr(s_prev, i, 1) <> substr(s_cur, i, 1)),
+                    least(length(s_prev), length(s_cur)))
+             END AS v
+      FROM adj)
+    SELECT CAST(rnk AS BIGINT) AS rank, CAST(v AS BIGINT) AS lcp
+    FROM lcp
+    """,
+)
+def q_suffix_lcp_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    txt = _partnames_text(spark, sf_dir)
+    chars = txt.select(
+        F.posexplode(F.split(F.col("_txt"), "")).alias("pos", "ch")
+    ).filter(F.col("ch") != "")
+    n = chars.count()
+    ranked = A.suffix_array(chars, n)
+    return _lcp_from_ranked(ranked, txt)
+
+
+@query(
+    "suffix_wavelet_partnames",
+    f"""
+    WITH s AS (SELECT string_agg(p_name, ' ' ORDER BY p_partkey) AS text
+               FROM part WHERE p_partkey <= 40),
+    p AS (SELECT text, unnest(generate_series(0, length(text)-1)) AS pos
+          FROM s),
+    ch AS (SELECT substr(text, pos+1, 1) AS c FROM p),
+    alpha AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) - 1 AS code
+              FROM (SELECT DISTINCT c FROM ch)),
+    coded AS (SELECT code FROM ch JOIN alpha USING (c)),
+    lv AS (SELECT code, unnest(generate_series(0, {_WT_LEVELS - 1})) AS level
+           FROM coded)
+    SELECT CAST(level AS INT) AS level,
+           CAST(code // CAST(pow(2, {_WT_LEVELS} - level) AS BIGINT) AS BIGINT)
+             AS node,
+           CAST(COUNT(*) FILTER (WHERE (code // CAST(pow(2, {_WT_LEVELS - 1}
+                - level) AS BIGINT)) % 2 = 0) AS BIGINT) AS n0,
+           CAST(COUNT(*) FILTER (WHERE (code // CAST(pow(2, {_WT_LEVELS - 1}
+                - level) AS BIGINT)) % 2 = 1) AS BIGINT) AS n1
+    FROM lv GROUP BY level, node
+    """,
+)
+def q_suffix_wavelet_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from thrill_spark import ordering as O
+
+    txt = _partnames_text(spark, sf_dir)
+    chars = txt.select(
+        F.posexplode(F.split(F.col("_txt"), "")).alias("pos", "c")
+    ).filter(F.col("c") != "")
+    alpha = O.with_index(chars.select("c").distinct(), ["c"], name="code")
+    coded = chars.join(alpha, "c").select("code")
+    lv = coded.select(
+        "code",
+        F.explode(F.sequence(F.lit(0), F.lit(_WT_LEVELS - 1))).alias("level"),
+    )
+    node = F.expr("code div cast(pow(2, 6 - level) as bigint)")
+    bit = F.expr("code div cast(pow(2, 5 - level) as bigint)") % 2
     return lv.groupBy(
         F.col("level").cast("int").alias("level"), node.cast("long").alias("node")
     ).agg(

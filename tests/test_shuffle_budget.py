@@ -154,6 +154,11 @@ BUDGETS = {
     "corpus_quota_apportionment": 1,
     "events_decay_counters": 2,
     "io_datasource_write_roundtrip": 1,
+    # round-7 additions (measured)
+    "window_sliding_partial_tail": 1,  # forward-halo bucket exchange
+    "io_mixed_codec_roundtrip": 1,  # scalar-agg SinglePartition only
+    "suffix_lcp_partnames": 1,
+    "suffix_wavelet_partnames": 3,
 }
 
 

@@ -553,12 +553,17 @@ def test_byte_range_writer_abort_and_null_rejection(tmp_path):
     with pytest.raises(ValueError, match="NULL"):
         w.write(iter([{"line": "ok"}, {"line": None}]))
     assert not [f for f in os.listdir(d) if f.startswith("._tmp-")]
-    # abort() removes message'd tmp files AND strays from dead tasks
+    # abort() removes message'd tmp files AND this job's strays from
+    # dead tasks — but NOT another job's in-flight temps (the sweep is
+    # scoped by the per-write job token; see
+    # tests/test_sources.py::test_thrill_lines_writer_sweep_is_job_scoped)
     m = w.write(iter([{"line": "a"}]))
-    stray = os.path.join(d, "._tmp-deadbeef")
-    open(stray, "w").write("partial")
+    own_stray = os.path.join(d, f"._tmp-{w.job}-deadtask")
+    open(own_stray, "w").write("partial")
+    foreign = os.path.join(d, "._tmp-otherjob-inflight")
+    open(foreign, "w").write("other writer, still running")
     w.abort([m])
-    assert os.listdir(d) == []
+    assert os.listdir(d) == ["._tmp-otherjob-inflight"]
 
 
 # ---------------------------------------------------------------------------

@@ -124,12 +124,18 @@ _R8_WINDOW = [
     "multimodal_wav_frame_energy",
     "nation_revenue_yoy",
     "corpus_vocab_growth",
-    # r7-built additions (never windowed; 41 names total → r8 window
+    # r7-built additions (never windowed; 47 names total → r8 window
     # is _R8_WINDOW topped up to 50 in registry order)
     "io_mixed_codec_roundtrip",
     "window_sliding_partial_tail",
     "suffix_lcp_partnames",
     "suffix_wavelet_partnames",
+    "events_theta_setops",
+    "events_seq_pattern_support",
+    "profile_benford_totalprice",
+    "ml_token_vote_classifier",
+    "events_histogram_quantiles",
+    "suffix_fm_count_doc0",
 ]
 
 _DRIVER_WINDOW_PRIORITY = _R7_WINDOW

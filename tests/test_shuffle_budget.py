@@ -121,6 +121,14 @@ BUDGETS = {
     "corpus_epoch_shuffles": 2,
     # sharded top-k (2) + day merge (1) + exact-distinct side (2)
     "events_kmv_sketch": 5,
+    # r7 analytics batch (measured): sketch/ut tables persisted, so the
+    # consumer plan shuffles only the tiny post-cache aggregates
+    "events_theta_setops": 2,
+    "events_seq_pattern_support": 2,
+    "profile_benford_totalprice": 3,
+    "ml_token_vote_classifier": 6,
+    "events_histogram_quantiles": 4,
+    "suffix_fm_count_doc0": 0,
     "events_sliding_distinct_users": 2,
     "events_markov_transitions": 2,
     "layout_hilbert_stats": 1,

@@ -667,3 +667,4 @@ from thrill_spark.plans import queries_corpus  # noqa: E402,F401
 from thrill_spark.plans import queries_pipeline  # noqa: E402,F401
 from thrill_spark.plans import queries_mining  # noqa: E402,F401
 from thrill_spark.plans import queries_curation  # noqa: E402,F401
+from thrill_spark.plans import queries_analytics  # noqa: E402,F401

@@ -1,0 +1,602 @@
+"""Queries batch: mergeable-sketch analytics and index-backed search —
+theta-sketch set operations, sequential-pattern support counting, a
+Benford-law data-quality profile, an integer token-vote classifier,
+bucket-histogram quantile sketching, and FM-index backward-search
+occurrence counting over the doc0 BWT.
+
+Reference anchors: the theta/quantile sketches extend the reference's
+sketch surface (thrill api/hyperloglog.hpp is its only sketch; these
+add the mergeable set-operation and quantile sides the same way
+functions/sketches.py added frequency). FM counting completes the
+suffix-sorting family (examples/suffix_sorting/ builds SA/BWT/LCP;
+the FM-index is the canonical CONSUMER of that output). The pattern /
+classifier / Benford queries are training-data-pipeline operators with
+no reference analogue.
+
+Determinism contract (see tests/oracle.py): every output column is
+exact-integer, string, or boolean — md5-derived hashes, integer
+division, struct-min argmax with explicit tie-breaks — so the DuckDB
+oracle hash-matches bit-for-bit at every sf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from thrill_spark.catalog import load_table
+from thrill_spark.functions import text as TX
+from thrill_spark.plans import algorithms as A
+from thrill_spark.plans.queries import query
+from thrill_spark.plans.queries_llm import SQL_TOKS
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set operations: per-event-type KMV/theta sketches, then
+# pairwise union AND intersection estimates — the operation family HLL
+# cannot do (HLL unions but never intersects). All-integer (md5 hashes,
+# integer division) so the oracle replays the sketch itself; a 2x band
+# vs the exact answer is the statistical check (k=64 -> rse ~ 12.6%).
+# ---------------------------------------------------------------------------
+_TH_K = 64
+_TH_SHARDS = 16
+_TH_SPACE = 1 << 60  # md5_long range
+
+
+def _sql_theta() -> str:
+    md5l = "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    return f"""
+    WITH h AS (SELECT DISTINCT event_type, {md5l} AS hv FROM events),
+    shard_k AS (
+      SELECT event_type, hv FROM (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type, hv % {_TH_SHARDS}
+                                  ORDER BY hv) AS rn
+        FROM h) WHERE rn <= {_TH_K}),
+    sk AS (
+      SELECT event_type, hv, rn FROM (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM shard_k) WHERE rn <= {_TH_K}),
+    th AS (
+      SELECT event_type,
+             COALESCE(MAX(CASE WHEN rn = {_TH_K} THEN hv END), {_TH_SPACE}) AS theta
+      FROM sk GROUP BY event_type),
+    pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+              FROM th a, th b WHERE a.event_type < b.event_type),
+    pt AS (SELECT p.ta, p.tb, LEAST(x.theta, y.theta) AS theta
+           FROM pairs p JOIN th x ON x.event_type = p.ta
+                        JOIN th y ON y.event_type = p.tb),
+    ac AS (SELECT p.ta, p.tb, COUNT(*) AS cnt FROM pt p
+           JOIN sk a ON a.event_type = p.ta AND a.hv < p.theta
+           GROUP BY 1, 2),
+    bc AS (SELECT p.ta, p.tb, COUNT(*) AS cnt FROM pt p
+           JOIN sk b ON b.event_type = p.tb AND b.hv < p.theta
+           GROUP BY 1, 2),
+    ic AS (SELECT p.ta, p.tb, COUNT(*) AS cnt FROM pt p
+           JOIN sk a ON a.event_type = p.ta AND a.hv < p.theta
+           JOIN sk b ON b.event_type = p.tb AND b.hv = a.hv
+           GROUP BY 1, 2),
+    ut AS (SELECT DISTINCT event_type, user_id FROM events),
+    ec AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+    ei AS (SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n
+           FROM ut a JOIN ut b ON a.user_id = b.user_id
+                                AND a.event_type < b.event_type
+           GROUP BY 1, 2),
+    est AS (
+      SELECT pt.ta, pt.tb,
+             (COALESCE(ac.cnt, 0) + COALESCE(bc.cnt, 0) - COALESCE(ic.cnt, 0))
+               * ({_TH_SPACE} // pt.theta) AS est_u,
+             COALESCE(ic.cnt, 0) * ({_TH_SPACE} // pt.theta) AS est_i,
+             ea.n + eb.n - COALESCE(ei.n, 0) AS ex_u,
+             COALESCE(ei.n, 0) AS ex_i
+      FROM pt
+      LEFT JOIN ac ON ac.ta = pt.ta AND ac.tb = pt.tb
+      LEFT JOIN bc ON bc.ta = pt.ta AND bc.tb = pt.tb
+      LEFT JOIN ic ON ic.ta = pt.ta AND ic.tb = pt.tb
+      LEFT JOIN ei ON ei.ta = pt.ta AND ei.tb = pt.tb
+      JOIN ec ea ON ea.event_type = pt.ta
+      JOIN ec eb ON eb.event_type = pt.tb)
+    SELECT ta AS type_a, tb AS type_b,
+           CAST(est_u AS BIGINT) AS est_union,
+           CAST(ex_u AS BIGINT) AS exact_union,
+           CAST(est_i AS BIGINT) AS est_inter,
+           CAST(ex_i AS BIGINT) AS exact_inter,
+           (2 * est_u >= ex_u AND est_u <= 2 * ex_u
+            AND 2 * est_i >= ex_i AND est_i <= 2 * ex_i) AS band_ok
+    FROM est
+    """
+
+
+@query("events_theta_setops", _sql_theta())
+def q_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations over per-event-type user sets:
+    sketch_X = the k smallest distinct user-hashes of type X, theta_X =
+    the k-th min (SPACE when |X| < k: exact mode). For a pair, with
+    theta = min(theta_A, theta_B), |A∩B| ~= |{h in both sketches,
+    h < theta}| * SPACE/theta and |A∪B| by inclusion-exclusion on the
+    same capped counts — the intersection estimate HLL cannot produce.
+
+    Scale: same distributed top-k discipline as events_kmv_sketch
+    (per-(type, shard) row_number first, then the per-type merge ranks
+    <= shards*k survivors); all pairwise work happens on the <= 5*64-row
+    sketch table, never on raw users. The exact sides (for the band
+    check) are keyed aggregations by user, no all-pairs anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type", TX.md5_long(F.col("user_id").cast("string")).alias("hv")
+    ).distinct()
+    w_shard = Window.partitionBy("event_type", F.col("hv") % _TH_SHARDS).orderBy("hv")
+    shard_k = (
+        h.withColumn("rn", F.row_number().over(w_shard))
+        .filter(F.col("rn") <= _TH_K)
+        .drop("rn")
+    )
+    w_t = Window.partitionBy("event_type").orderBy("hv")
+    # The sketch table (<= types*k rows) and the distinct (type, user)
+    # table are each referenced by several downstream aggregates;
+    # persist so the sketch pipeline runs once, not once per reference.
+    sk = (
+        shard_k.withColumn("rn", F.row_number().over(w_t))
+        .filter(F.col("rn") <= _TH_K)
+        .persist()
+    )
+    th = sk.groupBy("event_type").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == _TH_K, F.col("hv"))), F.lit(_TH_SPACE)
+        ).alias("theta")
+    )
+    ta = th.select(F.col("event_type").alias("ta"), F.col("theta").alias("th_a"))
+    tb = th.select(F.col("event_type").alias("tb"), F.col("theta").alias("th_b"))
+    pt = (
+        ta.crossJoin(F.broadcast(tb))
+        .filter(F.col("ta") < F.col("tb"))
+        .select("ta", "tb", F.least("th_a", "th_b").alias("theta"))
+    )
+    ska = sk.select(F.col("event_type").alias("ta"), "hv")
+    skb = sk.select(F.col("event_type").alias("tb"), "hv")
+    ac = (
+        F.broadcast(pt).join(ska, "ta")
+        .filter(F.col("hv") < F.col("theta"))
+        .groupBy("ta", "tb").agg(F.count("*").alias("cnt_a"))
+    )
+    bc = (
+        F.broadcast(pt).join(skb, "tb")
+        .filter(F.col("hv") < F.col("theta"))
+        .groupBy("ta", "tb").agg(F.count("*").alias("cnt_b"))
+    )
+    ic = (
+        F.broadcast(pt).join(ska, "ta")
+        .filter(F.col("hv") < F.col("theta"))
+        .join(skb, ["tb", "hv"])
+        .groupBy("ta", "tb").agg(F.count("*").alias("cnt_i"))
+    )
+    ut = ev.select("event_type", "user_id").distinct().persist()
+    ec = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    ei = (
+        ut.select(F.col("event_type").alias("ta"), "user_id")
+        .join(ut.select(F.col("event_type").alias("tb"), "user_id"), "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb").agg(F.count("*").alias("n_i"))
+    )
+    mult = F.expr(f"{_TH_SPACE} div theta")
+    est_u = (
+        F.coalesce("cnt_a", F.lit(0))
+        + F.coalesce("cnt_b", F.lit(0))
+        - F.coalesce("cnt_i", F.lit(0))
+    ) * mult
+    est_i = F.coalesce("cnt_i", F.lit(0)) * mult
+    ex_u = F.col("n_a") + F.col("n_b") - F.coalesce("n_i", F.lit(0))
+    ex_i = F.coalesce("n_i", F.lit(0))
+    return (
+        pt.join(ac, ["ta", "tb"], "left")
+        .join(bc, ["ta", "tb"], "left")
+        .join(ic, ["ta", "tb"], "left")
+        .join(ei, ["ta", "tb"], "left")
+        .join(ec.select(F.col("event_type").alias("ta"), F.col("n").alias("n_a")), "ta")
+        .join(ec.select(F.col("event_type").alias("tb"), F.col("n").alias("n_b")), "tb")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            est_u.cast("long").alias("est_union"),
+            ex_u.cast("long").alias("exact_union"),
+            est_i.cast("long").alias("est_inter"),
+            ex_i.cast("long").alias("exact_inter"),
+            (
+                (est_u * 2 >= ex_u) & (est_u <= ex_u * 2)
+                & (est_i * 2 >= ex_i) & (est_i <= ex_i * 2)
+            ).alias("band_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential-pattern support (GSP/PrefixSpan support-counting core):
+# adjacent event-type bigrams per user's time-ordered stream.
+# ---------------------------------------------------------------------------
+@query(
+    "events_seq_pattern_support",
+    """
+    WITH s AS (SELECT user_id, event_type,
+                      LAG(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events)
+    SELECT prev AS type_from, event_type AS type_to,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS support_users
+    FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def q_seq_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-2 sequential-pattern support: for every adjacent
+    (prev -> next) event-type transition in a user's ts-ordered stream,
+    the occurrence count and the user support (the two measures
+    sequence miners threshold on). Deterministic ordering via the
+    (ts, event_id) tie-break.
+
+    Scale: one hash shuffle by user_id for the lag window, then a
+    keyed agg over at most |types|^2 groups — no driver state."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.withColumn("prev", F.lag("event_type").over(w))
+    return (
+        s.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("type_from"), F.col("event_type").alias("type_to"))
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.count_distinct("user_id").cast("long").alias("support_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford-law data-quality profile over order totals (fraud/synthetic-
+# data screen): observed vs expected leading-digit distribution, in
+# integer permille so the oracle is exact.
+# ---------------------------------------------------------------------------
+_BENFORD_PERMILLE = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58, 8: 51, 9: 46}
+
+
+def _sql_benford() -> str:
+    case = " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PERMILLE.items())
+    return f"""
+    WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+               FROM orders),
+    d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit FROM c),
+    g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM g)
+    SELECT g.digit,
+           CAST(g.n AS BIGINT) AS n,
+           CAST(g.n * 1000 // t.total AS BIGINT) AS obs_permille,
+           CAST(CASE g.digit {case} END AS BIGINT) AS exp_permille,
+           CAST(abs(g.n * 1000 // t.total - CASE g.digit {case} END) AS BIGINT)
+             AS dev_permille
+    FROM g, t
+    """
+
+
+@query("profile_benford_totalprice", _sql_benford())
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit profile of o_totalprice: per digit, the
+    observed permille share vs the Benford expectation (fixed integer
+    constants for log10(1+1/d) — never libm) and the absolute
+    deviation. Leading digit is read from the decimal string of the
+    exact cents integer, so both engines see identical digits.
+
+    Scale: one map-side-combinable 9-group aggregation plus a scalar
+    total broadcast — nothing keyed by row identity."""
+    exp_col = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PERMILLE.items() for x in kv]
+    )
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    d = o.select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+    g = d.groupBy("digit").agg(F.count("*").alias("n"))
+    total = g.agg(F.sum("n").alias("total"))
+    obs = F.expr("n * 1000 div total")
+    exp_ = F.element_at(exp_col, F.col("digit")).cast("long")
+    return (
+        g.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            obs.cast("long").alias("obs_permille"),
+            exp_.alias("exp_permille"),
+            F.abs(obs - exp_).cast("long").alias("dev_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Integer token-vote language classifier: train/test split by doc_id,
+# per-token argmax-lang votes from the train split, per-doc majority
+# vote on the test split. Every argmax is a struct-min with explicit
+# (count desc, lang asc) tie-breaks, so predictions are deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_token_vote_classifier",
+    f"""
+    WITH docs AS (SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents),
+    tl AS (SELECT unnest(toks) AS tok, lang FROM docs WHERE doc_id % 3 <> 0),
+    tc AS (SELECT tok, lang, COUNT(*) AS n FROM tl GROUP BY 1, 2),
+    tv AS (SELECT tok, lang AS vote FROM (
+             SELECT tok, lang,
+                    ROW_NUMBER() OVER (PARTITION BY tok
+                                       ORDER BY n DESC, lang) AS rn
+             FROM tc) WHERE rn = 1),
+    modal AS (SELECT lang AS m FROM (
+                SELECT lang, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, lang) AS rn
+                FROM docs WHERE doc_id % 3 <> 0 GROUP BY lang) WHERE rn = 1),
+    tt AS (SELECT doc_id, unnest(toks) AS tok FROM docs WHERE doc_id % 3 = 0),
+    dv AS (SELECT t.doc_id, v.vote, COUNT(*) AS n
+           FROM tt t JOIN tv v USING (tok) GROUP BY 1, 2),
+    pred AS (SELECT doc_id, vote FROM (
+               SELECT doc_id, vote,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY n DESC, vote) AS rn
+               FROM dv) WHERE rn = 1)
+    SELECT d.doc_id,
+           COALESCE(p.vote, (SELECT m FROM modal)) AS predicted_lang,
+           d.lang AS actual_lang,
+           COALESCE(p.vote, (SELECT m FROM modal)) = d.lang AS correct
+    FROM documents d LEFT JOIN pred p USING (doc_id)
+    WHERE d.doc_id % 3 = 0
+    """,
+)
+def q_token_vote_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-vote language classifier: each train-split token votes for
+    its most frequent lang; a test doc's prediction is the majority
+    vote of its known tokens (unknown-token docs fall back to the train
+    modal lang). Integer counts and struct-min argmax throughout — the
+    naive-Bayes shape without FP log-likelihoods, so the oracle is
+    bit-exact.
+
+    Scale: vocab table keyed by token (hash join with the exploded test
+    tokens), per-doc argmax is a keyed struct-min agg — no windows over
+    raw rows, no driver-side model state."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", TX.tokens("text").alias("toks")
+    )
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    test = docs.filter(F.col("doc_id") % 3 == 0)
+    tc = (
+        train.select(F.explode("toks").alias("tok"), "lang")
+        .groupBy("tok", "lang").agg(F.count("*").alias("n"))
+    )
+    tv = tc.groupBy("tok").agg(
+        F.min(F.struct((-F.col("n")).alias("nn"), F.col("lang").alias("l"))).alias("m")
+    ).select("tok", F.col("m.l").alias("vote"))
+    modal = (
+        train.groupBy("lang").agg(F.count("*").alias("n"))
+        .agg(F.min(F.struct((-F.col("n")).alias("nn"), F.col("lang").alias("l"))).alias("m"))
+        .select(F.col("m.l").alias("modal_lang"))
+    )
+    dv = (
+        test.select("doc_id", F.explode("toks").alias("tok"))
+        .join(tv, "tok")
+        .groupBy("doc_id", "vote").agg(F.count("*").alias("n"))
+    )
+    pred = dv.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("n")).alias("nn"), F.col("vote").alias("v"))).alias("m")
+    ).select("doc_id", F.col("m.v").alias("pred"))
+    predicted = F.coalesce("pred", "modal_lang")
+    return (
+        test.select("doc_id", F.col("lang").alias("actual_lang"))
+        .join(pred, "doc_id", "left")
+        .crossJoin(F.broadcast(modal))
+        .select(
+            "doc_id",
+            predicted.alias("predicted_lang"),
+            "actual_lang",
+            (predicted == F.col("actual_lang")).alias("correct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable bucket-histogram quantile sketch over events.value, with an
+# exact within-bucket refinement — the fixed-bin cousin of t-digest /
+# KLL whose estimate the oracle can replay exactly.
+# ---------------------------------------------------------------------------
+_HQ_W = 1000  # bucket width in cents
+_HQ_QS = (500, 900, 990)  # permille targets
+
+
+def _sql_hist_quantiles() -> str:
+    vals = ", ".join(f"({q})" for q in _HQ_QS)
+    return f"""
+    WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+    h AS (SELECT cents // {_HQ_W} AS bucket, COUNT(*) AS cnt FROM c GROUP BY 1),
+    cum AS (SELECT bucket, cnt,
+                   CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+            FROM h),
+    tot AS (SELECT COUNT(*) AS n FROM c),
+    q(q_permille) AS (VALUES {vals}),
+    tg AS (SELECT q_permille, (q_permille * n + 999) // 1000 AS t FROM q, tot),
+    eb AS (SELECT tg.q_permille, tg.t, MIN(cum.bucket) AS b
+           FROM tg JOIN cum ON cum.cum >= tg.t GROUP BY 1, 2),
+    ebc AS (SELECT eb.q_permille, eb.t, eb.b, cum.cum - cum.cnt AS cum_before
+            FROM eb JOIN cum ON cum.bucket = eb.b),
+    ex AS (SELECT e.q_permille, e.t, e.b, c.cents,
+                  ROW_NUMBER() OVER (PARTITION BY e.q_permille
+                                     ORDER BY c.cents) AS rn,
+                  e.cum_before
+           FROM ebc e JOIN c ON c.cents // {_HQ_W} = e.b)
+    SELECT CAST(q_permille AS BIGINT) AS q_permille,
+           CAST(t AS BIGINT) AS target_rank,
+           CAST(b * {_HQ_W} AS BIGINT) AS est_lo_cents,
+           CAST(cents AS BIGINT) AS exact_cents,
+           CAST(cents - b * {_HQ_W} AS BIGINT) AS err_cents
+    FROM ex WHERE cum_before + rn = t
+    """
+
+
+@query("events_histogram_quantiles", _sql_hist_quantiles())
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles via a mergeable fixed-width histogram sketch: bucket
+    counts (one map-side-combinable agg) locate each permille target's
+    bucket; the estimate is the bucket's lower edge; an exact
+    within-the-one-bucket rank refinement recovers the true value and
+    err_cents (< bucket width by construction) records the sketch
+    error. The selected VALUE at a rank is deterministic even when
+    equal cents tie on row identity.
+
+    Scale: the sketch is ~max_cents/W rows (merged via broadcast
+    non-equi self-join, never a global window); the refinement sorts
+    ONLY the rows of the target buckets, keyed by q — at 100 TB you
+    would recurse the refinement on a narrower width instead of one
+    in-bucket window."""
+    qdf = spark.createDataFrame([(q,) for q in _HQ_QS], "q_permille long")
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"))
+    # The ~max_cents/W-row sketch is referenced by the cumsum (twice),
+    # the total, and the target-bucket lookup — persist so the full
+    # scan that builds it runs exactly once.
+    h = c.groupBy(F.expr(f"cents div {_HQ_W}").alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    ).persist()
+    h2 = h.select(F.col("bucket").alias("b2"), F.col("cnt").alias("c2"))
+    cum = (
+        h.join(F.broadcast(h2), F.col("b2") <= F.col("bucket"))
+        .groupBy("bucket", "cnt")
+        .agg(F.sum("c2").cast("long").alias("cum"))
+    )
+    tot = h.agg(F.sum("cnt").alias("n"))
+    tg = qdf.crossJoin(F.broadcast(tot)).select(
+        "q_permille", F.expr("(q_permille * n + 999) div 1000").alias("t")
+    )
+    eb = (
+        F.broadcast(tg).join(cum, F.col("cum") >= F.col("t"))
+        .groupBy("q_permille", "t").agg(F.min("bucket").alias("b"))
+    )
+    ebc = eb.join(
+        cum.select("bucket", (F.col("cum") - F.col("cnt")).alias("cum_before")),
+        eb["b"] == F.col("bucket"),
+    ).select("q_permille", "t", "b", "cum_before")
+    ex = c.withColumn("bucket", F.expr(f"cents div {_HQ_W}")).join(
+        F.broadcast(ebc), F.col("bucket") == F.col("b")
+    )
+    w = Window.partitionBy("q_permille").orderBy("cents")
+    return (
+        ex.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("cum_before") + F.col("rn") == F.col("t"))
+        .select(
+            F.col("q_permille").cast("long").alias("q_permille"),
+            F.col("t").cast("long").alias("target_rank"),
+            (F.col("b") * _HQ_W).cast("long").alias("est_lo_cents"),
+            F.col("cents").cast("long").alias("exact_cents"),
+            (F.col("cents") - F.col("b") * _HQ_W).cast("long").alias("err_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# FM-index backward-search counting over doc0: builds BWT + C-table +
+# rank probes from the distributed suffix array, then counts pattern
+# occurrences WITHOUT scanning the text — the canonical consumer of the
+# suffix_sorting family's output (reference examples/suffix_sorting/
+# builds SA/BWT/LCP; this query is why those structures exist). The
+# oracle verifies the FM counts against a direct position-scan count,
+# so a green row proves the index machinery, not just the arithmetic.
+# ---------------------------------------------------------------------------
+_FM_PATTERNS = ("sort", "batch", "row", "the")
+_FM_SENTINEL = "\x01"  # unique terminator, never in the (lowercased) text
+
+# The replace-based oracle is only exact for border-free patterns
+# (no proper prefix that is also a suffix => matches cannot overlap).
+for _p in _FM_PATTERNS:
+    if any(_p[:_k] == _p[-_k:] for _k in range(1, len(_p))):
+        raise ValueError(f"FM pattern {_p!r} has a border; oracle would undercount")
+
+
+def _sql_fm_count() -> str:
+    # Replace-based occurrence count. Exact (== overlapping count)
+    # because every pattern in _FM_PATTERNS is border-free: with no
+    # proper prefix that is also a suffix, matches can never overlap.
+    vals = ", ".join(f"('{p}')" for p in _FM_PATTERNS)
+    return f"""
+    WITH t AS (SELECT lower(text) AS txt FROM documents WHERE doc_id = 0),
+    pats(pattern) AS (VALUES {vals})
+    SELECT p.pattern,
+           CAST((length(t.txt) - length(replace(t.txt, p.pattern, '')))
+                // length(p.pattern) AS BIGINT) AS n_occ
+    FROM pats p, t
+    """
+
+
+@query("suffix_fm_count_doc0", _sql_fm_count())
+def q_fm_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FM-index occurrence counting: suffix-sort lower(doc0)+sentinel
+    (prefix doubling, the same distributed path as suffix_array_doc0),
+    derive the BWT, then run backward search per pattern — each step
+    maps [lo, hi) through lo' = C[c] + rank(c, lo) via batched rank
+    probes (one broadcast-join job per pattern step over the persisted
+    BWT, all patterns probed together). The C-table and per-step probe
+    results are bounded driver scalars (alphabet-size / 2 rows per
+    pattern). The oracle counts the same patterns by direct substring
+    scan, so the hash match certifies the index agrees with the text.
+
+    Scale: loop length = pattern length (never data size); at corpus
+    scale you'd persist sampled occ checkpoints instead of counting
+    rank probes from scratch, same contract."""
+    doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
+    s = doc.select(
+        F.concat(F.lower(F.col("text")), F.lit(_FM_SENTINEL)).alias("_s")
+    )
+    chars = s.select(
+        F.posexplode(F.split(F.col("_s"), "")).alias("pos", "ch")
+    ).filter(F.col("ch") != "")
+    n1 = chars.count()
+    ranked = A.suffix_array(chars, n1)
+    prev = chars.select((F.col("pos") + 1).alias("pos"), F.col("ch").alias("_prev"))
+    bwt = (
+        ranked.join(prev, "pos", "left")
+        .select("rank", F.coalesce("_prev", F.lit(_FM_SENTINEL)).alias("ch"))
+        .persist()
+    )
+    try:
+        # C-table: chars strictly smaller than c across the whole BWT
+        # (bounded: alphabet-size rows).
+        counts = {r["ch"]: r["n"] for r in
+                  bwt.groupBy("ch").agg(F.count("*").alias("n")).collect()}
+        ctab: dict[str, int] = {}
+        acc = 0
+        for ch in sorted(counts):
+            ctab[ch] = acc
+            acc += counts[ch]
+        # Backward search, all patterns stepped together; probe batch j
+        # asks rank(c_j, lo) and rank(c_j, hi) for every live pattern.
+        state: dict[str, tuple[int, int]] = {p: (0, n1) for p in _FM_PATTERNS}
+        max_len = max(len(p) for p in _FM_PATTERNS)
+        for j in range(1, max_len + 1):
+            probes = []
+            for p, (lo, hi) in state.items():
+                if j > len(p) or lo >= hi:
+                    continue
+                c = p[len(p) - j]
+                if c not in ctab:
+                    state[p] = (0, 0)
+                    continue
+                probes.append((p, c, lo))
+                probes.append((p, c, hi))
+            if not probes:
+                break
+            pdf = spark.createDataFrame(probes, "p string, c string, i long")
+            got = (
+                bwt.join(
+                    F.broadcast(pdf),
+                    (F.col("ch") == F.col("c")) & (F.col("rank") < F.col("i")),
+                )
+                .groupBy("p", "i").agg(F.count("*").alias("occ"))
+                .collect()
+            )
+            occ = {(r["p"], r["i"]): r["occ"] for r in got}
+            for p, c, _ in probes[::2]:
+                lo, hi = state[p]
+                state[p] = (
+                    ctab[c] + occ.get((p, lo), 0),
+                    ctab[c] + occ.get((p, hi), 0),
+                )
+        rows = [(p, max(hi - lo, 0)) for p, (lo, hi) in state.items()]
+    finally:
+        bwt.unpersist()
+    return spark.createDataFrame(rows, "pattern string, n_occ long")

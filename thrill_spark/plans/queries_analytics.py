@@ -432,7 +432,10 @@ def _sql_hist_quantiles() -> str:
 
 @query("events_histogram_quantiles", _sql_hist_quantiles())
 def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantiles via a mergeable fixed-width histogram sketch: bucket
+    """Quantiles via a mergeable fixed-width histogram sketch —
+    extends events_histogram_quantile (which bounds only the median's
+    bin on the [0,1) value slice) to multiple permille targets over the
+    full range WITH exact recovery of each target value: bucket
     counts (one map-side-combinable agg) locate each permille target's
     bucket; the estimate is the bucket's lower edge; an exact
     within-the-one-bucket rank refinement recovers the true value and
@@ -523,29 +526,44 @@ def _sql_fm_count() -> str:
     """
 
 
-@query("suffix_fm_count_doc0", _sql_fm_count())
-def q_fm_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FM-index occurrence counting: suffix-sort lower(doc0)+sentinel
-    (prefix doubling, the same distributed path as suffix_array_doc0),
-    derive the BWT, then run backward search per pattern — each step
-    maps [lo, hi) through lo' = C[c] + rank(c, lo) via batched rank
-    probes (one broadcast-join job per pattern step over the persisted
-    BWT, all patterns probed together). The C-table and per-step probe
-    results are bounded driver scalars (alphabet-size / 2 rows per
-    pattern). The oracle counts the same patterns by direct substring
-    scan, so the hash match certifies the index agrees with the text.
+def fm_backward_count(
+    spark: SparkSession, text_df: DataFrame, patterns: tuple[str, ...]
+) -> list[tuple[str, int]]:
+    """FM-index backward-search occurrence counts for `patterns` over
+    the single-row text_df (column `_s`, already case-normalized).
+
+    Suffix-sorts text+sentinel (prefix doubling, the same distributed
+    path as suffix_array_doc0), derives the BWT, then runs backward
+    search — each step maps [lo, hi) through lo' = C[c] + rank(c, lo)
+    via batched rank probes (one broadcast-join job per pattern step
+    over the persisted BWT, all patterns probed together). The C-table
+    and per-step probe results are bounded driver scalars (alphabet-
+    size / 2 rows per pattern). Counts OVERLAPPING occurrences (every
+    suffix of text+sentinel starting with the pattern), which the
+    replace-based oracle cannot express — the bordered-pattern case is
+    certified by unit test instead.
 
     Scale: loop length = pattern length (never data size); at corpus
     scale you'd persist sampled occ checkpoints instead of counting
     rank probes from scratch, same contract."""
-    doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
-    s = doc.select(
-        F.concat(F.lower(F.col("text")), F.lit(_FM_SENTINEL)).alias("_s")
-    )
+    s = text_df.select(F.concat(F.col("_s"), F.lit(_FM_SENTINEL)).alias("_s"))
     chars = s.select(
         F.posexplode(F.split(F.col("_s"), "")).alias("pos", "ch")
     ).filter(F.col("ch") != "")
     n1 = chars.count()
+    return fm_search_chars(spark, chars, n1, patterns)
+
+
+def fm_search_chars(
+    spark: SparkSession,
+    chars: DataFrame,
+    n1: int,
+    patterns: tuple[str, ...],
+) -> list[tuple[str, int]]:
+    """Backward search over a pre-distributed (pos, ch) character table
+    whose LAST position holds the unique sentinel — the entry point for
+    long texts, where exploding a single text row would put the whole
+    sequence through one task (see tools/scale_check.py heavy fm)."""
     ranked = A.suffix_array(chars, n1)
     prev = chars.select((F.col("pos") + 1).alias("pos"), F.col("ch").alias("_prev"))
     bwt = (
@@ -565,8 +583,8 @@ def q_fm_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc += counts[ch]
         # Backward search, all patterns stepped together; probe batch j
         # asks rank(c_j, lo) and rank(c_j, hi) for every live pattern.
-        state: dict[str, tuple[int, int]] = {p: (0, n1) for p in _FM_PATTERNS}
-        max_len = max(len(p) for p in _FM_PATTERNS)
+        state: dict[str, tuple[int, int]] = {p: (0, n1) for p in patterns}
+        max_len = max(len(p) for p in patterns)
         for j in range(1, max_len + 1):
             probes = []
             for p, (lo, hi) in state.items():
@@ -599,4 +617,17 @@ def q_fm_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = [(p, max(hi - lo, 0)) for p, (lo, hi) in state.items()]
     finally:
         bwt.unpersist()
+    return rows
+
+
+@query("suffix_fm_count_doc0", _sql_fm_count())
+def q_fm_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FM-index occurrence counting over lower(doc0) — see
+    fm_backward_count for the index mechanics. The oracle counts the
+    same (border-free) patterns by direct substring scan, so the hash
+    match certifies the index agrees with the text; overlapping
+    (bordered) patterns are certified by tests/test_fm_index.py."""
+    doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
+    text_df = doc.select(F.lower(F.col("text")).alias("_s"))
+    rows = fm_backward_count(spark, text_df, _FM_PATTERNS)
     return spark.createDataFrame(rows, "pattern string, n_occ long")

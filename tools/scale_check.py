@@ -51,6 +51,11 @@ QUERY_SET = [
     "corpus_span_corruption",
     "interval_join_promotions",
     "corpus_token_budget",
+    # r7 analytics batch, linear by construction (Benford is one 9-group
+    # agg over orders; the classifier's vote table is vocabulary-bounded
+    # and every other step is keyed by token or doc)
+    "profile_benford_totalprice",
+    "ml_token_vote_classifier",
 ]
 KEY_SHIFT = 1_000_000_000
 
@@ -170,6 +175,8 @@ def heavy(k: int, only: str | None = None) -> None:
         _heavy_dc7(spark, k, report)
     if only in (None, "pq"):
         _heavy_pq(spark, k, report)
+    if only in (None, "fm"):
+        _heavy_fm(spark, k, report)
     print(json.dumps({"k": k, "heavy": report}, indent=2))
 
 
@@ -235,6 +242,37 @@ def _heavy_pq(spark, k, report):
         times[copies] = round(best, 2)
     report["similarity_pq_ann"] = {
         "n_rows_1x": n0,
+        "t_1x_s": times[1],
+        f"t_{k}x_s": times[k],
+        "ratio": round(times[k] / times[1], 2),
+    }
+
+
+def _heavy_fm(spark, k, report):
+    import time as _t
+
+    from thrill_spark.plans import queries_analytics as QA
+
+    # --- FM-index backward search: 1x vs kx character input via the
+    # pre-distributed chars entry point (a single text row would push
+    # the whole sequence through one explode task). Cost = suffix sort
+    # (n log n) + |pattern| rank-probe scans over the BWT (linear).
+    def _chars_with_sentinel(copies: int):
+        chars, n = _dc7_chars(spark, copies)
+        sent = spark.createDataFrame([(n, QA._FM_SENTINEL)], "pos long, ch string")
+        return chars.unionByName(sent), n + 1
+
+    w_chars, w_n = _chars_with_sentinel(1)
+    QA.fm_search_chars(spark, w_chars, w_n, QA._FM_PATTERNS)  # warmup
+    spark.catalog.clearCache()
+    times = {}
+    for copies in (1, k):
+        chars, n1 = _chars_with_sentinel(copies)
+        t0 = _t.perf_counter()
+        QA.fm_search_chars(spark, chars, n1, QA._FM_PATTERNS)
+        times[copies] = round(_t.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+    report["suffix_fm_count"] = {
         "t_1x_s": times[1],
         f"t_{k}x_s": times[k],
         "ratio": round(times[k] / times[1], 2),

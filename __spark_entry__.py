@@ -124,8 +124,8 @@ _R8_WINDOW = [
     "multimodal_wav_frame_energy",
     "nation_revenue_yoy",
     "corpus_vocab_growth",
-    # r7-built additions (never windowed; 47 names total → r8 window
-    # is _R8_WINDOW topped up to 50 in registry order)
+    # r7-built additions (never windowed; 50 names total — the r8
+    # window is now fully explicit, no registry-order top-up needed)
     "io_mixed_codec_roundtrip",
     "window_sliding_partial_tail",
     "suffix_lcp_partnames",
@@ -136,6 +136,9 @@ _R8_WINDOW = [
     "ml_token_vote_classifier",
     "events_histogram_quantiles",
     "suffix_fm_count_doc0",
+    "basket_apriori_triples",
+    "text_inverted_index_search",
+    "events_cusum_change_detection",
 ]
 
 _DRIVER_WINDOW_PRIORITY = _R7_WINDOW

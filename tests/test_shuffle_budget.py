@@ -129,6 +129,9 @@ BUDGETS = {
     "ml_token_vote_classifier": 6,
     "events_histogram_quantiles": 4,
     "suffix_fm_count_doc0": 0,
+    "basket_apriori_triples": 2,
+    "text_inverted_index_search": 2,
+    "events_cusum_change_detection": 4,
     "events_sliding_distinct_users": 2,
     "events_markov_transitions": 2,
     "layout_hilbert_stats": 1,

@@ -631,3 +631,224 @@ def q_fm_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_df = doc.select(F.lower(F.col("text")).alias("_s"))
     rows = fm_backward_count(spark, text_df, _FM_PATTERNS)
     return spark.createDataFrame(rows, "pattern string, n_occ long")
+
+
+# ---------------------------------------------------------------------------
+# A-Priori rung 2: candidate TRIPLES generated from frequent pairs
+# (join L2 with itself on the shared first item, prune by the
+# all-subsets-frequent property), then exact-counted against baskets —
+# the candidate-generation step that makes A-Priori an algorithm rather
+# than one co-occurrence join (basket_frequent_pairs is rung 1).
+# ---------------------------------------------------------------------------
+_AP_PAIR_SUPPORT = 2
+_AP_TOPK = 50
+
+
+@query(
+    "basket_apriori_triples",
+    f"""
+    WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    l2 AS (SELECT a.p AS p1, b.p AS p2 FROM items a
+           JOIN items b ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING COUNT(*) >= {_AP_PAIR_SUPPORT}),
+    c3 AS (SELECT x.p1, x.p2, y.p2 AS p3
+           FROM l2 x JOIN l2 y ON x.p1 = y.p1 AND x.p2 < y.p2
+           WHERE EXISTS (SELECT 1 FROM l2 z
+                         WHERE z.p1 = x.p2 AND z.p2 = y.p2)),
+    cnt AS (SELECT c3.p1, c3.p2, c3.p3, COUNT(*) AS support
+            FROM c3
+            JOIN items i1 ON i1.p = c3.p1
+            JOIN items i2 ON i2.o = i1.o AND i2.p = c3.p2
+            JOIN items i3 ON i3.o = i1.o AND i3.p = c3.p3
+            GROUP BY 1, 2, 3)
+    SELECT p1, p2, p3, CAST(support AS BIGINT) AS support FROM (
+      SELECT p1, p2, p3, support,
+             ROW_NUMBER() OVER (ORDER BY support DESC, p1, p2, p3) AS rn
+      FROM cnt) WHERE rn <= {_AP_TOPK}
+    """,
+)
+def q_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-Priori candidate generation: frequent pairs (L2) self-join on
+    the shared first item, prune candidates whose third pair is not in
+    L2 (the downward-closure property), exact-count survivors against
+    baskets, top-k with full tie-break ordering. The prune is what
+    keeps this scale-safe: candidate triples collapse from all basket
+    triples to the L2-closed set (measured 3258 -> 1370 supported at
+    sf0.001, 1 -> 1 at sf0.1) — never an unpruned 3-way explode.
+
+    Scale: L2 is a basket self-join bounded by items-per-basket
+    squared; C3 is an L2 self-join keyed by item plus a semi-join
+    prune; counting re-joins candidates to baskets on (basket, item)
+    hash keys. L2 and the item table are persisted (each referenced
+    3x)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    a = items.select("o", F.col("p").alias("p1"))
+    b = items.select("o", F.col("p").alias("p2"))
+    l2 = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= _AP_PAIR_SUPPORT)
+        .select("p1", "p2")
+        .persist()
+    )
+    x = l2
+    y = l2.select(F.col("p1"), F.col("p2").alias("p3"))
+    c3 = (
+        x.join(y, "p1")
+        .filter(F.col("p2") < F.col("p3"))
+        .join(
+            l2.select(F.col("p1").alias("p2"), F.col("p2").alias("p3")),
+            ["p2", "p3"],
+            "left_semi",
+        )
+    )
+    i1 = items.select("o", F.col("p").alias("p1"))
+    i2 = items.select("o", F.col("p").alias("p2"))
+    i3 = items.select("o", F.col("p").alias("p3"))
+    cnt = (
+        c3.join(i1, "p1")
+        .join(i2, ["o", "p2"])
+        .join(i3, ["o", "p3"])
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+    return cnt.orderBy(
+        F.col("support").desc(), "p1", "p2", "p3"
+    ).limit(_AP_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Inverted index + conjunctive boolean retrieval: postings build, AND
+# query over fixed terms, integer tf-sum ranking — the search-engine
+# primitive the TF-IDF pair query does not expose.
+# ---------------------------------------------------------------------------
+_INV_TERMS = ("data", "sort", "batch")
+_INV_TOPK = 20
+
+
+def _sql_inverted() -> str:
+    terms = ", ".join(f"'{t}'" for t in _INV_TERMS)
+    return f"""
+    WITH tk AS (SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk
+           WHERE tok IN ({terms}) GROUP BY 1, 2),
+    hit AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(tf) AS BIGINT) AS score
+            FROM tf GROUP BY doc_id HAVING COUNT(*) = {len(_INV_TERMS)})
+    SELECT doc_id, score, n_terms FROM (
+      SELECT doc_id, score, n_terms,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+      FROM hit) WHERE rn <= {_INV_TOPK}
+    """
+
+
+@query("text_inverted_index_search", _sql_inverted())
+def q_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive boolean retrieval over an inverted index: per-term
+    postings with term frequencies, an AND intersection (docs holding
+    every query term), integer tf-sum ranking, deterministic top-k
+    (score desc, doc_id asc).
+
+    Scale: postings are keyed by token — the term filter prunes the
+    explode to the query vocabulary before any shuffle, so the
+    intersection aggregates |terms| postings lists, never the corpus
+    vocabulary; ranking sorts only the intersection."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+        .filter(F.col("tok").isin(*_INV_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    hit = (
+        tf.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("tf").cast("long").alias("score"),
+        )
+        .filter(F.col("n_terms") == len(_INV_TERMS))
+    )
+    return hit.select("doc_id", "score", "n_terms").orderBy(
+        F.col("score").desc(), "doc_id"
+    ).limit(_INV_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection over daily event counts per type:
+# cumulative deviation from the per-type integer mean, max-drawup
+# (S_d - running_min S) locates the shift day. All-integer, so the
+# oracle replays the detector exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "events_cusum_change_detection",
+    """
+    WITH d AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                      COUNT(*) AS c
+               FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, SUM(c) // COUNT(*) AS mean_daily
+          FROM d GROUP BY event_type),
+    s AS (SELECT d.event_type, d.day, d.c, m.mean_daily,
+                 CAST(SUM(d.c - m.mean_daily) OVER (
+                      PARTITION BY d.event_type ORDER BY d.day
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM d JOIN m USING (event_type)),
+    w AS (SELECT event_type, day, mean_daily,
+                 cum - MIN(cum) OVER (PARTITION BY event_type ORDER BY day
+                                      ROWS UNBOUNDED PRECEDING) AS drawup
+          FROM s)
+    SELECT event_type, day AS change_day,
+           CAST(drawup AS BIGINT) AS max_drawup,
+           CAST(mean_daily AS BIGINT) AS mean_daily
+    FROM (SELECT event_type, day, mean_daily, drawup,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY drawup DESC, day) AS rn
+          FROM w) WHERE rn = 1
+    """,
+)
+def q_cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM-style change-point detection: per event type, the day
+    maximizing the drawup of the cumulative deviation from the integer
+    daily mean (cumsum minus its running minimum — the windowed form of
+    the reset-at-zero CUSUM recursion). Earliest-day tie-break; integer
+    mean via floor division, so both engines replay the detector
+    bit-for-bit.
+
+    Scale: one keyed daily rollup, then windows over the per-type DAY
+    table (days-per-type rows, not events), argmax via row_number."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("day")
+    ).agg(F.count("*").alias("c"))
+    m = d.groupBy("event_type").agg(
+        F.expr("sum(c) div count(*)").alias("mean_daily")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = d.join(m, "event_type").withColumn(
+        "cum", F.sum(F.col("c") - F.col("mean_daily")).over(w_cum).cast("long")
+    )
+    w = s.withColumn(
+        "drawup", F.col("cum") - F.min("cum").over(w_cum)
+    )
+    best = w.groupBy("event_type").agg(
+        F.min(
+            F.struct((-F.col("drawup")).alias("nd"), F.col("day").alias("dy"),
+                     F.col("mean_daily").alias("md"))
+        ).alias("m")
+    )
+    return best.select(
+        "event_type",
+        F.col("m.dy").alias("change_day"),
+        (-F.col("m.nd")).cast("long").alias("max_drawup"),
+        F.col("m.md").cast("long").alias("mean_daily"),
+    )

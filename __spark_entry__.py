@@ -141,6 +141,14 @@ _R8_WINDOW = [
     "events_cusum_change_detection",
 ]
 
+# Overflow queue: r7-built queries that did not fit the 50-slot r8
+# window — they head the r9 rotation (top up from registry order).
+_R9_QUEUE = [
+    "orders_rollup_revenue",
+    "lineitem_cube_flags",
+    "layout_zonemap_pruning",
+]
+
 _DRIVER_WINDOW_PRIORITY = _R7_WINDOW
 assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
 

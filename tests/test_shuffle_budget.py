@@ -132,6 +132,9 @@ BUDGETS = {
     "basket_apriori_triples": 2,
     "text_inverted_index_search": 2,
     "events_cusum_change_detection": 4,
+    "orders_rollup_revenue": 1,
+    "lineitem_cube_flags": 1,
+    "layout_zonemap_pruning": 2,
     "events_sliding_distinct_users": 2,
     "events_markov_transitions": 2,
     "layout_hilbert_stats": 1,

@@ -852,3 +852,176 @@ def q_cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("m.nd")).cast("long").alias("max_drawup"),
         F.col("m.md").cast("long").alias("mean_daily"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS surface: ROLLUP and CUBE with explicit grouping bits —
+# the multi-level aggregate API (subtotals + grand total in one pass,
+# partial-agg friendly) that the per-key groupBy queries never exercise.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_rollup_revenue",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+             AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP revenue: (status, priority) detail plus per-status
+    subtotals plus the grand total, one logical aggregation — Catalyst
+    expands the sets and keeps the partial-agg (map-side combine)
+    shape. Grouping bits are computed explicitly (grouping(a)*2 +
+    grouping(b)) so both engines agree regardless of their native
+    grouping_id bit order; exact cents sums keep the hash bit-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    return (
+        o.withColumn("_cents", cents)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            ).cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("_cents").cast("long").alias("revenue_cents"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid", "n_orders", "revenue_cents",
+        )
+    )
+
+
+@query(
+    "lineitem_cube_flags",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): every grouping-set combination
+    including the per-linestatus marginals ROLLUP omits. l_quantity is
+    integral in the fixtures, so the BIGINT cast-then-sum is exact on
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("_q", F.col("l_quantity").cast("long"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            (
+                F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+            ).cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("_q").cast("long").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid", "n_lines", "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruning simulation: the WHY of layout_zorder_stats. Bucket
+# orders into "files" under (a) the natural write order (orderkey
+# prefix) and (b) Z-order prefix, attach min/max footers, and count how
+# many files a custkey-range scan can skip under each layout.
+# ---------------------------------------------------------------------------
+# 8-bit mod-buckets for both dims so each fills its range at EVERY sf
+# (raw custkey spans only ~14 bits at sf0.1, which would leave the
+# z-prefix carrying orderkey bits alone and nothing to prune on).
+_ZM_BITS = 8
+_ZM_FILE_SHIFT = 2 * _ZM_BITS - 6  # 64 z-prefix "files"
+_ZM_NAT_SHIFT = 16 - 6  # 64 sequential orderkey-prefix "files"
+_ZM_LO, _ZM_HI = 64, 95  # one x-octant: x bits 5..7 == 010
+
+
+def _sql_zonemap() -> str:
+    from thrill_spark.functions import layout as LAY
+
+    zv = LAY.sql_zvalue("(o_custkey % 256)", "(o_orderkey % 256)", _ZM_BITS)
+    return f"""
+    WITH base AS (SELECT (o_custkey % 256) AS xm, (o_orderkey & 65535) AS ym,
+                         {zv} AS zval
+                  FROM orders),
+    files AS (
+      SELECT 'natural' AS layout, ym >> {_ZM_NAT_SHIFT} AS fid, xm FROM base
+      UNION ALL
+      SELECT 'zorder' AS layout, zval >> {_ZM_FILE_SHIFT} AS fid, xm FROM base),
+    footer AS (SELECT layout, fid, MIN(xm) AS min_x, MAX(xm) AS max_x,
+                      COUNT(*) AS n_rows
+               FROM files GROUP BY 1, 2)
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(COUNT(*) FILTER (WHERE max_x >= {_ZM_LO} AND min_x <= {_ZM_HI})
+                AS BIGINT) AS files_scanned,
+           CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+           CAST(COALESCE(SUM(n_rows) FILTER (WHERE max_x >= {_ZM_LO}
+                                             AND min_x <= {_ZM_HI}), 0)
+                AS BIGINT) AS rows_scanned
+    FROM footer GROUP BY layout
+    """
+
+
+@query("layout_zonemap_pruning", _sql_zonemap())
+def q_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file-skipping simulation: rows bucketed into 32 'files'
+    by layout-key prefix (a real sorted write fills files in key order,
+    so prefix buckets are the deterministic stand-in for global file
+    ranks — no global row_number funnel), min/max footers per file,
+    then a custkey-range predicate counts scannable files under each
+    layout. Natural orderkey order is uncorrelated with custkey, so its
+    footers straddle the range everywhere; Z-order localizes it — the
+    measured justification for the zorder_layout rewrite.
+
+    Scale: two map-side-combinable footer aggregations (32 groups each)
+    and a 2-group final rollup; nothing keyed by row identity."""
+    from thrill_spark.functions import layout as LAY
+
+    o = load_table(spark, sf_dir, "orders")
+    xm = F.col("o_custkey") % 256
+    ym8 = F.col("o_orderkey") % 256
+    ym = F.col("o_orderkey").bitwiseAND(F.lit(65535))
+    base = o.select(
+        xm.alias("xm"), ym.alias("ym"),
+        LAY.zvalue(xm, ym8, _ZM_BITS).alias("zval"),
+    )
+    nat = base.select(
+        F.lit("natural").alias("layout"),
+        F.shiftright("ym", _ZM_NAT_SHIFT).alias("fid"), "xm",
+    )
+    zo = base.select(
+        F.lit("zorder").alias("layout"),
+        F.shiftright("zval", _ZM_FILE_SHIFT).alias("fid"), "xm",
+    )
+    footer = (
+        nat.unionByName(zo)
+        .groupBy("layout", "fid")
+        .agg(
+            F.min("xm").alias("min_x"),
+            F.max("xm").alias("max_x"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    hit = (F.col("max_x") >= _ZM_LO) & (F.col("min_x") <= _ZM_HI)
+    return footer.groupBy("layout").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("files_scanned"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        F.sum(F.when(hit, F.col("n_rows")).otherwise(0)).cast("long")
+          .alias("rows_scanned"),
+    )

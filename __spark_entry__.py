@@ -147,6 +147,7 @@ _R9_QUEUE = [
     "orders_rollup_revenue",
     "lineitem_cube_flags",
     "layout_zonemap_pruning",
+    "suffix_lcs_doc01",
 ]
 
 _DRIVER_WINDOW_PRIORITY = _R7_WINDOW

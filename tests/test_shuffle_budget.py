@@ -135,6 +135,8 @@ BUDGETS = {
     "orders_rollup_revenue": 1,
     "lineitem_cube_flags": 1,
     "layout_zonemap_pruning": 2,
+    # suffix sort lag-joins + scalar max/min stages (post-checkpoint)
+    "suffix_lcs_doc01": 9,
     "events_sliding_distinct_users": 2,
     "events_markov_transitions": 2,
     "layout_hilbert_stats": 1,

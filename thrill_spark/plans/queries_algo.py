@@ -1243,3 +1243,96 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("src"), F.col("v").alias("dst")
     )
     return A.strongly_connected_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# Generalized suffix array: longest common substring of doc0 and doc1.
+# The multi-string extension of the suffix-sorting family (reference
+# examples/suffix_sorting/ sorts one sequence): concatenate with a
+# unique separator, suffix-sort, and the LCS is the maximum LCP over
+# ADJACENT rank pairs whose suffixes start in different documents.
+# ---------------------------------------------------------------------------
+_LCS_SEP = "\x01"  # smaller than every text char, never in the fixtures
+
+
+@query(
+    "suffix_lcs_doc01",
+    """
+    WITH a AS (SELECT text AS ta FROM documents WHERE doc_id = 0),
+    b AS (SELECT text AS tb FROM documents WHERE doc_id = 1),
+    ag AS (SELECT ta, unnest(generate_series(1, length(ta))) AS L FROM a),
+    agi AS (SELECT ta, L, i FROM (
+              SELECT ta, L, unnest(generate_series(1, length(ta))) AS i FROM ag)
+            WHERE i <= length(ta) - L + 1),
+    asub AS (SELECT DISTINCT L, substr(ta, i, L) AS sub FROM agi),
+    bg AS (SELECT tb, unnest(generate_series(1, length(tb))) AS L FROM b),
+    bgi AS (SELECT tb, L, i FROM (
+              SELECT tb, L, unnest(generate_series(1, length(tb))) AS i FROM bg)
+            WHERE i <= length(tb) - L + 1),
+    bsub AS (SELECT DISTINCT L, substr(tb, i, L) AS sub FROM bgi),
+    c AS (SELECT x.L, x.sub FROM asub x JOIN bsub y ON x.L = y.L AND x.sub = y.sub),
+    mx AS (SELECT COALESCE(MAX(L), 0) AS lcs_len FROM c)
+    SELECT CAST(mx.lcs_len AS BIGINT) AS lcs_len,
+           COALESCE((SELECT MIN(sub) FROM c WHERE c.L = mx.lcs_len), '') AS lcs
+    FROM mx
+    """,
+)
+def q_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest common substring via a GENERALIZED suffix array:
+    suffix-sort doc0 + SEP + doc1 (prefix doubling, the family's
+    distributed path), reuse the LCP machinery on adjacent ranks, and
+    take the max LCP over pairs whose suffixes start in different
+    documents (the classic generalized-SA theorem; the separator is
+    lexicographically minimal and absent from both texts, so no common
+    prefix can span it). Emits the length and the lexicographically
+    smallest substring attaining it. The oracle brute-forces the
+    substring-set intersection per length, so the hash match certifies
+    the suffix structure against first principles.
+
+    Scale: suffix sort + one lag join + one scalar max + one filtered
+    scalar min — at corpus scale the same plan runs on the DC7 sorter
+    with Kasai LCP, identical output contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    d0 = docs.filter(F.col("doc_id") == 0).select(F.col("text").alias("_t0"))
+    d1 = docs.filter(F.col("doc_id") == 1).select(F.col("text").alias("_t1"))
+    txt = d0.crossJoin(d1).select(
+        F.concat(F.col("_t0"), F.lit(_LCS_SEP), F.col("_t1")).alias("_txt"),
+        F.length("_t0").alias("_n0"),
+    )
+    n0 = int(txt.select("_n0").first()[0])  # bounded scalar: one doc length
+    chars = txt.select(
+        F.posexplode(F.split(F.col("_txt"), "")).alias("pos", "ch")
+    ).filter(F.col("ch") != "")
+    n = chars.count()
+    ranked = A.suffix_array(chars, n)
+    label = (
+        F.when(F.col("pos") < n0, F.lit(0))
+        .when(F.col("pos") == n0, F.lit(-1))
+        .otherwise(F.lit(1))
+    )
+    rl = ranked.select("rank", "pos", label.alias("lab"))
+    lcp = _lcp_from_ranked(ranked, txt.select("_txt"))
+    prev = rl.select(
+        (F.col("rank") + 1).alias("rank"), F.col("lab").alias("plab")
+    )
+    cross = (
+        rl.join(prev, "rank")
+        .join(lcp, "rank")
+        .filter(
+            (F.col("lab") >= 0) & (F.col("plab") >= 0)
+            & (F.col("lab") != F.col("plab"))
+        )
+    )
+    mx = cross.agg(F.coalesce(F.max("lcp"), F.lit(0)).alias("lcs_len"))
+    best = (
+        cross.join(F.broadcast(mx), F.col("lcp") == F.col("lcs_len"))
+        .crossJoin(F.broadcast(txt.select("_txt")))
+        .select(
+            F.col("_txt").substr(F.col("pos") + 1, F.col("lcp")).alias("_cand")
+        )
+        .agg(F.min("_cand").alias("lcs"))
+    )
+    return mx.crossJoin(F.broadcast(best)).select(
+        F.col("lcs_len").cast("long").alias("lcs_len"),
+        F.coalesce("lcs", F.lit("")).alias("lcs"),
+    )

@@ -35,3 +35,18 @@ def test_fm_matches_bruteforce(spark, text, patterns):
     got = dict(fm_backward_count(spark, df, patterns))
     want = {p: _brute_overlapping(text, p) for p in patterns}
     assert got == want
+
+
+def test_border_guard_is_query_scoped(monkeypatch):
+    """A bordered pattern in _FM_PATTERNS must fail q_fm_count alone —
+    never the registry import (ADVICE r7: the guard used to raise at
+    module import, where one bad pattern broke all 298 queries)."""
+    import thrill_spark.plans.queries_analytics as QA
+
+    assert all(not QA._has_border(p) for p in QA._FM_PATTERNS)
+    assert QA._has_border("ana") and QA._has_border("aa")
+    assert not QA._has_border("sort")
+
+    monkeypatch.setattr(QA, "_FM_PATTERNS", ("sort", "ana"))
+    with pytest.raises(ValueError, match="border"):
+        QA.q_fm_count(None, "/nonexistent")

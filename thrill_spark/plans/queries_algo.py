@@ -1050,10 +1050,10 @@ def q_suffix_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(_WT_LEVELS - 1))).alias("level"),
     )
     node = F.expr(
-        "code div cast(pow(2, 6 - level) as bigint)"
+        f"code div cast(pow(2, {_WT_LEVELS} - level) as bigint)"
     )
     bit = F.expr(
-        "code div cast(pow(2, 5 - level) as bigint)"
+        f"code div cast(pow(2, {_WT_LEVELS - 1} - level) as bigint)"
     ) % 2
     return lv.groupBy(
         F.col("level").cast("int").alias("level"), node.cast("long").alias("node")
@@ -1163,8 +1163,8 @@ def q_suffix_wavelet_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code",
         F.explode(F.sequence(F.lit(0), F.lit(_WT_LEVELS - 1))).alias("level"),
     )
-    node = F.expr("code div cast(pow(2, 6 - level) as bigint)")
-    bit = F.expr("code div cast(pow(2, 5 - level) as bigint)") % 2
+    node = F.expr(f"code div cast(pow(2, {_WT_LEVELS} - level) as bigint)")
+    bit = F.expr(f"code div cast(pow(2, {_WT_LEVELS - 1} - level) as bigint)") % 2
     return lv.groupBy(
         F.col("level").cast("int").alias("level"), node.cast("long").alias("node")
     ).agg(

@@ -504,11 +504,13 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FM_PATTERNS = ("sort", "batch", "row", "the")
 _FM_SENTINEL = "\x01"  # unique terminator, never in the (lowercased) text
 
-# The replace-based oracle is only exact for border-free patterns
-# (no proper prefix that is also a suffix => matches cannot overlap).
-for _p in _FM_PATTERNS:
-    if any(_p[:_k] == _p[-_k:] for _k in range(1, len(_p))):
-        raise ValueError(f"FM pattern {_p!r} has a border; oracle would undercount")
+def _has_border(p: str) -> bool:
+    """True if p has a proper prefix that is also a suffix (a border).
+    The replace-based oracle is only exact for border-free patterns
+    (no border => matches cannot overlap). Checked inside q_fm_count —
+    not at module import — so a bad pattern breaks only that query,
+    never the whole registry (certified by tests/test_fm_index.py)."""
+    return any(p[:k] == p[-k:] for k in range(1, len(p)))
 
 
 def _sql_fm_count() -> str:
@@ -586,7 +588,9 @@ def fm_search_chars(
         state: dict[str, tuple[int, int]] = {p: (0, n1) for p in patterns}
         max_len = max(len(p) for p in patterns)
         for j in range(1, max_len + 1):
-            probes = []
+            # Explicit (pattern, char, lo, hi) step tuples — lo/hi stay
+            # paired with their pattern end-to-end.
+            steps: list[tuple[str, str, int, int]] = []
             for p, (lo, hi) in state.items():
                 if j > len(p) or lo >= hi:
                     continue
@@ -594,11 +598,13 @@ def fm_search_chars(
                 if c not in ctab:
                     state[p] = (0, 0)
                     continue
-                probes.append((p, c, lo))
-                probes.append((p, c, hi))
-            if not probes:
+                steps.append((p, c, lo, hi))
+            if not steps:
                 break
-            pdf = spark.createDataFrame(probes, "p string, c string, i long")
+            pdf = spark.createDataFrame(
+                [(p, c, i) for p, c, lo, hi in steps for i in (lo, hi)],
+                "p string, c string, i long",
+            )
             got = (
                 bwt.join(
                     F.broadcast(pdf),
@@ -608,8 +614,7 @@ def fm_search_chars(
                 .collect()
             )
             occ = {(r["p"], r["i"]): r["occ"] for r in got}
-            for p, c, _ in probes[::2]:
-                lo, hi = state[p]
+            for p, c, lo, hi in steps:
                 state[p] = (
                     ctab[c] + occ.get((p, lo), 0),
                     ctab[c] + occ.get((p, hi), 0),
@@ -627,6 +632,9 @@ def q_fm_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     same (border-free) patterns by direct substring scan, so the hash
     match certifies the index agrees with the text; overlapping
     (bordered) patterns are certified by tests/test_fm_index.py."""
+    bad = [p for p in _FM_PATTERNS if _has_border(p)]
+    if bad:
+        raise ValueError(f"FM patterns {bad!r} have a border; oracle would undercount")
     doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
     text_df = doc.select(F.lower(F.col("text")).alias("_s"))
     rows = fm_backward_count(spark, text_df, _FM_PATTERNS)
@@ -979,7 +987,8 @@ def _sql_zonemap() -> str:
 
 @query("layout_zonemap_pruning", _sql_zonemap())
 def q_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zone-map file-skipping simulation: rows bucketed into 32 'files'
+    """Zone-map file-skipping simulation: rows bucketed into 64 'files'
+    per layout (_ZM_FILE_SHIFT / _ZM_NAT_SHIFT both keep 6 prefix bits)
     by layout-key prefix (a real sorted write fills files in key order,
     so prefix buckets are the deterministic stand-in for global file
     ranks — no global row_number funnel), min/max footers per file,

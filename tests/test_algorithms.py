@@ -255,3 +255,40 @@ def test_scc_chain_of_cycles_with_tail(spark):
         (0, 0), (1, 0), (10, 10), (11, 10), (20, 20), (21, 20),
         (30, 30), (31, 31), (32, 32),
     ]
+
+
+def test_chunked_chars_matches_direct_explode(spark):
+    """chunked_chars must reproduce the exact (pos, ch) table of a
+    direct single-row explode — including multi-row offsets, empty
+    rows, and texts not divisible by the chunk size — while carrying
+    a hash exchange on (row, slice) so no document funnels through
+    one char-explode task."""
+    from pyspark.sql import functions as F
+
+    from thrill_spark.plans.algorithms import chunked_chars
+
+    text = "the quick brown fox jumps over the lazy dog" * 3  # 132 chars
+    df = spark.createDataFrame([(text,)], "text string")
+    got = sorted((r["pos"], r["ch"]) for r in chunked_chars(df, chunk=7).collect())
+    assert got == list(enumerate(text))
+
+    # multi-row concatenation via explicit offsets
+    rows = [(0, "hello"), (5, "world")]
+    df2 = spark.createDataFrame(rows, "_off long, t string")
+    got2 = sorted(
+        (r["pos"], r["c"])
+        for r in chunked_chars(df2, text_col="t", off_col="_off", chunk=3, ch="c").collect()
+    )
+    assert got2 == list(enumerate("helloworld"))
+
+    # empty text contributes nothing (and must not crash the slicer)
+    df3 = spark.createDataFrame([("",), ("ab",)], "text string")
+    got3 = sorted((r["pos"], r["ch"]) for r in chunked_chars(df3, chunk=4).collect())
+    assert got3 == [(0, "a"), (1, "b")]
+
+    # the redistribution exchange is in the plan (the point of the helper)
+    plan = (
+        chunked_chars(df, chunk=7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" in plan

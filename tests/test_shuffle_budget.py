@@ -136,7 +136,8 @@ BUDGETS = {
     "lineitem_cube_flags": 1,
     "layout_zonemap_pruning": 2,
     # suffix sort lag-joins + scalar max/min stages (post-checkpoint)
-    "suffix_lcs_doc01": 9,
+    # +1: chunked_chars ingestion repartition
+    "suffix_lcs_doc01": 10,
     "events_sliding_distinct_users": 2,
     "events_markov_transitions": 2,
     "layout_hilbert_stats": 1,
@@ -162,10 +163,13 @@ BUDGETS = {
     "similarity_pq_ann": 6,
     "events_stream_outer_join": 1,
     "multimodal_silence_segments": 1,
-    "suffix_bwt_doc0": 0,
-    "suffix_rlbwt_doc0": 1,
-    "suffix_lcp_doc0": 0,
-    "suffix_wavelet_doc0": 2,
+    # +1 each: chunked_chars ingestion repartition (algorithms.py) —
+    # the deliberate exchange that keeps a single long document from
+    # funneling through one char-explode task
+    "suffix_bwt_doc0": 1,
+    "suffix_rlbwt_doc0": 2,
+    "suffix_lcp_doc0": 1,
+    "suffix_wavelet_doc0": 3,
     "corpus_decontaminate_substring": 4,
     "corpus_quota_apportionment": 1,
     "events_decay_counters": 2,
@@ -173,8 +177,9 @@ BUDGETS = {
     # round-7 additions (measured)
     "window_sliding_partial_tail": 1,  # forward-halo bucket exchange
     "io_mixed_codec_roundtrip": 1,  # scalar-agg SinglePartition only
-    "suffix_lcp_partnames": 1,
-    "suffix_wavelet_partnames": 3,
+    "suffix_lcp_partnames": 2,  # +1 chunked_chars ingestion repartition
+    "suffix_wavelet_partnames": 4,  # +1 chunked_chars ingestion repartition
+
 }
 
 

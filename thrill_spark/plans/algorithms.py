@@ -343,6 +343,53 @@ def _cc_star(edges: DataFrame, a: str, b: str, max_iters: int) -> DataFrame:
     )
 
 
+def chunked_chars(
+    df: DataFrame,
+    text_col: str = "text",
+    off_col: str | None = None,
+    chunk: int = 4096,
+    ch: str = "ch",
+) -> DataFrame:
+    """(pos, ch) character table over text rows WITHOUT funneling any
+    one document through a single char-explode task — the suffix
+    family's ingestion entry point (the chars-level analogue of
+    queries_analytics.fm_search_chars).
+
+    Each row is first sliced into `chunk`-char substrings with one
+    JVM-side transform (O(n) string copies, no char rows yet), the
+    slices are hash-repartitioned across the cluster, and only then
+    char-exploded — so the char-row blowup and everything downstream
+    (suffix sort, BWT, wavelet coding) is distributed even when the
+    source is ONE long parquet row. `off_col` names each input row's
+    base offset in the global concatenation (omit for a single row /
+    offset 0 — multi-document corpora pass an ExPrefixSum over doc
+    lengths, see q_suffix_array_dc3).
+
+    Reference: examples/suffix_sorting/*.cpp read arbitrary files as
+    a distributed byte DIA (thrill/api/read_binary.hpp splits on byte
+    ranges); this is the parquet-row equivalent of that split."""
+    base = (F.col(off_col) if off_col else F.lit(0)).cast("long")
+    slices = df.select(
+        base.alias("_base"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (greatest(length({text_col}), 1) - 1)"
+                f" div {chunk}),"
+                f" i -> substring({text_col}, i * {chunk} + 1, {chunk}))"
+            )
+        ).alias("_si", "_slice"),
+    )
+    return (
+        slices.repartition(F.col("_base"), F.col("_si"))
+        .select(
+            (F.col("_base") + F.col("_si").cast("long") * F.lit(chunk)).alias("_off"),
+            F.posexplode(F.split(F.col("_slice"), "")).alias("_i", ch),
+        )
+        .filter(F.col(ch) != "")
+        .select((F.col("_off") + F.col("_i")).alias("pos"), ch)
+    )
+
+
 def suffix_array(
     chars: DataFrame, n: int, pos: str = "pos", step: int = 2
 ) -> DataFrame:

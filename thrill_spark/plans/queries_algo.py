@@ -228,9 +228,7 @@ def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
-    chars = doc.select(
-        F.posexplode(F.split(F.col("text"), "")).alias("pos", "ch")
-    ).filter(F.col("ch") != "")
+    chars = A.chunked_chars(doc)
     n = chars.count()
     return A.suffix_array(chars, n)
 
@@ -718,14 +716,8 @@ def q_suffix_array_dc3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributed concatenation offsets: ExPrefixSum over doc lengths
     lens = docs.select("doc_id", F.length("text").alias("_len"))
     offs = O.prefix_sum(lens, ["doc_id"], "_len", name="_off", exclusive=True)
-    chars = (
-        docs.join(offs.select("doc_id", "_off"), "doc_id")
-        .select(
-            F.col("_off"),
-            F.posexplode(F.split(F.col("text"), "")).alias("_i", "ch"),
-        )
-        .filter(F.col("ch") != "")
-        .select((F.col("_off") + F.col("_i")).alias("pos"), "ch")
+    chars = A.chunked_chars(
+        docs.join(offs.select("doc_id", "_off"), "doc_id"), off_col="_off"
     )
     n = chars.count()
     return A.suffix_array_dc3(chars, n)
@@ -752,14 +744,8 @@ def q_suffix_array_dc7(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
     lens = docs.select("doc_id", F.length("text").alias("_len"))
     offs = O.prefix_sum(lens, ["doc_id"], "_len", name="_off", exclusive=True)
-    chars = (
-        docs.join(offs.select("doc_id", "_off"), "doc_id")
-        .select(
-            F.col("_off"),
-            F.posexplode(F.split(F.col("text"), "")).alias("_i", "ch"),
-        )
-        .filter(F.col("ch") != "")
-        .select((F.col("_off") + F.col("_i")).alias("pos"), "ch")
+    chars = A.chunked_chars(
+        docs.join(offs.select("doc_id", "_off"), "doc_id"), off_col="_off"
     )
     n = chars.count()
     return A.suffix_array_dc7(chars, n)
@@ -852,9 +838,7 @@ def _doc0_ranked(spark: SparkSession, sf_dir: str):
     """(pos, rank) for doc0 + the doc0 text as a 1-row broadcastable DF."""
     doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
     txt = doc.select(F.col("text").alias("_txt"))
-    chars = doc.select(
-        F.posexplode(F.split(F.col("text"), "")).alias("pos", "ch")
-    ).filter(F.col("ch") != "")
+    chars = A.chunked_chars(doc)
     n = chars.count()
     ranked = A.suffix_array(chars, n)
     return ranked, chars, txt
@@ -1040,9 +1024,7 @@ def q_suffix_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thrill_spark import ordering as O
 
     doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
-    chars = doc.select(
-        F.posexplode(F.split(F.col("text"), "")).alias("pos", "c")
-    ).filter(F.col("c") != "")
+    chars = A.chunked_chars(doc, ch="c")
     alpha = O.with_index(chars.select("c").distinct(), ["c"], name="code")
     coded = chars.join(alpha, "c").select("code")
     lv = coded.select(
@@ -1119,9 +1101,7 @@ def _partnames_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_suffix_lcp_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
     txt = _partnames_text(spark, sf_dir)
-    chars = txt.select(
-        F.posexplode(F.split(F.col("_txt"), "")).alias("pos", "ch")
-    ).filter(F.col("ch") != "")
+    chars = A.chunked_chars(txt, text_col="_txt")
     n = chars.count()
     ranked = A.suffix_array(chars, n)
     return _lcp_from_ranked(ranked, txt)
@@ -1154,9 +1134,7 @@ def q_suffix_wavelet_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thrill_spark import ordering as O
 
     txt = _partnames_text(spark, sf_dir)
-    chars = txt.select(
-        F.posexplode(F.split(F.col("_txt"), "")).alias("pos", "c")
-    ).filter(F.col("c") != "")
+    chars = A.chunked_chars(txt, text_col="_txt", ch="c")
     alpha = O.with_index(chars.select("c").distinct(), ["c"], name="code")
     coded = chars.join(alpha, "c").select("code")
     lv = coded.select(
@@ -1186,9 +1164,7 @@ def q_suffix_wavelet_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_suffix_array_quad(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
-    chars = doc.select(
-        F.posexplode(F.split(F.col("text"), "")).alias("pos", "ch")
-    ).filter(F.col("ch") != "")
+    chars = A.chunked_chars(doc)
     n = chars.count()
     return A.suffix_array(chars, n, step=4)
 
@@ -1300,9 +1276,16 @@ def q_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("_t0").alias("_n0"),
     )
     n0 = int(txt.select("_n0").first()[0])  # bounded scalar: one doc length
-    chars = txt.select(
-        F.posexplode(F.split(F.col("_txt"), "")).alias("pos", "ch")
-    ).filter(F.col("ch") != "")
+    # Generalized-SA ingestion stays per-document: each doc is its own
+    # row with a base offset (doc0 carries the separator), so neither
+    # text ever funnels through a single char-explode task.
+    parts = d0.select(
+        F.lit(0).alias("_off"),
+        F.concat(F.col("_t0"), F.lit(_LCS_SEP)).alias("_t"),
+    ).unionByName(
+        d1.select(F.lit(n0 + 1).alias("_off"), F.col("_t1").alias("_t"))
+    )
+    chars = A.chunked_chars(parts, text_col="_t", off_col="_off")
     n = chars.count()
     ranked = A.suffix_array(chars, n)
     label = (

@@ -549,9 +549,7 @@ def fm_backward_count(
     scale you'd persist sampled occ checkpoints instead of counting
     rank probes from scratch, same contract."""
     s = text_df.select(F.concat(F.col("_s"), F.lit(_FM_SENTINEL)).alias("_s"))
-    chars = s.select(
-        F.posexplode(F.split(F.col("_s"), "")).alias("pos", "ch")
-    ).filter(F.col("ch") != "")
+    chars = A.chunked_chars(s, text_col="_s")
     n1 = chars.count()
     return fm_search_chars(spark, chars, n1, patterns)
 

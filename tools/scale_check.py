@@ -145,14 +145,10 @@ def _dc7_chars(spark, copies: int):
     from thrill_spark import ordering as O
 
     offs = O.prefix_sum(lens, ["doc_id"], "_len", name="_off", exclusive=True)
-    one = (
-        docs.join(offs.select("doc_id", "_off"), "doc_id")
-        .select(
-            F.col("_off"),
-            F.posexplode(F.split(F.col("text"), "")).alias("_i", "ch"),
-        )
-        .filter(F.col("ch") != "")
-        .select((F.col("_off") + F.col("_i")).alias("pos"), "ch")
+    from thrill_spark.plans import algorithms as A
+
+    one = A.chunked_chars(
+        docs.join(offs.select("doc_id", "_off"), "doc_id"), off_col="_off"
     )
     total = one.count()
     out = None

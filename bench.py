@@ -95,6 +95,31 @@ BENCH_QUERIES = [
     "er_customer_linkage",
 ]
 
+# Second headline set (VERDICT r8 item 5): the r5-r7 families the
+# r1-comparable line above never covered — suffix/FM/LCS structures,
+# theta sketch set-ops, A-Priori, rollup/cube, zonemap pruning, and
+# the r7 analytics batch. Recorded as its own `headline_v2` JSON line
+# (second-to-last stdout line) so the original 51-query series stays
+# round-over-round comparable while these get a perf record too.
+BENCH_QUERIES_V2 = [
+    "suffix_fm_count_doc0",
+    "suffix_lcs_doc01",
+    "suffix_lcp_partnames",
+    "suffix_wavelet_partnames",
+    "events_theta_setops",
+    "events_histogram_quantiles",
+    "events_seq_pattern_support",
+    "events_cusum_change_detection",
+    "basket_apriori_triples",
+    "orders_rollup_revenue",
+    "lineitem_cube_flags",
+    "layout_zonemap_pruning",
+    "text_inverted_index_search",
+    "ml_token_vote_classifier",
+    "profile_benford_totalprice",
+    "window_sliding_partial_tail",
+]
+
 
 def run_query(spark, name: str, sf_dir: str) -> float:
     t0 = time.perf_counter()
@@ -149,61 +174,85 @@ def run_query_with_metrics(spark, name: str, sf_dir: str):
 FINAL_LINE_MAX = 1900
 
 
+def _capped_record(
+    metric: str,
+    timings: dict[str, float],
+    sf,
+    error_count: int,
+    max_len: int = FINAL_LINE_MAX,
+) -> str:
+    """One standalone JSON line under `max_len` chars: if full
+    per-query timings don't fit, trim to the slowest movers (detail
+    survives in bench_detail.json)."""
+    out = {
+        "metric": metric,
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if error_count:
+        out["error_count"] = error_count
+    line = json.dumps(out)
+    if len(line) > max_len:
+        movers = dict(
+            sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+        )
+        while len(line) > max_len and movers:
+            movers.pop(next(reversed(movers)))
+            out["queries"] = movers
+            out["queries_truncated_to_top"] = len(movers)
+            line = json.dumps(out)
+        if "queries_truncated_to_top" in out:
+            # surface the switch so the round workflow notices the
+            # official record no longer carries every per-query time
+            print(
+                f"bench: {metric} line truncated to top "
+                f"{out['queries_truncated_to_top']} queries "
+                f"(full detail in bench_detail.json)",
+                file=sys.stderr,
+            )
+    if len(line) > max_len:
+        # last-resort degrade (pathological sf string): a line MUST
+        # always be emitted — drop per-query detail, keep the record
+        out.pop("queries", None)
+        out.pop("queries_truncated_to_top", None)
+        out["queries_dropped_oversize"] = True
+        line = json.dumps(out)
+    return line
+
+
 def format_output(
     timings: dict[str, float],
     sf,
     stage_counts: dict[str, dict],
     errors: dict[str, str],
+    v2_timings: dict[str, float] | None = None,
 ) -> tuple[list[str], str]:
     """Return (earlier stdout lines, final stdout line).
 
-    The final line always parses standalone and stays under
-    FINAL_LINE_MAX chars: if full per-query timings don't fit, they are
-    trimmed to the slowest movers (detail survives in the side file and
-    the earlier diagnostic lines).
-    """
+    The FINAL line is the r1-comparable headline record (the driver
+    parses the last line); the v2 record is the line directly before
+    it so both fit the driver's stdout capture window."""
     earlier: list[str] = []
     if stage_counts:
         earlier.append(json.dumps({"stage_counts": stage_counts}))
     if errors:
         earlier.append(json.dumps({"errors": errors}))
-    total = round(sum(timings.values()), 3)
-    out = {
-        "metric": "headline_queries_total_runtime",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }
-    if errors:
-        out["error_count"] = len(errors)
-    final = json.dumps(out)
-    if len(final) > FINAL_LINE_MAX:
-        movers = dict(
-            sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
-        )
-        while len(final) > FINAL_LINE_MAX and movers:
-            movers.pop(next(reversed(movers)))
-            out["queries"] = movers
-            out["queries_truncated_to_top"] = len(movers)
-            final = json.dumps(out)
-        if "queries_truncated_to_top" in out:
-            # surface the switch so the round workflow notices the
-            # official record no longer carries every per-query time
-            print(
-                f"bench: final line truncated to top "
-                f"{out['queries_truncated_to_top']} queries "
-                f"(full detail in bench_detail.json)",
-                file=sys.stderr,
+    final = _capped_record(
+        "headline_queries_total_runtime", timings, sf, len(errors)
+    )
+    if v2_timings:
+        # The driver keeps only the LAST ~2000 stdout chars and parses
+        # the final line; the v2 line must fit the window ABOVE the
+        # final line or its head gets cut off.
+        v2_budget = max(2000 - len(final) - 2, 300)
+        earlier.append(
+            _capped_record(
+                "headline_v2_total_runtime", v2_timings, sf, 0,
+                max_len=v2_budget,
             )
-    if len(final) > FINAL_LINE_MAX:
-        # last-resort degrade (pathological sf string): a final line
-        # MUST always be emitted — drop per-query detail, keep the
-        # headline record
-        out.pop("queries", None)
-        out.pop("queries_truncated_to_top", None)
-        out["queries_dropped_oversize"] = True
-        final = json.dumps(out)
+        )
     return earlier, final
 
 
@@ -211,7 +260,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("thrill_spark_bench")
-    names = [n for n in BENCH_QUERIES if n in QUERIES]
+    v1_names = set(BENCH_QUERIES)
+    names = [n for n in BENCH_QUERIES + BENCH_QUERIES_V2 if n in QUERIES]
     # JVM/codegen warmup: run every query shape on the smallest fixture
     # so measured times are steady-state query times, not JIT noise.
     # A query broken at warmup is excluded from timing and reported in
@@ -256,9 +306,12 @@ def main() -> None:
         n: round(t, 3) for n, t in timings.items() if n not in errors
     }
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    v1_timings = {n: t for n, t in timings.items() if n in v1_names}
+    v2_timings = {n: t for n, t in timings.items() if n not in v1_names}
     # Full detail to a side file (never size-limited).
     detail = {
-        "queries": timings,
+        "queries": v1_timings,
+        "queries_v2": v2_timings,
         "sf": sf_val,
         "stage_counts": stage_counts,
         "errors": errors,
@@ -268,7 +321,13 @@ def main() -> None:
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
-    earlier, final = format_output(timings, sf_val, stage_counts, errors)
+    earlier, final = format_output(
+        timings=v1_timings,
+        sf=sf_val,
+        stage_counts=stage_counts,
+        errors=errors,
+        v2_timings=v2_timings,
+    )
     for line in earlier:
         print(line)
     print(final)

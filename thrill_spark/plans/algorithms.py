@@ -391,8 +391,9 @@ def chunked_chars(
 
 
 def suffix_array(
-    chars: DataFrame, n: int, pos: str = "pos", step: int = 2
-) -> DataFrame:
+    chars: DataFrame, n: int, pos: str = "pos", step: int = 2,
+    keep_levels: bool = False,
+):
     """Suffix sorting by prefix doubling — or prefix QUADRUPLING with
     step=4 (the reference ships both: prefix_doubling.cpp and
     prefix_quadrupling.cpp; quadrupling trades wider per-round tuples
@@ -401,6 +402,12 @@ def suffix_array(
     chars: (pos, ch) one row per character, pos in [0, n).
     Returns (pos, rank): rank of suffix starting at pos in the sorted
     suffix order, dense in [0, n).
+
+    With keep_levels=True (step=2 only) returns (ranked, levels) where
+    levels is [(prefix_len, rank_df), ...] for prefix lengths 1, 2, 4,
+    … — the per-round rank checkpoints the doubling loop produces
+    anyway, retained so lcp_from_levels can binary-descend over them
+    without ever materializing suffix strings.
 
     Each round: self-joins at offsets k..(step-1)k (Zip-with-shift),
     re-rank tuples via the distributed with_index discipline, stop
@@ -411,9 +418,12 @@ def suffix_array(
 
     if step < 2:
         raise ValueError("step must be >= 2")
+    if keep_levels and step != 2:
+        raise ValueError("keep_levels requires step=2 (power-of-two levels)")
     alpha = chars.select("ch").distinct()
     alpha_ranked = O.with_index(alpha, ["ch"], name="r")
     ranks = chars.join(alpha_ranked, on="ch").select(pos, "r").localCheckpoint()
+    levels: list[tuple[int, DataFrame]] = [(1, ranks)]
     k = 1
     rcols = [f"r{j}" for j in range(2, step + 1)]
     while True:
@@ -432,10 +442,67 @@ def suffix_array(
             .select(pos, F.col("nr").alias("r"))
             .localCheckpoint()
         )
+        levels.append((k * step, ranks))
         if grp.count() >= n:
             break
         k *= step
-    return ranks.select(F.col(pos), F.col("r").cast("long").alias("rank"))
+    ranked = ranks.select(F.col(pos), F.col("r").cast("long").alias("rank"))
+    if keep_levels:
+        return ranked, levels
+    return ranked
+
+
+def lcp_from_levels(
+    ranked: DataFrame,
+    levels: list[tuple[int, DataFrame]],
+    pos: str = "pos",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(rank, lcp) — LCP of each suffix with its rank-predecessor —
+    computed ENTIRELY from the prefix-doubling rank tables: classic
+    binary descent (Manber-Myers), h += 2^j whenever the two suffixes'
+    rank-at-prefix-length-2^j agree at offset h. A rank match at level
+    L certifies an L-char common prefix, so no suffix string is ever
+    materialized and no text is broadcast — 2 equi-joins per level,
+    O(n log n) total work, each join distributed on the rank tables
+    the sort already checkpointed (construct_lcp.hpp contract; the
+    substring-scan alternative is O(n × avg_lcp), quadratic on
+    repetitive text)."""
+    prev = ranked.select(
+        (F.col("rank") + 1).alias("rank"), F.col(pos).alias("_ppos")
+    )
+    pairs = (
+        ranked.join(prev, "rank", "left")
+        .select("rank", F.col(pos).alias("_cpos"), "_ppos")
+        .withColumn("h", F.lit(0).cast("long"))
+    )
+    for i, (plen, tab) in enumerate(sorted(levels, reverse=True, key=lambda t: t[0])):
+        ta = tab.select(F.col(pos).alias("_qa"), F.col("r").alias("_ra"))
+        tb = tab.select(F.col(pos).alias("_qb"), F.col("r").alias("_rb"))
+        pairs = (
+            pairs.join(ta, F.col("_ppos") + F.col("h") == F.col("_qa"), "left")
+            .join(tb, F.col("_cpos") + F.col("h") == F.col("_qb"), "left")
+            .withColumn(
+                "h",
+                F.col("h")
+                + F.when(
+                    F.col("_ra").isNotNull() & (F.col("_ra") == F.col("_rb")),
+                    F.lit(plen),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_qa", "_ra", "_qb", "_rb")
+        )
+        if (i + 1) % checkpoint_every == 0:
+            # truncate lineage: log n chained joins would otherwise
+            # compound into one enormous plan
+            pairs = pairs.localCheckpoint()
+    return pairs.select(
+        "rank",
+        F.when(F.col("_ppos").isNull(), F.lit(0))
+        .otherwise(F.col("h"))
+        .cast("long")
+        .alias("lcp"),
+    )
 
 
 def logistic_regression_sgd(

@@ -835,13 +835,14 @@ def q_io_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distributed Kasai/Φ pass instead, same output contract.
 # ---------------------------------------------------------------------------
 def _doc0_ranked(spark: SparkSession, sf_dir: str):
-    """(pos, rank) for doc0 + the doc0 text as a 1-row broadcastable DF."""
+    """(pos, rank) for doc0 + chars + the per-level rank tables (free:
+    the doubling loop checkpoints them anyway; lcp_from_levels reads
+    them instead of broadcasting the text)."""
     doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
-    txt = doc.select(F.col("text").alias("_txt"))
     chars = A.chunked_chars(doc)
     n = chars.count()
-    ranked = A.suffix_array(chars, n)
-    return ranked, chars, txt
+    ranked, levels = A.suffix_array(chars, n, keep_levels=True)
+    return ranked, chars, levels
 
 
 @query(
@@ -941,51 +942,11 @@ def q_suffix_rlbwt(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LCP array: lcp[r] = longest common prefix of the rank-r and
     rank-(r-1) suffixes (0 at r=0). Adjacent pairing via a lag join on
-    rank; the prefix length is the first mismatch position over the
-    shorter suffix (zero-position trick, chained projections)."""
-    ranked, _, txt = _doc0_ranked(spark, sf_dir)
-    return _lcp_from_ranked(ranked, txt)
-
-
-def _lcp_from_ranked(ranked: DataFrame, txt: DataFrame) -> DataFrame:
-    """(rank, lcp) from a (pos, rank) suffix table + 1-row `_txt` frame
-    (construct_lcp.hpp output contract; shared by the doc0 and
-    part-names fixtures)."""
-    prev = ranked.select((F.col("rank") + 1).alias("rank"), F.col("pos").alias("_ppos"))
-    adj = (
-        ranked.join(prev, "rank", "left")
-        .crossJoin(F.broadcast(txt))
-        .select(
-            "rank",
-            F.when(
-                F.col("_ppos").isNotNull(),
-                F.col("_txt").substr(F.col("_ppos") + 1, F.length("_txt")),
-            ).alias("_sp"),
-            F.col("_txt").substr(F.col("pos") + 1, F.length("_txt")).alias("_sc"),
-        )
-    )
-    m = F.least(F.length("_sp"), F.length("_sc"))
-    adj = adj.withColumn(
-        "_mm",
-        F.filter(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-                lambda i: F.when(
-                    F.col("_sp").substr(i, F.lit(1))
-                    != F.col("_sc").substr(i, F.lit(1)),
-                    i,
-                ).otherwise(0),
-            ),
-            lambda z: z > 0,
-        ),
-    )
-    return adj.select(
-        "rank",
-        F.when(F.col("_sp").isNull(), F.lit(0))
-        .otherwise(F.coalesce(F.array_min("_mm") - 1, m))
-        .cast("long")
-        .alias("lcp"),
-    )
+    rank; the prefix lengths come from binary descent over the
+    doubling rank tables (algorithms.lcp_from_levels) — no suffix
+    string is materialized and no text is broadcast."""
+    ranked, _, levels = _doc0_ranked(spark, sf_dir)
+    return A.lcp_from_levels(ranked, levels)
 
 
 # ---------------------------------------------------------------------------
@@ -1103,8 +1064,8 @@ def q_suffix_lcp_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
     txt = _partnames_text(spark, sf_dir)
     chars = A.chunked_chars(txt, text_col="_txt")
     n = chars.count()
-    ranked = A.suffix_array(chars, n)
-    return _lcp_from_ranked(ranked, txt)
+    ranked, levels = A.suffix_array(chars, n, keep_levels=True)
+    return A.lcp_from_levels(ranked, levels)
 
 
 @query(
@@ -1271,6 +1232,13 @@ def q_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d0 = docs.filter(F.col("doc_id") == 0).select(F.col("text").alias("_t0"))
     d1 = docs.filter(F.col("doc_id") == 1).select(F.col("text").alias("_t1"))
+    return suffix_lcs_core(d0, d1)
+
+
+def suffix_lcs_core(d0: DataFrame, d1: DataFrame) -> DataFrame:
+    """Generalized-SA LCS over two 1-row text frames (`_t0`, `_t1`) —
+    the callable tools/scale_check.py stresses at K× input size. See
+    q_suffix_lcs for the algorithm and oracle contract."""
     txt = d0.crossJoin(d1).select(
         F.concat(F.col("_t0"), F.lit(_LCS_SEP), F.col("_t1")).alias("_txt"),
         F.length("_t0").alias("_n0"),
@@ -1287,14 +1255,14 @@ def q_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chars = A.chunked_chars(parts, text_col="_t", off_col="_off")
     n = chars.count()
-    ranked = A.suffix_array(chars, n)
+    ranked, levels = A.suffix_array(chars, n, keep_levels=True)
     label = (
         F.when(F.col("pos") < n0, F.lit(0))
         .when(F.col("pos") == n0, F.lit(-1))
         .otherwise(F.lit(1))
     )
     rl = ranked.select("rank", "pos", label.alias("lab"))
-    lcp = _lcp_from_ranked(ranked, txt.select("_txt"))
+    lcp = A.lcp_from_levels(ranked, levels)
     prev = rl.select(
         (F.col("rank") + 1).alias("rank"), F.col("lab").alias("plab")
     )

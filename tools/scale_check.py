@@ -56,6 +56,13 @@ QUERY_SET = [
     # and every other step is keyed by token or doc)
     "profile_benford_totalprice",
     "ml_token_vote_classifier",
+    # r9 additions (VERDICT r8 item 6): A-Priori on K× replicated
+    # baskets (same item space — L2 candidate generation must stay
+    # downward-closure-pruned, never an unpruned 3-way explode) and
+    # theta sketch set-ops on K× events with shifted user ids (sketch
+    # size is fixed; only the scan scales)
+    "basket_apriori_triples",
+    "events_theta_setops",
 ]
 KEY_SHIFT = 1_000_000_000
 
@@ -70,22 +77,31 @@ def build_scaled(spark, k: int, out: str) -> None:
     li = spark.read.parquet(f"{BASE}/lineitem.parquet")
     orders = spark.read.parquet(f"{BASE}/orders.parquet")
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    events = spark.read.parquet(f"{BASE}/events.parquet")
     li_k = None
     or_k = None
     dc_k = None
+    ev_k = None
     for i in range(k):
         off = F.lit(i * KEY_SHIFT)
         li_i = li.withColumn("l_orderkey", F.col("l_orderkey") + off)
         or_i = orders.withColumn("o_orderkey", F.col("o_orderkey") + off)
         dc_i = docs.withColumn("doc_id", F.col("doc_id") + off)
+        # events: shift event AND user ids so distinct-user cardinality
+        # (what the theta sketch set-ops estimate) scales with the data
+        ev_i = events.withColumn(
+            "event_id", F.col("event_id") + off
+        ).withColumn("user_id", F.col("user_id") + off)
         li_k = li_i if li_k is None else li_k.unionByName(li_i)
         or_k = or_i if or_k is None else or_k.unionByName(or_i)
         dc_k = dc_i if dc_k is None else dc_k.unionByName(dc_i)
+        ev_k = ev_i if ev_k is None else ev_k.unionByName(ev_i)
     li_k.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
     or_k.write.mode("overwrite").parquet(f"{out}/orders.parquet")
     dc_k.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    ev_k.write.mode("overwrite").parquet(f"{out}/events.parquet")
     # dimension tables: unchanged (realistic — dims grow slower than facts)
-    for t in ("customer", "supplier", "part", "nation", "region", "events",
+    for t in ("customer", "supplier", "part", "nation", "region",
               "embeddings"):
         shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
     open(os.path.join(out, "_DONE"), "w").write("ok")
@@ -117,6 +133,31 @@ def main() -> None:
             "ratio": round(scaled[n] / base[n], 2) if base[n] > 0 else None,
         }
         for n in QUERY_SET
+    }
+    # A-Priori with RELATIVE support: at K× baskets over the SAME item
+    # space, a FIXED absolute threshold lets far more pairs become
+    # frequent — L2 grows super-linearly by SEMANTICS (the row above
+    # measures that). Real scale-ups keep support relative to basket
+    # count; this row scales the threshold with K to isolate the plan.
+    from thrill_spark.plans import queries_analytics as QA
+
+    base_sup = QA._AP_PAIR_SUPPORT
+    try:
+        QA._AP_PAIR_SUPPORT = base_sup * k
+        t0 = time.perf_counter()
+        QUERIES["basket_apriori_triples"](spark, out).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t_rel = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+    finally:
+        QA._AP_PAIR_SUPPORT = base_sup
+    b = base["basket_apriori_triples"]
+    report["basket_apriori_triples_rel_support"] = {
+        "sf0.1_s": b,
+        f"{k}x_s": t_rel,
+        "ratio": round(t_rel / b, 2) if b > 0 else None,
+        "support": f"{base_sup} -> {base_sup * k}",
     }
     print(json.dumps({"k": k, "queries": report}, indent=2))
 
@@ -173,6 +214,8 @@ def heavy(k: int, only: str | None = None) -> None:
         _heavy_pq(spark, k, report)
     if only in (None, "fm"):
         _heavy_fm(spark, k, report)
+    if only in (None, "lcs"):
+        _heavy_lcs(spark, k, report)
     print(json.dumps({"k": k, "heavy": report}, indent=2))
 
 
@@ -269,6 +312,47 @@ def _heavy_fm(spark, k, report):
         times[copies] = round(_t.perf_counter() - t0, 2)
         spark.catalog.clearCache()
     report["suffix_fm_count"] = {
+        "t_1x_s": times[1],
+        f"t_{k}x_s": times[k],
+        "ratio": round(times[k] / times[1], 2),
+    }
+
+
+def _heavy_lcs(spark, k, report):
+    import time as _t
+
+    from thrill_spark.plans import queries_algo as QG
+
+    # --- Generalized-SA LCS: 1x vs kx document pair through the
+    # chunked chars-level entry (suffix_lcs_core). The K-fold texts are
+    # per-row JVM repeats — a worst case for the doubling sort (the
+    # common substring grows with the repeat, pushing rank rounds
+    # deeper), so the measured ratio is conservative vs n log n.
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+
+    def _pair(copies: int):
+        d0 = docs.filter(F.col("doc_id") == 0).select(
+            F.expr(f"repeat(text, {copies})").alias("_t0")
+        )
+        d1 = docs.filter(F.col("doc_id") == 1).select(
+            F.expr(f"repeat(text, {copies})").alias("_t1")
+        )
+        return d0, d1
+
+    QG.suffix_lcs_core(*_pair(1)).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warmup
+    spark.catalog.clearCache()
+    times = {}
+    for copies in (1, k):
+        d0, d1 = _pair(copies)
+        t0 = _t.perf_counter()
+        QG.suffix_lcs_core(d0, d1).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        times[copies] = round(_t.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+    report["suffix_lcs"] = {
         "t_1x_s": times[1],
         f"t_{k}x_s": times[k],
         "ratio": round(times[k] / times[1], 2),

@@ -1239,11 +1239,7 @@ def suffix_lcs_core(d0: DataFrame, d1: DataFrame) -> DataFrame:
     """Generalized-SA LCS over two 1-row text frames (`_t0`, `_t1`) —
     the callable tools/scale_check.py stresses at K× input size. See
     q_suffix_lcs for the algorithm and oracle contract."""
-    txt = d0.crossJoin(d1).select(
-        F.concat(F.col("_t0"), F.lit(_LCS_SEP), F.col("_t1")).alias("_txt"),
-        F.length("_t0").alias("_n0"),
-    )
-    n0 = int(txt.select("_n0").first()[0])  # bounded scalar: one doc length
+    n0 = int(d0.select(F.length("_t0")).first()[0])  # bounded scalar
     # Generalized-SA ingestion stays per-document: each doc is its own
     # row with a base offset (doc0 carries the separator), so neither
     # text ever funnels through a single char-explode task.
@@ -1275,11 +1271,27 @@ def suffix_lcs_core(d0: DataFrame, d1: DataFrame) -> DataFrame:
         )
     )
     mx = cross.agg(F.coalesce(F.max("lcp"), F.lit(0)).alias("lcs_len"))
+    # Reconstruct each winning substring from the DISTRIBUTED chars
+    # table (broadcast only the few winner (start, len) rows against
+    # it) — never a broadcast of the full text.
+    winners = cross.join(F.broadcast(mx), F.col("lcp") == F.col("lcs_len")).select(
+        F.col("pos").alias("_s"), F.col("lcp").alias("_L")
+    )
     best = (
-        cross.join(F.broadcast(mx), F.col("lcp") == F.col("lcs_len"))
-        .crossJoin(F.broadcast(txt.select("_txt")))
-        .select(
-            F.col("_txt").substr(F.col("pos") + 1, F.col("lcp")).alias("_cand")
+        chars.join(
+            F.broadcast(winners),
+            (F.col("pos") >= F.col("_s"))
+            & (F.col("pos") < F.col("_s") + F.col("_L")),
+        )
+        .groupBy("_s")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ch"))),
+                    lambda x: x["ch"],
+                ),
+                "",
+            ).alias("_cand")
         )
         .agg(F.min("_cand").alias("lcs"))
     )

@@ -292,3 +292,33 @@ def test_chunked_chars_matches_direct_explode(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange hashpartitioning" in plan
+
+
+def test_lcp_from_levels_matches_bruteforce(spark):
+    """Binary-descent LCP over the doubling rank tables must equal the
+    brute-force adjacent-suffix LCP — exercised on a repetition-heavy
+    string (long LCPs, the case the old substring scan was quadratic
+    on) and a random-ish one."""
+    from thrill_spark.plans.algorithms import (
+        chunked_chars,
+        lcp_from_levels,
+        suffix_array,
+    )
+
+    for text in ("abracadabra", "aabaabaabaab", "mississippi$banana"):
+        df = spark.createDataFrame([(text,)], "text string")
+        chars = chunked_chars(df, chunk=5)
+        ranked, levels = suffix_array(chars, len(text), keep_levels=True)
+        got = {
+            r["rank"]: r["lcp"]
+            for r in lcp_from_levels(ranked, levels).collect()
+        }
+        suf = sorted(text[i:] for i in range(len(text)))
+        want = {0: 0}
+        for r in range(1, len(suf)):
+            a, b = suf[r - 1], suf[r]
+            h = 0
+            while h < min(len(a), len(b)) and a[h] == b[h]:
+                h += 1
+            want[r] = h
+        assert got == want, (text, got, want)

@@ -152,6 +152,9 @@ _R10_WINDOW = [
     "lineitem_cube_flags",
     "layout_zonemap_pruning",
     "suffix_lcs_doc01",
+    # r9-built additions (never driver-windowed)
+    "suffix_longest_repeat_doc0",
+    "suffix_fm_locate_doc0",
     # oldest r1/r2-green names, registry order — HEAD re-verification
     "reduce_by_key_pricing",
     "inner_join_lineitem_orders",
@@ -197,8 +200,6 @@ _R10_WINDOW = [
     "dedup_lsh_candidate_pairs",
     "dedup_jaccard_pairs",
     "dedup_simhash",
-    "similarity_cosine_topk",
-    "similarity_ann_lsh",
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 

@@ -179,6 +179,13 @@ BUDGETS = {
     "io_mixed_codec_roundtrip": 1,  # scalar-agg SinglePartition only
     "suffix_lcp_partnames": 2,  # +1 chunked_chars ingestion repartition
     "suffix_wavelet_partnames": 4,  # +1 chunked_chars ingestion repartition
+    # round-9 additions (measured at suite parallelism): longest-repeat
+    # = LCP binary-descent joins that exceed the broadcast threshold at
+    # 32 partitions + the winner join + bounded reconstruction agg;
+    # fm-locate consumer is one broadcast range-join over the
+    # checkpointed SA
+    "suffix_longest_repeat_doc0": 5,
+    "suffix_fm_locate_doc0": 0,
 
 }
 

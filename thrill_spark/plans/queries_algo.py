@@ -949,6 +949,85 @@ def q_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.lcp_from_levels(ranked, levels)
 
 
+# Longest repeated substring — the classic SA+LCP application (the
+# max adjacent-suffix LCP IS the longest repeat; the reference's
+# suffix programs exist to serve exactly this kind of query,
+# examples/suffix_sorting/). Emits the length and the
+# lexicographically smallest repeat attaining it, reconstructed from
+# the distributed chars table (never a text broadcast).
+@query(
+    "suffix_longest_repeat_doc0",
+    """
+    WITH p AS (SELECT text, unnest(generate_series(0, length(text)-1)) AS pos
+               FROM documents WHERE doc_id = 0),
+    r AS (SELECT pos, ROW_NUMBER() OVER (ORDER BY substr(text, pos+1)) - 1 AS rnk,
+                 text
+          FROM p),
+    adj AS (
+      SELECT rnk,
+             substr(text, LAG(pos) OVER (ORDER BY rnk) + 1) AS s_prev,
+             substr(text, pos + 1) AS s_cur
+      FROM r),
+    lcp AS (
+      SELECT rnk,
+             CASE WHEN s_prev IS NULL THEN 0
+                  ELSE coalesce(
+                    (SELECT MIN(i) - 1
+                     FROM unnest(generate_series(1,
+                            least(length(s_prev), length(s_cur)))) AS t(i)
+                     WHERE substr(s_prev, i, 1) <> substr(s_cur, i, 1)),
+                    least(length(s_prev), length(s_cur)))
+             END AS v
+      FROM adj),
+    mx AS (SELECT COALESCE(MAX(v), 0) AS rep_len FROM lcp)
+    SELECT CAST(mx.rep_len AS BIGINT) AS rep_len,
+           COALESCE((SELECT MIN(substr(a.s_cur, 1, mx.rep_len))
+                     FROM adj a JOIN lcp l ON a.rnk = l.rnk
+                     WHERE l.v = mx.rep_len AND mx.rep_len > 0), '') AS lrs
+    FROM mx
+    """,
+)
+def q_suffix_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max(LCP) + winner extraction: suffix-sort doc0, binary-descent
+    LCP over the doubling rank tables, take the scalar max, then
+    rebuild the winning substring by broadcasting the few winner
+    (start, len) rows against the chars table — the same distributed
+    tail as suffix_lcs_doc01.
+
+    Scale: suffix sort + LCP joins + one scalar agg + one bounded
+    winner reconstruction; nothing funnels the text."""
+    ranked, chars, levels = _doc0_ranked(spark, sf_dir)
+    lcp = A.lcp_from_levels(ranked, levels)
+    mx = lcp.agg(F.coalesce(F.max("lcp"), F.lit(0)).alias("rep_len"))
+    winners = (
+        lcp.join(F.broadcast(mx), (F.col("lcp") == F.col("rep_len")) & (F.col("lcp") > 0))
+        .join(ranked, "rank")
+        .select(F.col("pos").alias("_s"), F.col("lcp").alias("_L"))
+    )
+    best = (
+        chars.join(
+            F.broadcast(winners),
+            (F.col("pos") >= F.col("_s"))
+            & (F.col("pos") < F.col("_s") + F.col("_L")),
+        )
+        .groupBy("_s")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ch"))),
+                    lambda x: x["ch"],
+                ),
+                "",
+            ).alias("_cand")
+        )
+        .agg(F.min("_cand").alias("lrs"))
+    )
+    return mx.crossJoin(F.broadcast(best)).select(
+        F.col("rep_len").cast("long").alias("rep_len"),
+        F.coalesce("lrs", F.lit("")).alias("lrs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Wavelet tree construction (construct_wt.hpp / wavelet_tree.cpp):
 # symbols get dense 6-bit codes (alphabet <= 64 here); level l splits

@@ -564,6 +564,21 @@ def fm_search_chars(
     whose LAST position holds the unique sentinel — the entry point for
     long texts, where exploding a single text row would put the whole
     sequence through one task (see tools/scale_check.py heavy fm)."""
+    state, _ = fm_backward_ranges(spark, chars, n1, patterns)
+    return [(p, max(hi - lo, 0)) for p, (lo, hi) in state.items()]
+
+
+def fm_backward_ranges(
+    spark: SparkSession,
+    chars: DataFrame,
+    n1: int,
+    patterns: tuple[str, ...],
+) -> tuple[dict[str, tuple[int, int]], DataFrame]:
+    """FM backward search returning the suffix-array rank RANGE
+    [lo, hi) per pattern plus the (pos, rank) table — hi-lo is the
+    occurrence count (fm_search_chars), and joining ranked on the
+    range yields the occurrence POSITIONS (suffix_fm_locate_doc0),
+    the locate operation an FM-index exists to answer."""
     ranked = A.suffix_array(chars, n1)
     prev = chars.select((F.col("pos") + 1).alias("pos"), F.col("ch").alias("_prev"))
     bwt = (
@@ -617,10 +632,9 @@ def fm_search_chars(
                     ctab[c] + occ.get((p, lo), 0),
                     ctab[c] + occ.get((p, hi), 0),
                 )
-        rows = [(p, max(hi - lo, 0)) for p, (lo, hi) in state.items()]
     finally:
         bwt.unpersist()
-    return rows
+    return state, ranked
 
 
 @query("suffix_fm_count_doc0", _sql_fm_count())
@@ -637,6 +651,47 @@ def q_fm_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_df = doc.select(F.lower(F.col("text")).alias("_s"))
     rows = fm_backward_count(spark, text_df, _FM_PATTERNS)
     return spark.createDataFrame(rows, "pattern string, n_occ long")
+
+
+def _sql_fm_locate() -> str:
+    # Direct position scan — exact for ANY pattern (each occurrence,
+    # overlapping or not, has a distinct start position).
+    vals = ", ".join(f"('{p}')" for p in _FM_PATTERNS)
+    return f"""
+    WITH t AS (SELECT lower(text) AS txt FROM documents WHERE doc_id = 0),
+    p AS (SELECT txt, unnest(generate_series(0, length(txt)-1)) AS pos FROM t),
+    pats(pattern) AS (VALUES {vals})
+    SELECT pats.pattern, CAST(p.pos AS BIGINT) AS pos
+    FROM p JOIN pats
+      ON substr(p.txt, p.pos + 1, length(pats.pattern)) = pats.pattern
+    """
+
+
+@query("suffix_fm_locate_doc0", _sql_fm_locate())
+def q_fm_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FM-index LOCATE: backward search narrows each pattern to its
+    suffix-array rank range [lo, hi), then one broadcast range-join of
+    the tiny (pattern, lo, hi) table against the (pos, rank) suffix
+    array emits every occurrence position — count's sibling operation,
+    and the one a dedup/attribution pipeline actually consumes. The
+    oracle re-derives the positions by direct substring scan, exact
+    for any pattern (no border restriction: positions never overlap
+    ambiguously the way replace-counts do)."""
+    doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
+    s = doc.select(
+        F.concat(F.lower(F.col("text")), F.lit(_FM_SENTINEL)).alias("_s")
+    )
+    chars = A.chunked_chars(s, text_col="_s")
+    n1 = chars.count()
+    ranges, ranked = fm_backward_ranges(spark, chars, n1, _FM_PATTERNS)
+    rdf = spark.createDataFrame(
+        [(p, lo, hi) for p, (lo, hi) in ranges.items() if hi > lo],
+        "pattern string, _lo long, _hi long",
+    )
+    return ranked.join(
+        F.broadcast(rdf),
+        (F.col("rank") >= F.col("_lo")) & (F.col("rank") < F.col("_hi")),
+    ).select("pattern", F.col("pos").cast("long").alias("pos"))
 
 
 # ---------------------------------------------------------------------------

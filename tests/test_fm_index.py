@@ -50,3 +50,39 @@ def test_border_guard_is_query_scoped(monkeypatch):
     monkeypatch.setattr(QA, "_FM_PATTERNS", ("sort", "ana"))
     with pytest.raises(ValueError, match="border"):
         QA.q_fm_count(None, "/nonexistent")
+
+
+def test_fm_locate_matches_bruteforce(spark):
+    """fm_backward_ranges + an SA range-join must emit exactly the
+    brute-force occurrence positions — including OVERLAPPING matches
+    of bordered patterns, which the count oracle cannot express."""
+    from pyspark.sql import functions as F
+
+    from thrill_spark.plans.algorithms import chunked_chars
+    from thrill_spark.plans.queries_analytics import (
+        _FM_SENTINEL,
+        fm_backward_ranges,
+    )
+
+    text, patterns = "banana", ("ana", "na", "a", "xyz", "banana")
+    df = spark.createDataFrame([(text + _FM_SENTINEL,)], "_s string")
+    chars = chunked_chars(df, text_col="_s", chunk=4)
+    ranges, ranked = fm_backward_ranges(spark, chars, len(text) + 1, patterns)
+    rdf = spark.createDataFrame(
+        [(p, lo, hi) for p, (lo, hi) in ranges.items() if hi > lo],
+        "pattern string, _lo long, _hi long",
+    )
+    got = sorted(
+        (r["pattern"], r["pos"])
+        for r in ranked.join(
+            F.broadcast(rdf),
+            (F.col("rank") >= F.col("_lo")) & (F.col("rank") < F.col("_hi")),
+        ).select("pattern", "pos").collect()
+    )
+    want = sorted(
+        (p, i)
+        for p in patterns
+        for i in range(len(text) - len(p) + 1)
+        if text[i : i + len(p)] == p
+    )
+    assert got == want

@@ -155,6 +155,7 @@ _R10_WINDOW = [
     # r9-built additions (never driver-windowed)
     "suffix_longest_repeat_doc0",
     "suffix_fm_locate_doc0",
+    "dedup_exact_substr_sa",
     # oldest r1/r2-green names, registry order — HEAD re-verification
     "reduce_by_key_pricing",
     "inner_join_lineitem_orders",
@@ -199,7 +200,6 @@ _R10_WINDOW = [
     "dedup_minhash_signatures",
     "dedup_lsh_candidate_pairs",
     "dedup_jaccard_pairs",
-    "dedup_simhash",
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 

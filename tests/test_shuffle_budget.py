@@ -186,6 +186,10 @@ BUDGETS = {
     # checkpointed SA
     "suffix_longest_repeat_doc0": 5,
     "suffix_fm_locate_doc0": 0,
+    # ExactSubstr: island prefix-sum bucketing + member/island join +
+    # island aggregation (LCP descent joins broadcast at suite scale;
+    # measured 3, +2 headroom for threshold-sensitive descent joins)
+    "dedup_exact_substr_sa": 5,
 
 }
 

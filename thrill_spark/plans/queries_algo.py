@@ -1028,6 +1028,93 @@ def q_suffix_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# True ExactSubstr cross-document duplication via the GENERALIZED
+# suffix array (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better" — the exact-substring dedup the n-gram-cover
+# query approximates; reference workload: examples/suffix_sorting/).
+# Suffixes sharing a >=L-char prefix form a CONTIGUOUS rank interval,
+# so maximal runs of adjacent-LCP >= L are exactly the distinct
+# L-char substrings; a run whose in-document members span >= 2 docs is
+# a cross-document duplicate.
+_XS_DOCS = 64
+_XS_L = 16
+
+
+@query(
+    "dedup_exact_substr_sa",
+    f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_XS_DOCS}),
+    s AS (SELECT doc_id, substr(text, i, {_XS_L}) AS sub
+          FROM d, unnest(generate_series(1, length(text) - {_XS_L} + 1)) AS t(i)),
+    g AS (SELECT sub, COUNT(*) AS occ, COUNT(DISTINCT doc_id) AS nd
+          FROM s GROUP BY sub)
+    SELECT CAST(nd AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_substrings,
+           CAST(SUM(occ) AS BIGINT) AS n_occurrences
+    FROM g WHERE nd >= 2 GROUP BY nd
+    """,
+)
+def q_exact_substr_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring cross-doc duplication profile: generalized SA
+    over the doc_id<{D} corpus (distributed offsets + chunked chars),
+    binary-descent LCP, then gaps-and-islands on lcp >= L via the
+    distributed prefix-sum — each island IS one distinct L-char
+    substring; island members are labeled with their document by a
+    broadcast range-join against the offset table and filtered to
+    occurrences that stay inside one document. Emits, per
+    documents-spanned count, how many distinct duplicated substrings
+    exist and their total occurrences. The DuckDB oracle re-derives
+    the same profile by brute-force substring grouping.
+
+    Scale: suffix sort O(n log n) + LCP joins + one prefix-sum + one
+    keyed island aggregation — at corpus scale this is the production
+    ExactSubstr shape (the SA machinery already scale-checked at
+    `scale_check.py heavy`); nothing funnels the corpus."""
+    from thrill_spark import ordering as O
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _XS_DOCS
+    )
+    lens = docs.select("doc_id", F.length("text").alias("_len"))
+    offs = O.prefix_sum(lens, ["doc_id"], "_len", name="_off", exclusive=True)
+    chars = A.chunked_chars(
+        docs.join(offs.select("doc_id", "_off"), "doc_id"), off_col="_off"
+    )
+    n = chars.count()
+    ranked, levels = A.suffix_array(chars, n, keep_levels=True)
+    lcp = A.lcp_from_levels(ranked, levels)
+    # island id: inclusive prefix sum of new-island flags (lcp < L)
+    # over rank order — two-phase distributed scan, no global window
+    flags = lcp.select(
+        "rank", (F.col("lcp") < _XS_L).cast("long").alias("_new")
+    )
+    isl = O.prefix_sum(flags, ["rank"], "_new", name="_isl")
+    # document label + in-document validity per suffix start
+    bounds = offs.select(
+        "doc_id", "_off", (F.col("_off") + F.col("_len")).alias("_end")
+    )
+    labeled = ranked.join(
+        F.broadcast(bounds),
+        (F.col("pos") >= F.col("_off")) & (F.col("pos") < F.col("_end")),
+    ).select(
+        "rank",
+        "doc_id",
+        (F.col("pos") + _XS_L <= F.col("_end")).alias("_valid"),
+    )
+    mem = labeled.join(isl.select("rank", "_isl"), "rank").filter("_valid")
+    g = mem.groupBy("_isl").agg(
+        F.count("*").alias("occ"), F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        g.filter(F.col("nd") >= 2)
+        .groupBy(F.col("nd").cast("long").alias("n_docs"))
+        .agg(
+            F.count("*").cast("long").alias("n_substrings"),
+            F.sum("occ").cast("long").alias("n_occurrences"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Wavelet tree construction (construct_wt.hpp / wavelet_tree.cpp):
 # symbols get dense 6-bit codes (alphabet <= 64 here); level l splits

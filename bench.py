@@ -118,6 +118,11 @@ BENCH_QUERIES_V2 = [
     "ml_token_vote_classifier",
     "profile_benford_totalprice",
     "window_sliding_partial_tail",
+    # r9-built: true ExactSubstr cross-doc dedup (generalized SA +
+    # LCP islands) and the FM/SA consumers added this round
+    "dedup_exact_substr_sa",
+    "suffix_fm_locate_doc0",
+    "suffix_longest_repeat_doc0",
 ]
 
 

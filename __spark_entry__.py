@@ -143,10 +143,11 @@ _R8_WINDOW = [
 
 # Round-10 rotation (VERDICT r8 "Next round" #2, committed as CODE so
 # a short or zero-turn round can't drop it): the 4 r7-overflow names
-# that never fit a window, plus the 46 OLDEST driver-green names
-# (r1/r2 windows, in registry order) re-verified at HEAD. After this
-# window every registered query has a driver oracle row (298/298).
-# At round-10 start set _DRIVER_WINDOW_PRIORITY = _R10_WINDOW.
+# that never fit a window, the 4 r9-built queries, plus the 42 OLDEST
+# driver-green names (r1/r2 windows, in registry order) re-verified at
+# HEAD. After this window every registered query has a driver oracle
+# row (302/302). At round-10 start the ONLY required edit is
+# _DRIVER_WINDOW_PRIORITY = _R10_WINDOW.
 _R10_WINDOW = [
     "orders_rollup_revenue",
     "lineitem_cube_flags",
@@ -156,6 +157,7 @@ _R10_WINDOW = [
     "suffix_longest_repeat_doc0",
     "suffix_fm_locate_doc0",
     "dedup_exact_substr_sa",
+    "dedup_exact_substr_coverage",
     # oldest r1/r2-green names, registry order — HEAD re-verification
     "reduce_by_key_pricing",
     "inner_join_lineitem_orders",
@@ -199,7 +201,6 @@ _R10_WINDOW = [
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_lsh_candidate_pairs",
-    "dedup_jaccard_pairs",
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 

@@ -190,7 +190,9 @@ BUDGETS = {
     # island aggregation (LCP descent joins broadcast at suite scale;
     # measured 3, +2 headroom for threshold-sensitive descent joins)
     "dedup_exact_substr_sa": 5,
-
+    # coverage consumer: dup-member explode + distinct + per-doc agg
+    # (measured 1, +2 headroom for threshold-sensitive descent joins)
+    "dedup_exact_substr_coverage": 3,
 }
 
 

@@ -1040,6 +1040,51 @@ _XS_DOCS = 64
 _XS_L = 16
 
 
+def _exact_substr_members(spark: SparkSession, sf_dir: str):
+    """(doc_id, pos, _isl) for every in-document L-char occurrence of
+    the doc_id<_XS_DOCS corpus, plus the per-doc length table.
+    Islands = maximal adjacent-LCP >= L rank runs over the generalized
+    SA (see q_exact_substr_sa for the full derivation)."""
+    from thrill_spark import ordering as O
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _XS_DOCS
+    )
+    lens = docs.select("doc_id", F.length("text").alias("_len"))
+    offs = O.prefix_sum(lens, ["doc_id"], "_len", name="_off", exclusive=True)
+    chars = A.chunked_chars(
+        docs.join(offs.select("doc_id", "_off"), "doc_id"), off_col="_off"
+    )
+    n = chars.count()
+    ranked, levels = A.suffix_array(chars, n, keep_levels=True)
+    lcp = A.lcp_from_levels(ranked, levels)
+    # island id: inclusive prefix sum of new-island flags (lcp < L)
+    # over rank order — two-phase distributed scan, no global window
+    flags = lcp.select(
+        "rank", (F.col("lcp") < _XS_L).cast("long").alias("_new")
+    )
+    isl = O.prefix_sum(flags, ["rank"], "_new", name="_isl")
+    # document label + in-document validity per suffix start
+    bounds = offs.select(
+        "doc_id", "_off", (F.col("_off") + F.col("_len")).alias("_end")
+    )
+    labeled = ranked.join(
+        F.broadcast(bounds),
+        (F.col("pos") >= F.col("_off")) & (F.col("pos") < F.col("_end")),
+    ).select(
+        "rank",
+        "doc_id",
+        "pos",
+        (F.col("pos") + _XS_L <= F.col("_end")).alias("_valid"),
+    )
+    mem = (
+        labeled.join(isl.select("rank", "_isl"), "rank")
+        .filter("_valid")
+        .select("doc_id", "pos", "_isl")
+    )
+    return mem, offs
+
+
 @query(
     "dedup_exact_substr_sa",
     f"""
@@ -1070,38 +1115,7 @@ def q_exact_substr_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed island aggregation — at corpus scale this is the production
     ExactSubstr shape (the SA machinery already scale-checked at
     `scale_check.py heavy`); nothing funnels the corpus."""
-    from thrill_spark import ordering as O
-
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < _XS_DOCS
-    )
-    lens = docs.select("doc_id", F.length("text").alias("_len"))
-    offs = O.prefix_sum(lens, ["doc_id"], "_len", name="_off", exclusive=True)
-    chars = A.chunked_chars(
-        docs.join(offs.select("doc_id", "_off"), "doc_id"), off_col="_off"
-    )
-    n = chars.count()
-    ranked, levels = A.suffix_array(chars, n, keep_levels=True)
-    lcp = A.lcp_from_levels(ranked, levels)
-    # island id: inclusive prefix sum of new-island flags (lcp < L)
-    # over rank order — two-phase distributed scan, no global window
-    flags = lcp.select(
-        "rank", (F.col("lcp") < _XS_L).cast("long").alias("_new")
-    )
-    isl = O.prefix_sum(flags, ["rank"], "_new", name="_isl")
-    # document label + in-document validity per suffix start
-    bounds = offs.select(
-        "doc_id", "_off", (F.col("_off") + F.col("_len")).alias("_end")
-    )
-    labeled = ranked.join(
-        F.broadcast(bounds),
-        (F.col("pos") >= F.col("_off")) & (F.col("pos") < F.col("_end")),
-    ).select(
-        "rank",
-        "doc_id",
-        (F.col("pos") + _XS_L <= F.col("_end")).alias("_valid"),
-    )
-    mem = labeled.join(isl.select("rank", "_isl"), "rank").filter("_valid")
+    mem, _ = _exact_substr_members(spark, sf_dir)
     g = mem.groupBy("_isl").agg(
         F.count("*").alias("occ"), F.countDistinct("doc_id").alias("nd")
     )
@@ -1111,6 +1125,58 @@ def q_exact_substr_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_substrings"),
             F.sum("occ").cast("long").alias("n_occurrences"),
+        )
+    )
+
+
+@query(
+    "dedup_exact_substr_coverage",
+    f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_XS_DOCS}),
+    s AS (SELECT doc_id, i, substr(text, i, {_XS_L}) AS sub
+          FROM d, unnest(generate_series(1, length(text) - {_XS_L} + 1)) AS t(i)),
+    g AS (SELECT sub FROM s GROUP BY sub HAVING COUNT(DISTINCT doc_id) >= 2),
+    occ AS (SELECT s.doc_id, s.i FROM s JOIN g USING (sub)),
+    cov AS (SELECT DISTINCT doc_id, i + j AS off
+            FROM occ, unnest(generate_series(0, {_XS_L - 1})) AS t(j))
+    SELECT d.doc_id,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS covered_chars,
+           CAST(length(d.text) AS BIGINT) AS doc_len
+    FROM d LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY doc_id) c
+      USING (doc_id)
+    """,
+)
+def q_exact_substr_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable output of ExactSubstr dedup: per document, how
+    many characters are covered by some cross-document duplicated
+    L-char substring — the span a Lee-et-al-style cleaner would cut.
+    Island members of >=2-doc islands explode to their L covered
+    offsets (bounded: occurrences x L, duplicated text only — never
+    the whole corpus), distinct per (doc, offset), counted per doc.
+
+    Scale: the member table is the dup-only subset; the explode factor
+    is the constant L; everything else is keyed aggregation."""
+    mem, offs = _exact_substr_members(spark, sf_dir)
+    nd = mem.groupBy("_isl").agg(F.countDistinct("doc_id").alias("_nd"))
+    dup = mem.join(nd.filter(F.col("_nd") >= 2), "_isl", "left_semi")
+    cov = (
+        dup.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(_XS_L - 1))
+            ).alias("_o"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_covered"))
+    )
+    return (
+        offs.select("doc_id", "_len")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_covered", F.lit(0)).cast("long").alias("covered_chars"),
+            F.col("_len").cast("long").alias("doc_len"),
         )
     )
 

@@ -216,6 +216,8 @@ def heavy(k: int, only: str | None = None) -> None:
         _heavy_fm(spark, k, report)
     if only in (None, "lcs"):
         _heavy_lcs(spark, k, report)
+    if only in (None, "xs"):
+        _heavy_xs(spark, k, report)
     print(json.dumps({"k": k, "heavy": report}, indent=2))
 
 
@@ -353,6 +355,62 @@ def _heavy_lcs(spark, k, report):
         times[copies] = round(_t.perf_counter() - t0, 2)
         spark.catalog.clearCache()
     report["suffix_lcs"] = {
+        "t_1x_s": times[1],
+        f"t_{k}x_s": times[k],
+        "ratio": round(times[k] / times[1], 2),
+    }
+
+
+def _heavy_xs(spark, k, report):
+    import time as _t
+
+    from thrill_spark.plans import queries_algo as QG
+
+    # --- ExactSubstr (generalized SA + LCP islands): 1x vs kx corpus.
+    # The scaled corpus is K contiguous-id copies of the doc_id<_XS_DOCS
+    # fixture; _XS_DOCS is scaled with K so the query sees all copies.
+    # Replicated docs are exact clones, so EVERY island becomes
+    # multi-doc — a duplication-saturated worst case for the island
+    # aggregation (real corpora duplicate far less).
+    base_docs = QG._XS_DOCS
+    docs = spark.read.parquet(f"{BASE}/documents.parquet").filter(
+        F.col("doc_id") < base_docs
+    )
+
+    def _dir(copies: int) -> str:
+        # contiguous ids 0..copies*base_docs-1 so the scaled query's
+        # doc_id < copies*base_docs filter sees every copy
+        out = f"/tmp/thrill_spark_scale_xs_{copies}x"
+        if not os.path.exists(os.path.join(out, "_DONE")):
+            shutil.rmtree(out, ignore_errors=True)
+            os.makedirs(out, exist_ok=True)
+            big = None
+            for i in range(copies):
+                c = docs.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * base_docs)
+                )
+                big = c if big is None else big.unionByName(c)
+            big.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+            open(os.path.join(out, "_DONE"), "w").write("ok")
+        return out
+
+    from thrill_spark import ordering as _O
+
+    times = {}
+    try:
+        for copies in (1, 1, k):  # first 1x is the untimed warmup
+            d = _dir(copies)
+            QG._XS_DOCS = base_docs * copies
+            t0 = _t.perf_counter()
+            QUERIES["dedup_exact_substr_sa"](spark, d).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            times[copies] = round(_t.perf_counter() - t0, 2)
+            _O.release_persisted()
+            spark.catalog.clearCache()
+    finally:
+        QG._XS_DOCS = base_docs
+    report["dedup_exact_substr_sa"] = {
         "t_1x_s": times[1],
         f"t_{k}x_s": times[k],
         "ratio": round(times[k] / times[1], 2),

@@ -204,7 +204,7 @@ _R10_WINDOW = [
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 
-_DRIVER_WINDOW_PRIORITY = _R8_WINDOW
+_DRIVER_WINDOW_PRIORITY = _R10_WINDOW
 assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
 
 

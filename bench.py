@@ -233,32 +233,68 @@ def format_output(
     stage_counts: dict[str, dict],
     errors: dict[str, str],
     v2_timings: dict[str, float] | None = None,
+    v1_error_count: int = 0,
+    v2_error_count: int = 0,
 ) -> tuple[list[str], str]:
     """Return (earlier stdout lines, final stdout line).
 
     The FINAL line is the r1-comparable headline record (the driver
     parses the last line); the v2 record is the line directly before
-    it so both fit the driver's stdout capture window."""
+    it so both fit the driver's stdout capture window. Each record
+    carries only ITS OWN error count so both are self-describing."""
     earlier: list[str] = []
     if stage_counts:
         earlier.append(json.dumps({"stage_counts": stage_counts}))
     if errors:
         earlier.append(json.dumps({"errors": errors}))
     final = _capped_record(
-        "headline_queries_total_runtime", timings, sf, len(errors)
+        "headline_queries_total_runtime", timings, sf, v1_error_count
     )
-    if v2_timings:
+    if v2_timings or v2_error_count:
         # The driver keeps only the LAST ~2000 stdout chars and parses
         # the final line; the v2 line must fit the window ABOVE the
         # final line or its head gets cut off.
         v2_budget = max(2000 - len(final) - 2, 300)
         earlier.append(
             _capped_record(
-                "headline_v2_total_runtime", v2_timings, sf, 0,
-                max_len=v2_budget,
+                "headline_v2_total_runtime", v2_timings or {}, sf,
+                v2_error_count, max_len=v2_budget,
             )
         )
     return earlier, final
+
+
+def _timed_passes(
+    spark,
+    names: list[str],
+    sf_dir: str,
+    errors: dict[str, str],
+    timings: dict[str, float],
+    stage_counts: dict[str, dict],
+    passes: int = 3,
+) -> None:
+    """Interleaved round-robin passes over `names`, per-query min.
+
+    Consecutive-repeat timing pins a query to whatever transient phase
+    (GC pause, host noise) it lands in; round-robin passes decorrelate
+    that, and the min-over-passes drops slow phases for every query
+    equally. Mutates errors/timings/stage_counts in place."""
+    for _ in range(passes):
+        for name in names:
+            try:
+                t, metrics = run_query_with_metrics(spark, name, sf_dir)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                continue
+            if name not in timings or t < timings[name]:
+                timings[name] = t
+            # plans are deterministic → counts identical across passes;
+            # keep the latest (steady-state) observation
+            stage_counts[name] = metrics
+            _ordering.release_persisted()
+            spark.catalog.clearCache()  # drop remaining persists between queries
+        names = [n for n in names if n not in errors]
+        spark.sparkContext._jvm.System.gc()
 
 
 def main() -> None:
@@ -282,28 +318,23 @@ def main() -> None:
     names = [n for n in names if n not in errors]
     _ordering.release_persisted()
     spark.catalog.clearCache()
-    # Three interleaved full passes, per-query min. Consecutive-repeat
-    # timing pins a query to whatever transient phase (GC pause, host
-    # noise) it lands in; round-robin passes decorrelate that, and the
-    # min-over-passes drops slow phases for every query equally.
+    # Protocol (r10, VERDICT r9 "what's wrong" #1): time the v1 pass to
+    # COMPLETION before any v2 query runs, so the r1-comparable v1
+    # series stops absorbing the heavy suffix/SA v2 queries' GC and
+    # codegen pressure. r9's single interleave of all 70 cost the
+    # official v1 record ~20% (81.6 s driver vs 68.7 s judge-idle on
+    # identical code).
     timings: dict[str, float] = {}
     stage_counts: dict[str, dict] = {}
-    for _ in range(3):
-        for name in names:
-            try:
-                t, metrics = run_query_with_metrics(spark, name, sf_dir)
-            except Exception as exc:  # noqa: BLE001
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                continue
-            if name not in timings or t < timings[name]:
-                timings[name] = t
-            # plans are deterministic → counts identical across passes;
-            # keep the latest (steady-state) observation
-            stage_counts[name] = metrics
-            _ordering.release_persisted()
-            spark.catalog.clearCache()  # drop remaining persists between queries
-        names = [n for n in names if n not in errors]
-        spark.sparkContext._jvm.System.gc()
+    _timed_passes(
+        spark, [n for n in names if n in v1_names], sf_dir,
+        errors, timings, stage_counts,
+    )
+    spark.sparkContext._jvm.System.gc()
+    _timed_passes(
+        spark, [n for n in names if n not in v1_names], sf_dir,
+        errors, timings, stage_counts,
+    )
     # a query that timed in pass 1 but errored in a later pass must not
     # contribute a partial time to `value` while also being reported as
     # errored — errored names live only in the errors map

@@ -293,6 +293,13 @@ def test_chunked_chars_matches_direct_explode(spark):
     )
     assert "Exchange hashpartitioning" in plan
 
+    # contract guard: >1 non-empty row without off_col would assign
+    # base offset 0 to every row (colliding pos) — must raise, not
+    # silently corrupt the char table
+    df4 = spark.createDataFrame([("ab",), ("cd",)], "text string")
+    with pytest.raises(ValueError, match="off_col is required"):
+        chunked_chars(df4, chunk=4)
+
 
 def test_lcp_from_levels_matches_bruteforce(spark):
     """Binary-descent LCP over the doubling rank tables must equal the

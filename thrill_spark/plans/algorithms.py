@@ -368,6 +368,19 @@ def chunked_chars(
     Reference: examples/suffix_sorting/*.cpp read arbitrary files as
     a distributed byte DIA (thrill/api/read_binary.hpp splits on byte
     ranges); this is the parquet-row equivalent of that split."""
+    if (
+        off_col is None
+        and df.filter(F.length(F.col(text_col)) > 0).limit(2).count() > 1
+    ):
+        # Contract guard: without offsets every input row gets base 0,
+        # so >1 non-empty row would silently produce colliding pos
+        # values and a corrupt char table. The limit(2) scan is cheap
+        # next to the suffix workloads this feeds.
+        raise ValueError(
+            "chunked_chars: off_col is required when the input has more "
+            "than one non-empty row (omitting it assigns base offset 0 "
+            "to every row, yielding colliding pos values)"
+        )
     base = (F.col(off_col) if off_col else F.lit(0)).cast("long")
     slices = df.select(
         base.alias("_base"),
@@ -407,7 +420,10 @@ def suffix_array(
     levels is [(prefix_len, rank_df), ...] for prefix lengths 1, 2, 4,
     … — the per-round rank checkpoints the doubling loop produces
     anyway, retained so lcp_from_levels can binary-descend over them
-    without ever materializing suffix strings.
+    without ever materializing suffix strings. The TERMINAL table
+    (the round whose ranks came out fully distinct) is excluded: its
+    descent joins can never match, and max LCP < its prefix length ==
+    1 + sum of the retained levels' lengths, so coverage is intact.
 
     Each round: self-joins at offsets k..(step-1)k (Zip-with-shift),
     re-rank tuples via the distributed with_index discipline, stop
@@ -442,9 +458,15 @@ def suffix_array(
             .select(pos, F.col("nr").alias("r"))
             .localCheckpoint()
         )
-        levels.append((k * step, ranks))
         if grp.count() >= n:
+            # Terminal table: ranks fully distinct, so no two suffixes
+            # can ever rank-match at this prefix length — keeping it in
+            # `levels` would cost lcp_from_levels two joins per call
+            # that provably never match. Max LCP is < this prefix
+            # length, i.e. <= sum of all retained levels, so the
+            # descent loses nothing by excluding it.
             break
+        levels.append((k * step, ranks))
         k *= step
     ranked = ranks.select(F.col(pos), F.col("r").cast("long").alias("rank"))
     if keep_levels:

@@ -989,28 +989,37 @@ def q_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_suffix_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max(LCP) + winner extraction: suffix-sort doc0, binary-descent
-    LCP over the doubling rank tables, take the scalar max, then
-    rebuild the winning substring by broadcasting the few winner
-    (start, len) rows against the chars table — the same distributed
-    tail as suffix_lcs_doc01.
+    LCP over the doubling rank tables, take the scalar max, collapse
+    ties to the single min-rank winner, then rebuild its substring by
+    broadcasting that ONE (start, len) row against the chars table —
+    the same distributed tail as suffix_lcs_doc01.
 
     Scale: suffix sort + LCP joins + one scalar agg + one bounded
     winner reconstruction; nothing funnels the text."""
     ranked, chars, levels = _doc0_ranked(spark, sf_dir)
     lcp = A.lcp_from_levels(ranked, levels)
     mx = lcp.agg(F.coalesce(F.max("lcp"), F.lit(0)).alias("rep_len"))
-    winners = (
-        lcp.join(F.broadcast(mx), (F.col("lcp") == F.col("rep_len")) & (F.col("lcp") > 0))
+    # Collapse ties BEFORE broadcasting: among all max-LCP rows, the
+    # MINIMUM rank's suffix carries the lexicographically smallest
+    # repeat (equal-length prefixes order with their suffixes), so the
+    # range-join broadcast is one (start, len) row even on periodic
+    # text where max-LCP ties are O(n). The rank->pos lookup is a
+    # distributed equi-join, not part of the broadcast.
+    winner = (
+        lcp.join(
+            F.broadcast(mx),
+            (F.col("lcp") == F.col("rep_len")) & (F.col("lcp") > 0),
+        )
         .join(ranked, "rank")
-        .select(F.col("pos").alias("_s"), F.col("lcp").alias("_L"))
+        .agg(F.min(F.struct("rank", "pos", "lcp")).alias("_w"))
+        .select(F.col("_w.pos").alias("_s"), F.col("_w.lcp").alias("_L"))
     )
     best = (
         chars.join(
-            F.broadcast(winners),
+            F.broadcast(winner),
             (F.col("pos") >= F.col("_s"))
             & (F.col("pos") < F.col("_s") + F.col("_L")),
         )
-        .groupBy("_s")
         .agg(
             F.array_join(
                 F.transform(
@@ -1018,9 +1027,8 @@ def q_suffix_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda x: x["ch"],
                 ),
                 "",
-            ).alias("_cand")
+            ).alias("lrs")
         )
-        .agg(F.min("_cand").alias("lrs"))
     )
     return mx.crossJoin(F.broadcast(best)).select(
         F.col("rep_len").cast("long").alias("rep_len"),
@@ -1503,19 +1511,27 @@ def suffix_lcs_core(d0: DataFrame, d1: DataFrame) -> DataFrame:
         )
     )
     mx = cross.agg(F.coalesce(F.max("lcp"), F.lit(0)).alias("lcs_len"))
-    # Reconstruct each winning substring from the DISTRIBUTED chars
-    # table (broadcast only the few winner (start, len) rows against
-    # it) — never a broadcast of the full text.
-    winners = cross.join(F.broadcast(mx), F.col("lcp") == F.col("lcs_len")).select(
-        F.col("pos").alias("_s"), F.col("lcp").alias("_L")
+    # Reconstruct THE winning substring from the DISTRIBUTED chars
+    # table. Ties are collapsed BEFORE any broadcast: suffix order is
+    # lexicographic, so among all max-LCP winning rows the one with
+    # the MINIMUM rank carries the lexicographically smallest L-char
+    # prefix (equal-length prefixes order with their suffixes) — a
+    # 1-row agg, so the range-join broadcast is a single (start, len)
+    # row even on periodic text where ties are O(n).
+    winner = (
+        cross.join(
+            F.broadcast(mx),
+            (F.col("lcp") == F.col("lcs_len")) & (F.col("lcs_len") > 0),
+        )
+        .agg(F.min(F.struct("rank", "pos", "lcp")).alias("_w"))
+        .select(F.col("_w.pos").alias("_s"), F.col("_w.lcp").alias("_L"))
     )
     best = (
         chars.join(
-            F.broadcast(winners),
+            F.broadcast(winner),
             (F.col("pos") >= F.col("_s"))
             & (F.col("pos") < F.col("_s") + F.col("_L")),
         )
-        .groupBy("_s")
         .agg(
             F.array_join(
                 F.transform(
@@ -1523,9 +1539,8 @@ def suffix_lcs_core(d0: DataFrame, d1: DataFrame) -> DataFrame:
                     lambda x: x["ch"],
                 ),
                 "",
-            ).alias("_cand")
+            ).alias("lcs")
         )
-        .agg(F.min("_cand").alias("lcs"))
     )
     return mx.crossJoin(F.broadcast(best)).select(
         F.col("lcs_len").cast("long").alias("lcs_len"),

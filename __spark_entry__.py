@@ -158,6 +158,8 @@ _R10_WINDOW = [
     "suffix_fm_locate_doc0",
     "dedup_exact_substr_sa",
     "dedup_exact_substr_coverage",
+    # r10-built (first-time verification outranks re-verification)
+    "dedup_exact_substr_clean",
     # oldest r1/r2-green names, registry order — HEAD re-verification
     "reduce_by_key_pricing",
     "inner_join_lineitem_orders",
@@ -200,7 +202,6 @@ _R10_WINDOW = [
     "text_lang_id",
     "dedup_exact",
     "dedup_minhash_signatures",
-    "dedup_lsh_candidate_pairs",
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 

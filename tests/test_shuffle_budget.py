@@ -193,6 +193,10 @@ BUDGETS = {
     # coverage consumer: dup-member explode + distinct + per-doc agg
     # (measured 1, +2 headroom for threshold-sensitive descent joins)
     "dedup_exact_substr_coverage": 3,
+    # round-10: cleaner consumer = covered-offset distinct + char
+    # anti-join + per-doc splice agg (measured 1, +3 headroom for
+    # threshold-sensitive descent/anti joins)
+    "dedup_exact_substr_clean": 4,
 }
 
 

@@ -1049,10 +1049,12 @@ _XS_L = 16
 
 
 def _exact_substr_members(spark: SparkSession, sf_dir: str):
-    """(doc_id, pos, _isl) for every in-document L-char occurrence of
-    the doc_id<_XS_DOCS corpus, plus the per-doc length table.
-    Islands = maximal adjacent-LCP >= L rank runs over the generalized
-    SA (see q_exact_substr_sa for the full derivation)."""
+    """(members, offsets, chars): (doc_id, pos, _isl) for every
+    in-document L-char occurrence of the doc_id<_XS_DOCS corpus, the
+    per-doc offset/length table, and the global (pos, ch) char table
+    the SA was built from (reused by the cleaner for survivor-text
+    reconstruction). Islands = maximal adjacent-LCP >= L rank runs
+    over the generalized SA (see q_exact_substr_sa)."""
     from thrill_spark import ordering as O
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -1090,7 +1092,7 @@ def _exact_substr_members(spark: SparkSession, sf_dir: str):
         .filter("_valid")
         .select("doc_id", "pos", "_isl")
     )
-    return mem, offs
+    return mem, offs, chars
 
 
 @query(
@@ -1123,7 +1125,7 @@ def q_exact_substr_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed island aggregation — at corpus scale this is the production
     ExactSubstr shape (the SA machinery already scale-checked at
     `scale_check.py heavy`); nothing funnels the corpus."""
-    mem, _ = _exact_substr_members(spark, sf_dir)
+    mem, _, _ = _exact_substr_members(spark, sf_dir)
     g = mem.groupBy("_isl").agg(
         F.count("*").alias("occ"), F.countDistinct("doc_id").alias("nd")
     )
@@ -1164,7 +1166,7 @@ def q_exact_substr_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the member table is the dup-only subset; the explode factor
     is the constant L; everything else is keyed aggregation."""
-    mem, offs = _exact_substr_members(spark, sf_dir)
+    mem, offs, _ = _exact_substr_members(spark, sf_dir)
     nd = mem.groupBy("_isl").agg(F.countDistinct("doc_id").alias("_nd"))
     dup = mem.join(nd.filter(F.col("_nd") >= 2), "_isl", "left_semi")
     cov = (
@@ -1185,6 +1187,93 @@ def q_exact_substr_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("_covered", F.lit(0)).cast("long").alias("covered_chars"),
             F.col("_len").cast("long").alias("doc_len"),
+        )
+    )
+
+
+@query(
+    "dedup_exact_substr_clean",
+    f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_XS_DOCS}),
+    s AS (SELECT doc_id, i, substr(text, i, {_XS_L}) AS sub
+          FROM d, unnest(generate_series(1, length(text) - {_XS_L} + 1)) AS t(i)),
+    g AS (SELECT sub FROM s GROUP BY sub HAVING COUNT(DISTINCT doc_id) >= 2),
+    occ AS (SELECT s.doc_id, s.i FROM s JOIN g USING (sub)),
+    cov AS (SELECT DISTINCT doc_id, i + j AS off
+            FROM occ, unnest(generate_series(0, {_XS_L - 1})) AS t(j)),
+    pt AS (SELECT doc_id, i AS cpos, substr(text, i, 1) AS ch
+           FROM d, unnest(generate_series(1, length(text))) AS t(i)),
+    kept AS (
+      SELECT pt.* FROM pt
+      WHERE NOT EXISTS (SELECT 1 FROM cov
+                        WHERE cov.doc_id = pt.doc_id AND cov.off = pt.cpos)),
+    ka AS (SELECT doc_id, md5(string_agg(ch, '' ORDER BY cpos)) AS kept_fp,
+                  COUNT(*) AS n_kept
+           FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(length(d.text) AS BIGINT) AS doc_len,
+           CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS kept_chars,
+           coalesce(ka.kept_fp, md5('')) AS kept_fp
+    FROM d LEFT JOIN ka USING (doc_id)
+    """,
+)
+def q_exact_substr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee-et-al ExactSubstr CLEANER output (the step the profile
+    and coverage queries feed, "Deduplicating Training Data Makes
+    Language Models Better" §3; reference workload:
+    examples/suffix_sorting/): per document, CUT every character
+    covered by a cross-document duplicated L-char substring and
+    re-splice the remainders in order — emitting the survivor text's
+    md5 fingerprint and kept length, so the oracle certifies the
+    actual cleaned bytes, not just their count.
+
+    Pipeline: generalized-SA islands -> >=2-doc islands' members
+    explode to covered GLOBAL offsets (dup-only subset x constant L)
+    -> anti-join the distributed char table -> label survivors by doc
+    via the broadcast 64-row bounds range-join -> per-doc ordered
+    splice + md5. The per-doc assembly groups O(doc_len) char rows —
+    bounded by the corpus' max document size, the same per-record
+    unit the reference cleaner holds in memory; everything upstream
+    stays keyed and distributed.
+
+    The DuckDB oracle replays the semantics from first principles
+    with a NOT-EXISTS anti-join over brute-force substring groups."""
+    mem, offs, chars = _exact_substr_members(spark, sf_dir)
+    nd = mem.groupBy("_isl").agg(F.countDistinct("doc_id").alias("_nd"))
+    dup = mem.join(nd.filter(F.col("_nd") >= 2), "_isl", "left_semi")
+    cov = dup.select(
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(_XS_L - 1))
+        ).alias("pos")
+    ).distinct()
+    survivors = chars.join(cov, "pos", "left_anti")
+    bounds = offs.select(
+        "doc_id", "_off", (F.col("_off") + F.col("_len")).alias("_end")
+    )
+    labeled = survivors.join(
+        F.broadcast(bounds),
+        (F.col("pos") >= F.col("_off")) & (F.col("pos") < F.col("_end")),
+    )
+    ka = labeled.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ch"))),
+                    lambda x: x["ch"],
+                ),
+                "",
+            )
+        ).alias("_fp"),
+        F.count("*").alias("_n"),
+    )
+    return (
+        offs.select("doc_id", "_len")
+        .join(ka, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("_len").cast("long").alias("doc_len"),
+            F.coalesce("_n", F.lit(0)).cast("long").alias("kept_chars"),
+            F.coalesce("_fp", F.md5(F.lit(""))).alias("kept_fp"),
         )
     )
 

@@ -1048,17 +1048,28 @@ _XS_DOCS = 64
 _XS_L = 16
 
 
-def _exact_substr_members(spark: SparkSession, sf_dir: str):
+def _exact_substr_members(
+    spark: SparkSession,
+    sf_dir: str,
+    n_docs: int | None = None,
+    min_len: int | None = None,
+):
     """(members, offsets, chars): (doc_id, pos, _isl) for every
-    in-document L-char occurrence of the doc_id<_XS_DOCS corpus, the
+    in-document L-char occurrence of the doc_id<n_docs corpus, the
     per-doc offset/length table, and the global (pos, ch) char table
     the SA was built from (reused by the cleaner for survivor-text
     reconstruction). Islands = maximal adjacent-LCP >= L rank runs
-    over the generalized SA (see q_exact_substr_sa)."""
+    over the generalized SA (see q_exact_substr_sa).
+
+    n_docs / min_len default to the registered queries' fixed
+    _XS_DOCS / _XS_L; tools/scale_check.py passes larger corpora
+    directly instead of monkey-patching the module constants."""
     from thrill_spark import ordering as O
 
+    n_docs = _XS_DOCS if n_docs is None else n_docs
+    min_len = _XS_L if min_len is None else min_len
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < _XS_DOCS
+        F.col("doc_id") < n_docs
     )
     lens = docs.select("doc_id", F.length("text").alias("_len"))
     offs = O.prefix_sum(lens, ["doc_id"], "_len", name="_off", exclusive=True)
@@ -1071,7 +1082,7 @@ def _exact_substr_members(spark: SparkSession, sf_dir: str):
     # island id: inclusive prefix sum of new-island flags (lcp < L)
     # over rank order — two-phase distributed scan, no global window
     flags = lcp.select(
-        "rank", (F.col("lcp") < _XS_L).cast("long").alias("_new")
+        "rank", (F.col("lcp") < min_len).cast("long").alias("_new")
     )
     isl = O.prefix_sum(flags, ["rank"], "_new", name="_isl")
     # document label + in-document validity per suffix start
@@ -1085,7 +1096,7 @@ def _exact_substr_members(spark: SparkSession, sf_dir: str):
         "rank",
         "doc_id",
         "pos",
-        (F.col("pos") + _XS_L <= F.col("_end")).alias("_valid"),
+        (F.col("pos") + min_len <= F.col("_end")).alias("_valid"),
     )
     mem = (
         labeled.join(isl.select("rank", "_isl"), "rank")
@@ -1125,7 +1136,20 @@ def q_exact_substr_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed island aggregation — at corpus scale this is the production
     ExactSubstr shape (the SA machinery already scale-checked at
     `scale_check.py heavy`); nothing funnels the corpus."""
-    mem, _, _ = _exact_substr_members(spark, sf_dir)
+    return exact_substr_profile(spark, sf_dir)
+
+
+def exact_substr_profile(
+    spark: SparkSession,
+    sf_dir: str,
+    n_docs: int | None = None,
+    min_len: int | None = None,
+) -> DataFrame:
+    """Parameterized ExactSubstr duplication profile (corpus size and
+    match length as arguments) — the entry tools/scale_check.py heavy
+    mode drives at K-scaled corpora; the registered query pins
+    (n_docs, min_len) = (_XS_DOCS, _XS_L) for the oracle."""
+    mem, _, _ = _exact_substr_members(spark, sf_dir, n_docs, min_len)
     g = mem.groupBy("_isl").agg(
         F.count("*").alias("occ"), F.countDistinct("doc_id").alias("nd")
     )

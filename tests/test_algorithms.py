@@ -301,21 +301,36 @@ def test_chunked_chars_matches_direct_explode(spark):
         chunked_chars(df4, chunk=4)
 
 
-def test_lcp_from_levels_matches_bruteforce(spark):
-    """Binary-descent LCP over the doubling rank tables must equal the
-    brute-force adjacent-suffix LCP — exercised on a repetition-heavy
-    string (long LCPs, the case the old substring scan was quadratic
-    on) and a random-ish one."""
+@pytest.mark.parametrize("step", [2, 4])
+def test_lcp_from_levels_matches_bruteforce(spark, step):
+    """Manber-Myers descent over the prefix-sort rank tables must equal
+    the brute-force adjacent-suffix LCP — exercised on repetition-heavy
+    strings (long LCPs, the case the old substring scan was quadratic
+    on) and a random-ish one, for BOTH the binary schedule (step=2,
+    each power-of-two level once) and the quadrupling schedule (step=4,
+    levels {1,2,8,32,...} with each level > 1 reused three times)."""
     from thrill_spark.plans.algorithms import (
         chunked_chars,
         lcp_from_levels,
         suffix_array,
     )
 
-    for text in ("abracadabra", "aabaabaabaab", "mississippi$banana"):
+    # the 100-char periodic text drives LCPs into the 90s, forcing the
+    # deep schedule entries (and, for step=4, the 3x reuse of levels:
+    # e.g. h=94 decomposes as 32*2 + 8*3 + 2*3 — multi-reuse at two
+    # levels at once)
+    texts = (
+        "abracadabra",
+        "aabaabaabaab",
+        "mississippi$banana",
+        "abcab" * 20,
+    )
+    for text in texts:
         df = spark.createDataFrame([(text,)], "text string")
         chars = chunked_chars(df, chunk=5)
-        ranked, levels = suffix_array(chars, len(text), keep_levels=True)
+        ranked, levels = suffix_array(
+            chars, len(text), step=step, keep_levels=True
+        )
         got = {
             r["rank"]: r["lcp"]
             for r in lcp_from_levels(ranked, levels).collect()
@@ -328,4 +343,4 @@ def test_lcp_from_levels_matches_bruteforce(spark):
             while h < min(len(a), len(b)) and a[h] == b[h]:
                 h += 1
             want[r] = h
-        assert got == want, (text, got, want)
+        assert got == want, (step, text, got, want)

@@ -137,7 +137,7 @@ BUDGETS = {
     "layout_zonemap_pruning": 2,
     # suffix sort lag-joins + scalar max/min stages (post-checkpoint)
     # +1: chunked_chars ingestion repartition
-    "suffix_lcs_doc01": 10,
+    "suffix_lcs_doc01": 8,  # r10: descent+cross checkpointed (measured 5)
     "events_sliding_distinct_users": 2,
     "events_markov_transitions": 2,
     "layout_hilbert_stats": 1,
@@ -184,7 +184,10 @@ BUDGETS = {
     # 32 partitions + the winner join + bounded reconstruction agg;
     # fm-locate consumer is one broadcast range-join over the
     # checkpointed SA
-    "suffix_longest_repeat_doc0": 5,
+    # r10 quadrupling schedule: the winner tail re-reads the
+    # checkpointed LCP/rank tables across 3 plan branches (measured 7,
+    # +2 headroom)
+    "suffix_longest_repeat_doc0": 9,
     "suffix_fm_locate_doc0": 0,
     # ExactSubstr: island prefix-sum bucketing + member/island join +
     # island aggregation (LCP descent joins broadcast at suite scale;

@@ -416,16 +416,21 @@ def suffix_array(
     Returns (pos, rank): rank of suffix starting at pos in the sorted
     suffix order, dense in [0, n).
 
-    With keep_levels=True (step=2 only) returns (ranked, levels) where
-    levels is [(prefix_len, rank_df), ...] for prefix lengths 1, 2, 4,
-    … — the per-round rank checkpoints the doubling loop produces
-    anyway, retained so lcp_from_levels can binary-descend over them
-    without ever materializing suffix strings. The TERMINAL table
-    (the round whose ranks came out fully distinct) is excluded: its
-    descent joins can never match, and max LCP < its prefix length ==
-    1 + sum of the retained levels' lengths, so coverage is intact.
+    With keep_levels=True (step 2 or 4) returns (ranked, levels) where
+    levels is [(prefix_len, rank_df), ...] for EVERY power of two —
+    the rank checkpoints lcp_from_levels binary-descends over, so no
+    suffix string is ever materialized. With step=4 each quadrupling
+    round emits BOTH intermediate levels from ONE bucket sort: the
+    round sorts by the 4-tuple (r_k[pos], r_k[pos+k], r_k[pos+2k],
+    r_k[pos+3k]), whose 2-PREFIX groups are contiguous in the same
+    order — so rank_{2k} is just a second min-index window over the
+    already-sorted partitions, no extra shuffle. Half the sort rounds
+    of doubling, identical level ladder, classic descent. The TERMINAL
+    table (the round whose ranks came out fully distinct) is excluded:
+    its descent joins can never match, and max LCP < its prefix length
+    == 1 + sum of the retained levels' lengths, so coverage is intact.
 
-    Each round: self-joins at offsets k..(step-1)k (Zip-with-shift),
+    Each round: self-joins at offsets k..(width-1)k (Zip-with-shift),
     re-rank tuples via the distributed with_index discipline, stop
     when all ranks are distinct — O(log_step n) rounds, every step a
     shuffle-bounded DataFrame op (no driver-side strings), which is
@@ -434,40 +439,134 @@ def suffix_array(
 
     if step < 2:
         raise ValueError("step must be >= 2")
-    if keep_levels and step != 2:
-        raise ValueError("keep_levels requires step=2 (power-of-two levels)")
+    if keep_levels and step not in (2, 4):
+        raise ValueError("keep_levels requires step 2 or 4")
     alpha = chars.select("ch").distinct()
     alpha_ranked = O.with_index(alpha, ["ch"], name="r")
     ranks = chars.join(alpha_ranked, on="ch").select(pos, "r").localCheckpoint()
     levels: list[tuple[int, DataFrame]] = [(1, ranks)]
-    k = 1
-    rcols = [f"r{j}" for j in range(2, step + 1)]
-    while True:
-        paired = ranks
+
+    n_buckets = chars.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    n_buckets = int(n_buckets) if n_buckets and n_buckets.isdigit() else 200
+
+    def _round(cur: DataFrame, k: int, width: int, emit_mid: bool = False):
+        """One re-rank round; returns (new_ranks, n_distinct,
+        mid_ranks, n_distinct_mid) — the mid outputs are None unless
+        emit_mid (keep_levels quadrupling, which derives rank_{2k}
+        from the SAME sorted partitions as rank_{4k}).
+
+        Rank tuples are NUMERIC with a known range (every component in
+        [-1, n)), so the global sort skips with_index's boundary
+        SAMPLING job: a monotone double surrogate of the tuple maps
+        analytically to range buckets (floating rounding can only
+        merge adjacent keys into one bucket, never reorder them — IEEE
+        ops are monotone — and exact order is restored by the
+        within-bucket sort). One stats pass per round then yields the
+        per-bucket offsets AND the distinct-tuple counts (the
+        termination probe) together, and a new rank needs no
+        groupBy+join: min-index-per-tuple == global_idx minus the
+        row's 0-based position within its tuple group, both from
+        windows over the same bucket sort — and any PREFIX of the sort
+        key gets its own rank the same way, since prefix groups are
+        contiguous in the same order. 3-4 jobs/round vs ~6 for the
+        generic with_index discipline. All-identical keys still funnel
+        one group to one task — exactly as sampled range partitioning
+        would place them."""
+        rcols = [f"r{j}" for j in range(2, width + 1)]
+        paired = cur
         for j, rc in enumerate(rcols, start=1):
-            shifted = ranks.select(
+            shifted = cur.select(
                 (F.col(pos) - j * k).alias(pos), F.col("r").alias(rc)
             )
             paired = paired.join(shifted, on=pos, how="left")
         paired = paired.fillna({rc: -1 for rc in rcols})
-        key = [F.col("r"), *[F.col(rc) for rc in rcols]]
-        idx = O.with_index(paired, [*key, F.col(pos)])
-        grp = idx.groupBy("r", *rcols).agg(F.min(O.IDX).alias("nr"))
-        ranks = (
-            idx.join(grp, on=["r", *rcols])
-            .select(pos, F.col("nr").alias("r"))
+        key_names = ["r", *rcols]
+        mid_names = key_names[: (width // 2)] if emit_mid else None
+        n1 = float(n + 1)
+        combo = None
+        for i, c in enumerate(key_names):
+            term = (F.col(c).cast("double") + F.lit(1.0)) * F.lit(
+                n1 ** (width - 1 - i)
+            )
+            combo = term if combo is None else combo + term
+        bucket = F.least(
+            F.floor(combo / F.lit(n1 ** width) * F.lit(n_buckets)),
+            F.lit(n_buckets - 1),
+        ).cast("int")
+        part = (
+            paired.withColumn("_bkt", bucket)
+            .repartition(n_buckets, F.col("_bkt"))
+            .sortWithinPartitions("_bkt", *key_names, pos)
             .localCheckpoint()
         )
-        if grp.count() >= n:
+        aggs = [
+            F.count("*").alias("_c"),
+            F.countDistinct(*key_names).alias("_d"),
+        ]
+        if emit_mid:
+            aggs.append(F.countDistinct(*mid_names).alias("_dm"))
+        stats = part.groupBy("_bkt").agg(*aggs).collect()
+        offs: dict[int, int] = {}
+        acc = 0
+        for row in sorted(stats, key=lambda r: r["_bkt"]):
+            offs[row["_bkt"]] = acc
+            acc += row["_c"]
+        n_distinct = sum(r["_d"] for r in stats)
+        nd_mid = sum(r["_dm"] for r in stats) if emit_mid else None
+        carry = F.create_map(
+            *[F.lit(x) for kv in offs.items() for x in kv]
+        ) if offs else F.lit(None)
+        w = Window.partitionBy("_bkt").orderBy(*key_names, pos)
+        idx = (
+            F.row_number().over(w)
+            - 1
+            + F.coalesce(carry[F.col("_bkt")], F.lit(0))
+        )
+
+        def _rank_over(group_cols):
+            wg = Window.partitionBy("_bkt", *group_cols).orderBy(
+                *key_names, pos
+            )
+            return part.select(
+                F.col(pos),
+                (idx - (F.row_number().over(wg) - 1))
+                .cast("long")
+                .alias("r"),
+            ).localCheckpoint()
+
+        new = _rank_over(key_names)
+        mid = (
+            _rank_over(mid_names)
+            if emit_mid and nd_mid is not None and nd_mid < n
+            else None
+        )
+        return new, n_distinct, mid, nd_mid
+
+    # keep_levels quadrupling: each round covers TWO binary levels
+    # (2k from the sort-key prefix, 4k from the full tuple) for the
+    # price of one bucket sort — half the rounds of plain doubling,
+    # identical level ladder and descent.
+    width = 4 if (keep_levels and step == 4) else step
+    emit_mid = keep_levels and step == 4
+    k = 1
+    while True:
+        ranks, nd, mid, nd_mid = _round(ranks, k, width, emit_mid)
+        if emit_mid:
+            if nd_mid >= n:
+                # distinct already at the HALF length: the full-tuple
+                # ranks are identical (every prefix group is a
+                # singleton), both tables are terminal — exclude both.
+                break
+            levels.append((k * 2, mid))
+        plen = k * width
+        if nd >= n:
             # Terminal table: ranks fully distinct, so no two suffixes
-            # can ever rank-match at this prefix length — keeping it in
-            # `levels` would cost lcp_from_levels two joins per call
-            # that provably never match. Max LCP is < this prefix
-            # length, i.e. <= sum of all retained levels, so the
-            # descent loses nothing by excluding it.
+            # can ever rank-match at this prefix length — keeping it
+            # in the levels would cost lcp_from_levels joins that
+            # provably never match.
             break
-        levels.append((k * step, ranks))
-        k *= step
+        levels.append((plen, ranks))
+        k = plen
     ranked = ranks.select(F.col(pos), F.col("r").cast("long").alias("rank"))
     if keep_levels:
         return ranked, levels
@@ -481,15 +580,19 @@ def lcp_from_levels(
     checkpoint_every: int = 4,
 ) -> DataFrame:
     """(rank, lcp) — LCP of each suffix with its rank-predecessor —
-    computed ENTIRELY from the prefix-doubling rank tables: classic
-    binary descent (Manber-Myers), h += 2^j whenever the two suffixes'
-    rank-at-prefix-length-2^j agree at offset h. A rank match at level
-    L certifies an L-char common prefix, so no suffix string is ever
-    materialized and no text is broadcast — 2 equi-joins per level,
-    O(n log n) total work, each join distributed on the rank tables
-    the sort already checkpointed (construct_lcp.hpp contract; the
+    computed ENTIRELY from the prefix-sort rank tables: generalized
+    Manber-Myers descent, h += plen whenever the two suffixes'
+    rank-at-prefix-length-plen agree at offset h. A rank match at
+    level L certifies an L-char common prefix, so no suffix string is
+    ever materialized and no text is broadcast — 2 equi-joins per
+    schedule entry, each join distributed on the rank tables the sort
+    already checkpointed (construct_lcp.hpp contract; the
     substring-scan alternative is O(n × avg_lcp), quadratic on
-    repetitive text)."""
+    repetitive text). `levels` is suffix_array(keep_levels=True)'s
+    schedule and MAY repeat a level (the quadrupling path lists each
+    level three times — reusing a level at a larger h is sound: every
+    successful match advances h by exactly its certified length, and
+    a failed attempt adds 0 and leaves h intact for the next entry)."""
     prev = ranked.select(
         (F.col("rank") + 1).alias("rank"), F.col(pos).alias("_ppos")
     )
@@ -524,7 +627,11 @@ def lcp_from_levels(
         .otherwise(F.col("h"))
         .cast("long")
         .alias("lcp"),
-    )
+        # Checkpoint the finished array: consumers use it 2-3x (scalar
+        # max + winner join + island scan), and without this each use
+        # re-plans (and re-runs) the final descent segment — plan trees
+        # were duplicating those joins per branch.
+    ).localCheckpoint()
 
 
 def logistic_regression_sgd(

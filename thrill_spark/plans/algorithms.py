@@ -546,24 +546,31 @@ def suffix_array(
             + F.coalesce(carry[F.col("_bkt")], F.lit(0))
         )
 
-        def _rank_over(group_cols):
+        def _rank_col(group_cols, name):
             wg = Window.partitionBy("_bkt", *group_cols).orderBy(
                 *key_names, pos
             )
-            return part.select(
-                F.col(pos),
-                (idx - (F.row_number().over(wg) - 1))
-                .cast("long")
-                .alias("r"),
-            ).localCheckpoint()
+            return (
+                (idx - (F.row_number().over(wg) - 1)).cast("long").alias(name)
+            )
 
-        new = _rank_over(key_names)
+        # ONE checkpointed frame carries both rank columns: all three
+        # windows share the cache's hash(_bkt) distribution and sort
+        # order (the mid group is a prefix of the full key), so this is
+        # a single no-exchange window stage and a single
+        # materialization job instead of one per level.
+        want_mid = emit_mid and nd_mid is not None and nd_mid < n
+        out_cols = [F.col(pos), _rank_col(key_names, "r")]
+        if want_mid:
+            out_cols.append(_rank_col(mid_names, "_rmid"))
+        combined = part.select(*out_cols).localCheckpoint()
+        new = combined.select(pos, "r")
         mid = (
-            _rank_over(mid_names)
-            if emit_mid and nd_mid is not None and nd_mid < n
+            combined.select(pos, F.col("_rmid").alias("r"))
+            if want_mid
             else None
         )
-        # both rank tables are eagerly checkpointed above — the cached
+        # the rank frame is eagerly checkpointed above — the cached
         # sort is no longer needed, free it before the next round
         part.unpersist()
         return new, n_distinct, mid, nd_mid

@@ -205,6 +205,71 @@ _R10_WINDOW = [
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 
+# Round-11 rotation, committed as CODE so a short round can't drop it
+# (the r6/r8 lesson): after r10 every registered query has a driver
+# row, so re-verification cadence takes over — these are the 50
+# STALEST driver-verified names (by last-verified round, then name),
+# i.e. the r2/r3-era tail nothing has re-checked at a recent HEAD. At
+# round-11 start the ONLY required edit is
+# _DRIVER_WINDOW_PRIORITY = _R11_WINDOW; swap any r11-built queries in
+# for the bottom of this list (first-time verification outranks
+# re-verification).
+_R11_WINDOW = [
+    # last driver-verified r2
+    "dedup_jaccard_pairs",
+    "dedup_lsh_candidate_pairs",
+    "dedup_simhash",
+    "similarity_ann_lsh",
+    "similarity_cosine_topk",
+    # last driver-verified r3
+    "bucketed_join_colocated",
+    "corpus_build_e2e",
+    "corpus_decontaminate",
+    "corpus_quota_interleave",
+    "dedup_bloom_prefilter",
+    "dedup_incremental",
+    "dedup_paragraph_boilerplate",
+    "events_multires_rollup",
+    "events_stream_dedup",
+    "events_stream_join",
+    "events_stream_stateful_counts",
+    "events_stream_tumbling",
+    "fn_approx_quantiles",
+    "fn_conditional_null_ops",
+    "fn_math_ops",
+    "fn_regex_ops",
+    "fn_struct_map_ops",
+    "fn_url_json_ops",
+    "group_fold_order_gaps",
+    "io_binary_roundtrip",
+    "io_csv_roundtrip",
+    "io_gz_lines_roundtrip",
+    "io_json_roundtrip",
+    "io_lines_one_glob_roundtrip",
+    "io_lines_roundtrip",
+    "io_orc_roundtrip",
+    "io_partitioned_pruned_scan",
+    "kmeans_clusters",
+    "multimodal_audio_chunks",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize_meta",
+    "pagerank",
+    "prefix_scan_running_min",
+    "rebalance_partitions",
+    "sample_exact_k",
+    "sample_exact_k_hypergeometric",
+    "similarity_ann_ivf",
+    "similarity_knn_join",
+    "sort_stable_priority",
+    "suffix_array_doc0",
+    "text_bpe_tokenize",
+    "text_chunk_overlap",
+    "text_heavy_hitters",
+    "text_minhash_containment",
+]
+assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
+
 _DRIVER_WINDOW_PRIORITY = _R10_WINDOW
 assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
 

@@ -233,7 +233,7 @@ def format_output(
     stage_counts: dict[str, dict],
     errors: dict[str, str],
     v2_timings: dict[str, float] | None = None,
-    v1_error_count: int = 0,
+    v1_error_count: int | None = None,
     v2_error_count: int = 0,
 ) -> tuple[list[str], str]:
     """Return (earlier stdout lines, final stdout line).
@@ -241,7 +241,11 @@ def format_output(
     The FINAL line is the r1-comparable headline record (the driver
     parses the last line); the v2 record is the line directly before
     it so both fit the driver's stdout capture window. Each record
-    carries only ITS OWN error count so both are self-describing."""
+    carries only ITS OWN error count so both are self-describing;
+    when the caller doesn't split the counts, every entry in `errors`
+    is attributed to the v1 line so a failure can never go uncounted."""
+    if v1_error_count is None:
+        v1_error_count = len(errors)
     earlier: list[str] = []
     if stage_counts:
         earlier.append(json.dumps({"stage_counts": stage_counts}))
@@ -363,6 +367,8 @@ def main() -> None:
         stage_counts=stage_counts,
         errors=errors,
         v2_timings=v2_timings,
+        v1_error_count=sum(1 for n in errors if n in v1_names),
+        v2_error_count=sum(1 for n in errors if n not in v1_names),
     )
     for line in earlier:
         print(line)

@@ -71,3 +71,21 @@ def test_truncation_warns_on_stderr(capsys):
     timings, stage_counts = _mk(400)
     bench.format_output(timings, 0.1, stage_counts, {})
     assert "truncated to top" in capsys.readouterr().err
+
+
+def test_error_counts_split_per_record_line():
+    # r10: each record line carries only ITS OWN error count (ADVICE r9
+    # — the v2 line used to hardcode 0, hiding v2 failures)
+    timings, stage_counts = _mk(5)
+    v2 = {f"v2_query_{i}": 1.0 for i in range(3)}
+    errors = {"v1_bad": "boom", "v2_bad": "boom"}
+    earlier, final = bench.format_output(
+        timings, 0.01, stage_counts, errors, v2_timings=v2,
+        v1_error_count=1, v2_error_count=1,
+    )
+    assert json.loads(final)["error_count"] == 1
+    v2_rec = next(
+        json.loads(l) for l in earlier
+        if '"headline_v2_total_runtime"' in l
+    )
+    assert v2_rec["error_count"] == 1

@@ -146,7 +146,8 @@ _R8_WINDOW = [
 # that never fit a window, the 4 r9-built queries, plus the 42 OLDEST
 # driver-green names (r1/r2 windows, in registry order) re-verified at
 # HEAD. After this window every registered query has a driver oracle
-# row (302/302). At round-10 start the ONLY required edit is
+# row (303/303 — dedup_exact_substr_clean joined the registry and this
+# window in r10). At round-10 start the ONLY required edit is
 # _DRIVER_WINDOW_PRIORITY = _R10_WINDOW.
 _R10_WINDOW = [
     "orders_rollup_revenue",

@@ -161,6 +161,7 @@ _R10_WINDOW = [
     "dedup_exact_substr_coverage",
     # r10-built (first-time verification outranks re-verification)
     "dedup_exact_substr_clean",
+    "dedup_exact_substr_full",
     # oldest r1/r2-green names, registry order — HEAD re-verification
     "reduce_by_key_pricing",
     "inner_join_lineitem_orders",
@@ -202,7 +203,6 @@ _R10_WINDOW = [
     "text_quality",
     "text_lang_id",
     "dedup_exact",
-    "dedup_minhash_signatures",
 ]
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 
@@ -267,7 +267,7 @@ _R11_WINDOW = [
     "text_bpe_tokenize",
     "text_chunk_overlap",
     "text_heavy_hitters",
-    "text_minhash_containment",
+    "dedup_minhash_signatures",
 ]
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 

@@ -200,6 +200,9 @@ BUDGETS = {
     # anti-join + per-doc splice agg (measured 1, +3 headroom for
     # threshold-sensitive descent/anti joins)
     "dedup_exact_substr_clean": 4,
+    # round-10: full-table variant of dedup_exact_substr_sa — same
+    # plan, only the corpus filter widens
+    "dedup_exact_substr_full": 5,
 }
 
 

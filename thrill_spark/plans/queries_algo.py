@@ -1164,6 +1164,31 @@ def exact_substr_profile(
 
 
 @query(
+    "dedup_exact_substr_full",
+    f"""
+    WITH s AS (SELECT doc_id, substr(text, i, {_XS_L}) AS sub
+          FROM documents,
+               unnest(generate_series(1, length(text) - {_XS_L} + 1)) AS t(i)),
+    g AS (SELECT sub, COUNT(*) AS occ, COUNT(DISTINCT doc_id) AS nd
+          FROM s GROUP BY sub)
+    SELECT CAST(nd AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_substrings,
+           CAST(SUM(occ) AS BIGINT) AS n_occurrences
+    FROM g WHERE nd >= 2 GROUP BY nd
+    """,
+)
+def q_exact_substr_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_exact_substr_sa over the ENTIRE documents table (no
+    doc_id cap): one generalized suffix array across every document at
+    the scale factor — 500 docs / 149k chars at sf0.01, 5000 docs /
+    1.49M chars at sf0.1 — proving the production ExactSubstr shape is
+    not a fixed-subset demo. Same plan as the capped query; only the
+    corpus filter widens (r10 measured the full-table run sub-linear:
+    10x the characters for 2.5x the time, BENCH_NOTES)."""
+    return exact_substr_profile(spark, sf_dir, n_docs=1 << 62)
+
+
+@query(
     "dedup_exact_substr_coverage",
     f"""
     WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_XS_DOCS}),

@@ -271,7 +271,7 @@ _R11_WINDOW = [
 ]
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 
-_DRIVER_WINDOW_PRIORITY = _R10_WINDOW
+_DRIVER_WINDOW_PRIORITY = _R11_WINDOW
 assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
 
 

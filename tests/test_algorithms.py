@@ -112,6 +112,42 @@ def test_suffix_array_bruteforce_adversarial(spark, step):
         assert got == want, (step, s[:20], len(s))
 
 
+def test_suffix_array_empty_input(spark):
+    """n == 0 must short-circuit cleanly (r10 ADVICE: the carry map
+    used to become a NULL-typed literal and fail analysis)."""
+    from thrill_spark.plans.algorithms import suffix_array
+
+    chars = spark.createDataFrame([], "pos long, ch string")
+    assert suffix_array(chars, 0).count() == 0
+    ranked, levels = suffix_array(chars, 0, step=4, keep_levels=True)
+    assert ranked.count() == 0
+    assert all(tab.count() == 0 for _, tab in levels)
+
+
+def test_suffix_array_fp_regime_large_periodic(spark):
+    """n > 9742 puts (n+1)**4 past 2^53 — the regime where a packed
+    multi-component double surrogate loses monotonicity (r10 ADVICE:
+    lexicographically smaller tuples could get larger surrogates and
+    straddle bucket boundaries, silently corrupting global ranks).
+    Leading-component bucketing is exact at any n; periodic text
+    keeps rank ties alive to the deepest round so an inversion or a
+    split mid-group would surface as wrong ranks or a premature
+    terminal exit."""
+    from thrill_spark.plans.algorithms import suffix_array
+
+    s = "abcab" * 2048  # n = 10240 > 9742
+    n = len(s)
+    chars = spark.createDataFrame(list(enumerate(s)), ["pos", "ch"])
+    ranked, levels = suffix_array(chars, n, step=4, keep_levels=True)
+    got = {r["pos"]: r["rank"] for r in ranked.collect()}
+    want_order = sorted(range(n), key=lambda i: s[i:])
+    want = {p: r for r, p in enumerate(want_order)}
+    assert got == want
+    # the level ladder must be the complete power-of-two schedule
+    plens = sorted(pl for pl, _ in levels)
+    assert plens == [2**i for i in range(len(plens))]
+
+
 def test_logistic_regression_separates(spark):
     from thrill_spark.plans.algorithms import logistic_regression_sgd
 

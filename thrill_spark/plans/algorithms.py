@@ -441,6 +441,16 @@ def suffix_array(
         raise ValueError("step must be >= 2")
     if keep_levels and step not in (2, 4):
         raise ValueError("keep_levels requires step 2 or 4")
+    if n <= 0:
+        # empty text: zero suffixes — return the empty (pos, rank)
+        # frame rather than running a degenerate round
+        empty = chars.sparkSession.range(0).select(
+            F.col("id").alias(pos), F.col("id").alias("r")
+        )
+        ranked = empty.select(F.col(pos), F.col("r").alias("rank"))
+        if keep_levels:
+            return ranked, [(1, empty)]
+        return ranked
     # Initial ranks are POSITIONAL (start offset of each char's group
     # in sorted order = histogram exclusive prefix-sum), not ordinal
     # alphabet codes: the same equality classes and order, but every
@@ -469,11 +479,18 @@ def suffix_array(
 
         Rank tuples are NUMERIC with a known range (every component in
         [-1, n)), so the global sort skips with_index's boundary
-        SAMPLING job: a monotone double surrogate of the tuple maps
-        analytically to range buckets (floating rounding can only
-        merge adjacent keys into one bucket, never reorder them — IEEE
-        ops are monotone — and exact order is restored by the
-        within-bucket sort). One stats pass per round then yields the
+        SAMPLING job: the LEADING component maps analytically to range
+        buckets via floor((r+1)/(n+1)*n_buckets). Bucketing on the
+        leading component ONLY is load-bearing twice over: (a) it is
+        exactly monotone in IEEE doubles (integer numerator <= n+1 <
+        2^53 divided by a positive constant — a packed multi-component
+        surrogate needs n1**width, which overflows 2^53 for any real
+        text and silently loses monotonicity), and (b) it is CONSTANT
+        within every full-key group and every sort-key-prefix (mid)
+        group, so no rank class can straddle a bucket boundary — which
+        keeps the per-bucket countDistinct sums exact and the
+        min-index rank windows whole. Exact tuple order is restored by
+        the within-bucket sort. One stats pass per round then yields the
         per-bucket offsets AND the distinct-tuple counts (the
         termination probe) together, and a new rank needs no
         groupBy+join: min-index-per-tuple == global_idx minus the
@@ -495,14 +512,12 @@ def suffix_array(
         key_names = ["r", *rcols]
         mid_names = key_names[: (width // 2)] if emit_mid else None
         n1 = float(n + 1)
-        combo = None
-        for i, c in enumerate(key_names):
-            term = (F.col(c).cast("double") + F.lit(1.0)) * F.lit(
-                n1 ** (width - 1 - i)
-            )
-            combo = term if combo is None else combo + term
         bucket = F.least(
-            F.floor(combo / F.lit(n1 ** width) * F.lit(n_buckets)),
+            F.floor(
+                (F.col("r").cast("double") + F.lit(1.0))
+                / F.lit(n1)
+                * F.lit(n_buckets)
+            ),
             F.lit(n_buckets - 1),
         ).cast("int")
         # PERSIST (not localCheckpoint) the sorted partitions: an
@@ -536,15 +551,21 @@ def suffix_array(
             acc += row["_c"]
         n_distinct = sum(r["_d"] for r in stats)
         nd_mid = sum(r["_dm"] for r in stats) if emit_mid else None
-        carry = F.create_map(
-            *[F.lit(x) for kv in offs.items() for x in kv]
-        ) if offs else F.lit(None)
-        w = Window.partitionBy("_bkt").orderBy(*key_names, pos)
-        idx = (
-            F.row_number().over(w)
-            - 1
-            + F.coalesce(carry[F.col("_bkt")], F.lit(0))
+        # empty input => no stats rows => no map to index into; the
+        # carry term is simply 0 (a NULL-typed literal here would fail
+        # analysis on element extraction)
+        carry_term = (
+            F.coalesce(
+                F.create_map(
+                    *[F.lit(x) for kv in offs.items() for x in kv]
+                )[F.col("_bkt")],
+                F.lit(0),
+            )
+            if offs
+            else F.lit(0)
         )
+        w = Window.partitionBy("_bkt").orderBy(*key_names, pos)
+        idx = F.row_number().over(w) - 1 + carry_term
 
         def _rank_col(group_cols, name):
             wg = Window.partitionBy("_bkt", *group_cols).orderBy(

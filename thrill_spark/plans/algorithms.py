@@ -13,6 +13,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _honest_ckpt(df: DataFrame) -> DataFrame:
+    """localCheckpoint with HONEST planner stats — the Collapse
+    analogue hardened for fixpoint loops. Dataset.checkpoint copies
+    the ORIGIN plan's sizeInBytes ESTIMATE onto the checkpointed
+    LogicalRDD; in an iterative loop that estimate compounds
+    multiplicatively per round (measured: ~7000x/round on a 1000-row
+    join+groupBy probe, reaching 1e27 "bytes" by round 5), so every
+    downstream join on the result silently loses broadcast
+    eligibility and the stats visitor burns planning time on
+    astronomically wide BigInts. Persisting first makes the
+    checkpoint's origin the MATERIALIZED InMemoryRelation, whose
+    stats are actual cached bytes; Dataset.checkpoint captures those
+    stats eagerly, so the cache can be freed immediately (the
+    checkpoint RDD's storage is independent of the cache). Same
+    defect class as the r10 suffix-sort fix (K=8 ExactSubstr descent
+    10.19x -> 2.00x on restoring broadcast eligibility)."""
+    cached = df.persist()
+    out = cached.localCheckpoint()
+    cached.unpersist()
+    return out
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,
@@ -61,8 +83,10 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint()  # Collapse: cut iterative lineage
+        # Collapse: cut iterative lineage; also on the LAST iteration
+        # so the returned frame reports honest stats to consumers
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            ranks = _honest_ckpt(ranks)
     return ranks
 
 
@@ -169,10 +193,10 @@ def bfs(edges: DataFrame, source: int, max_iters: int = 25,
             .join(dist, on="node", how="left_anti")
             .withColumn("d", F.lit(i))
         )
-        nxt = nxt.localCheckpoint()
+        nxt = _honest_ckpt(nxt)
         if nxt.isEmpty():
             break
-        dist = dist.unionByName(nxt).localCheckpoint()
+        dist = _honest_ckpt(dist.unionByName(nxt))
         frontier = nxt
     else:
         raise RuntimeError(
@@ -245,7 +269,8 @@ def connected_components(
                     "_chg"
                 ),
             )
-        ).localCheckpoint()
+        )
+        nxt = _honest_ckpt(nxt)
         changed = nxt.filter(F.col("_chg")).isEmpty() is False
         labels = nxt.drop("_chg")
         if not changed:
@@ -321,9 +346,8 @@ def _cc_star(edges: DataFrame, a: str, b: str, max_iters: int) -> DataFrame:
             .filter(F.col("u") != F.col("v"))
             .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
             .distinct()
-            .localCheckpoint()
         )
-        e = small
+        e = _honest_ckpt(small)
         sig = signature(e)
         if sig == prev_sig:
             break
@@ -461,10 +485,11 @@ def suffix_array(
     # table, the exact scale defect this sort exists to avoid.
     hist = chars.groupBy("ch").agg(F.count("*").alias("_c"))
     alpha_ranked = O.prefix_sum(hist, ["ch"], "_c", name="r", exclusive=True)
-    ranks = (
+    # honest checkpoint: this is ALSO the descent's level-1 rank table
+    # (a join-product estimate here would cost it broadcast eligibility)
+    ranks = _honest_ckpt(
         chars.join(alpha_ranked.select("ch", "r"), on="ch")
         .select(pos, F.col("r").cast("long").alias("r"))
-        .localCheckpoint()
     )
     levels: list[tuple[int, DataFrame]] = [(1, ranks)]
 
@@ -674,19 +699,23 @@ def lcp_from_levels(
         )
         if (i + 1) % checkpoint_every == 0:
             # truncate lineage: log n chained joins would otherwise
-            # compound into one enormous plan
-            pairs = pairs.localCheckpoint()
-    return pairs.select(
-        "rank",
-        F.when(F.col("_ppos").isNull(), F.lit(0))
-        .otherwise(F.col("h"))
-        .cast("long")
-        .alias("lcp"),
-        # Checkpoint the finished array: consumers use it 2-3x (scalar
-        # max + winner join + island scan), and without this each use
-        # re-plans (and re-runs) the final descent segment — plan trees
-        # were duplicating those joins per branch.
-    ).localCheckpoint()
+            # compound into one enormous plan (and honest stats keep
+            # the remaining level joins broadcast-eligible)
+            pairs = _honest_ckpt(pairs)
+    # Checkpoint the finished array: consumers use it 2-3x (scalar
+    # max + winner join + island scan), and without this each use
+    # re-plans (and re-runs) the final descent segment — plan trees
+    # were duplicating those joins per branch. Honest stats keep the
+    # downstream consumer joins broadcast-eligible.
+    return _honest_ckpt(
+        pairs.select(
+            "rank",
+            F.when(F.col("_ppos").isNull(), F.lit(0))
+            .otherwise(F.col("h"))
+            .cast("long")
+            .alias("lcp"),
+        )
+    )
 
 
 def logistic_regression_sgd(
@@ -776,14 +805,18 @@ def k_core(
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        nxt = deg.filter(F.col("d") >= k).select("n").localCheckpoint()
+        nxt = _honest_ckpt(deg.filter(F.col("d") >= k).select("n"))
         c = nxt.count()
         nodes = nxt
         if c == prev:
             ee_final = edges.join(
                 nodes.select(F.col("n").alias("u")), "u"
             ).join(nodes.select(F.col("n").alias("v")), "v")
-            return (
+            # honest-checkpoint the RETURN frame too: its plan holds
+            # two joins whose sizeInBytes estimate is a byte PRODUCT,
+            # so a consumer joining the core against a big table would
+            # otherwise lose broadcast eligibility
+            return _honest_ckpt(
                 ee_final.select(F.col("u").alias("node"))
                 .unionByName(ee_final.select(F.col("v").alias("node")))
                 .groupBy("node")
@@ -818,11 +851,10 @@ def sssp(
             dist.join(edges, dist["node"] == edges[src])
             .select(F.col(dst).alias("node"), (F.col("dist") + F.col(w)).alias("dist"))
         )
-        merged = (
+        merged = _honest_ckpt(
             dist.unionByName(cand)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
         )
         row = merged.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dist").alias("t")
@@ -888,8 +920,8 @@ def label_propagation(
                 ).alias("community")
             )
             .select(F.col("u").alias("node"), "community")
-            .localCheckpoint(eager=False)
         )
+        labels = _honest_ckpt(labels)
     return labels
 
 
@@ -964,9 +996,9 @@ def _dc3_rec(spark, s: DataFrame, n: int, base_threshold: int) -> DataFrame:
         # eager checkpoint: the reduced string must enter the recursion
         # as a concrete node, or lineage (and Catalyst analysis time)
         # compounds multiplicatively with depth
-        reduced = tn.select(
-            ridx.cast("long").alias("pos"), F.col("nm").alias("sym")
-        ).localCheckpoint()
+        reduced = _honest_ckpt(
+            tn.select(ridx.cast("long").alias("pos"), F.col("nm").alias("sym"))
+        )
         rr = _dc3_rec(spark, reduced, n12, base_threshold)
         back = tn.select("pos", ridx.cast("long").alias("ridx"))
         R = back.join(
@@ -977,7 +1009,7 @@ def _dc3_rec(spark, s: DataFrame, n: int, base_threshold: int) -> DataFrame:
         R = O.with_index(
             R.filter(F.col("pos") < n), ["r"], name="_r2"
         ).select("pos", F.col("_r2").alias("r"))
-    R = R.localCheckpoint()
+    R = _honest_ckpt(R)
 
     attr = (
         spark.range(n)
@@ -1001,7 +1033,7 @@ def _dc3_rec(spark, s: DataFrame, n: int, base_threshold: int) -> DataFrame:
         .join(R.select("pos", F.col("r").alias("selfr")), "pos", "left")
         .fillna({"c1": -1, "rn1": -1, "rn2": -1})
     )
-    attr = attr.localCheckpoint()
+    attr = _honest_ckpt(attr)
 
     m = F.col("pos") % 3
     iu1 = O.with_index(attr.filter(m != 2), ["c0", "rn1", "pos"], name="iu1")
@@ -1026,7 +1058,7 @@ def _dc3_rec(spark, s: DataFrame, n: int, base_threshold: int) -> DataFrame:
         .join(iu2.select("pos", "iu2"), "pos")
         .select("pos", (F.col("selfr") + F.col("iu2") - F.col("rc")).alias("r"))
     )
-    return p0.unionByName(p1).unionByName(p2).localCheckpoint()
+    return _honest_ckpt(p0.unionByName(p1).unionByName(p2))
 
 
 def suffix_array_dc3(
@@ -1102,7 +1134,7 @@ def _dc7_rec(spark, s: DataFrame, n: int, base_threshold: int) -> DataFrame:
     pad = spark.createDataFrame(
         [(n + j, -(j + 1)) for j in range(14)], "pos long, sym long"
     )
-    P = s.unionByName(pad).localCheckpoint()
+    P = _honest_ckpt(s.unionByName(pad))
 
     # --- sample tuples: positions p in [0, n+7) with p % 7 in D -------
     samples = (
@@ -1142,9 +1174,9 @@ def _dc7_rec(spark, s: DataFrame, n: int, base_threshold: int) -> DataFrame:
     if n_names == n_samp:
         R = tn.select("pos", F.col("nm").alias("r"))
     else:
-        reduced = tn.select(
-            ridx.cast("long").alias("pos"), F.col("nm").alias("sym")
-        ).localCheckpoint()
+        reduced = _honest_ckpt(
+            tn.select(ridx.cast("long").alias("pos"), F.col("nm").alias("sym"))
+        )
         rr = _dc7_rec(spark, reduced, n_samp, base_threshold)
         back = tn.select("pos", ridx.cast("long").alias("ridx"))
         R = back.join(
@@ -1154,7 +1186,7 @@ def _dc7_rec(spark, s: DataFrame, n: int, base_threshold: int) -> DataFrame:
     R = O.with_index(
         R.filter(F.col("pos") < n), ["r"], name="_r2"
     ).select("pos", F.col("_r2").alias("r"))
-    R = R.localCheckpoint()
+    R = _honest_ckpt(R)
 
     # --- attributes for the counting merge ----------------------------
     attr = spark.range(n).select(F.col("id").alias("pos"))
@@ -1177,7 +1209,7 @@ def _dc7_rec(spark, s: DataFrame, n: int, base_threshold: int) -> DataFrame:
             "pos",
             "left",
         )
-    attr = attr.fillna({f"r{l}": -1 for l in shifts}).localCheckpoint()
+    attr = _honest_ckpt(attr.fillna({f"r{l}": -1 for l in shifts}))
 
     def key_for(l: int) -> list[str]:
         return [f"c{i}" for i in range(l)] + [f"r{l}", "pos"]
@@ -1220,10 +1252,8 @@ def _dc7_rec(spark, s: DataFrame, n: int, base_threshold: int) -> DataFrame:
     stacked = contrib[0].coalesce(8)
     for c in contrib[1:]:
         stacked = stacked.unionByName(c.coalesce(8))
-    return (
-        stacked.groupBy("pos")
-        .agg(F.sum("_v").alias("r"))
-        .localCheckpoint()
+    return _honest_ckpt(
+        stacked.groupBy("pos").agg(F.sum("_v").alias("r"))
     )
 
 
@@ -1248,32 +1278,6 @@ def suffix_array_dc7(
     return out.select(F.col("pos").alias(pos), F.col("r").cast("long").alias("rank"))
 
 
-_FIXPOINT_BOUNCE_EVERY = 6
-
-
-def _stats_bounce(df: DataFrame, tag: str) -> DataFrame:
-    """Write/read through parquet to RESET Catalyst's sizeInBytes
-    estimate to the true file size. localCheckpoint truncates lineage
-    but KEEPS the compounded stats of the plan it checkpointed; in a
-    self-join fixpoint the estimate multiplies ~3x per round, the
-    BigInt doubles its bit-length every round, and by round ~16-20
-    InjectRuntimeFilter's canBroadcastBySize spends the whole round
-    multiplying astronomically-wide integers (observed: 0.4s rounds
-    doubling to minutes; jstack pins BigInteger.multiply under
-    SizeInBytesOnlyStatsPlanVisitor). Alternating directories so the
-    round that reads dir A has fully materialized before dir A is
-    overwritten two bounces later."""
-    import os
-    import tempfile
-
-    spark = df.sparkSession
-    p = os.path.join(
-        tempfile.gettempdir(), "thrill_spark_fixpoint", f"{tag}"
-    )
-    df.write.mode("overwrite").parquet(p)
-    return spark.read.parquet(p)
-
-
 def _min_label_fixpoint(
     nodes: DataFrame, edges: DataFrame, max_rounds: int = 64
 ) -> DataFrame:
@@ -1283,34 +1287,14 @@ def _min_label_fixpoint(
     rounds instead of O(diameter) (the one-edge-per-round version
     silently truncates on long rings). nodes: (node); edges: (u, v)
     meaning u's label flows to v. Returns (node, c) = min id with a
-    path to node. Every _FIXPOINT_BOUNCE_EVERY rounds the frame
-    bounces through parquet (see _stats_bounce — exponential stats
-    compounding otherwise stalls long fixpoints)."""
-    import os
-    import shutil
-    import tempfile
-    import uuid as _uuid
-
-    run = _uuid.uuid4().hex[:8]
-    try:
-        return _min_label_fixpoint_inner(nodes, edges, max_rounds, run)
-    finally:
-        # The bounce directories are only read mid-loop; the returned
-        # frame is always an (eager) localCheckpoint, so the run's
-        # parquet bounces can be deleted as soon as the fixpoint
-        # returns (they otherwise accumulate per run, unbounded).
-        for half in (0, 1):
-            shutil.rmtree(
-                os.path.join(
-                    tempfile.gettempdir(), "thrill_spark_fixpoint", f"{run}_{half}"
-                ),
-                ignore_errors=True,
-            )
-
-
-def _min_label_fixpoint_inner(
-    nodes: DataFrame, edges: DataFrame, max_rounds: int, run: str
-) -> DataFrame:
+    path to node. Per-round checkpoints go through _honest_ckpt —
+    plain localCheckpoint compounds sizeInBytes estimates ~3x/round
+    and by round ~16-20 InjectRuntimeFilter's canBroadcastBySize
+    spends the whole round multiplying astronomically wide BigInts
+    (observed: 0.4s rounds doubling to minutes; jstack pinned
+    BigInteger.multiply under SizeInBytesOnlyStatsPlanVisitor; an
+    earlier revision bounced through parquet every 6 rounds to work
+    around it — honest cache-backed stats fix the cause instead)."""
     color = nodes.select("node", F.col("node").alias("c")).localCheckpoint()
     for _round in range(max_rounds):
         # One propagation join over (graph edges ∪ label edges): the
@@ -1327,21 +1311,18 @@ def _min_label_fixpoint_inner(
         # changed flag materializes inside the SAME checkpoint job;
         # the stability probe is then a plain scan of the checkpointed
         # rows instead of a second shuffle join per round.
-        nxt_full = (
+        nxt_full = _honest_ckpt(
             color.select("node", F.col("c").alias("_co"))
             .join(
                 color.unionByName(via).groupBy("node").agg(F.min("c").alias("c")),
                 "node",
             )
             .withColumn("_chg", F.col("c") != F.col("_co"))
-            .localCheckpoint()
         )
         stable = nxt_full.filter(F.col("_chg")).limit(1).isEmpty()
         color = nxt_full.select("node", "c")
         if stable:
             return color
-        if (_round + 1) % _FIXPOINT_BOUNCE_EVERY == 0:
-            color = _stats_bounce(color, f"{run}_{(_round // _FIXPOINT_BOUNCE_EVERY) % 2}")
     raise RuntimeError("min-label propagation did not converge")
 
 
@@ -1399,22 +1380,20 @@ def strongly_connected_components(
         pair = color.join(
             rcolor.select("node", F.col("c").alias("_rc")), "node"
         )
-        singles = (
+        singles = _honest_ckpt(
             pair.withColumn(
                 "_n", F.count("*").over(Window.partitionBy("c", "_rc"))
             )
             .filter(F.col("_n") == 1)
             .select("node", F.col("node").alias("scc_id"))
-            .localCheckpoint()
         )
         trimmed = not singles.isEmpty()
         if trimmed:
-            out = out.unionByName(singles).localCheckpoint()
-            nodes = nodes.join(singles, "node", "left_anti").localCheckpoint()
-            e = (
+            out = _honest_ckpt(out.unionByName(singles))
+            nodes = _honest_ckpt(nodes.join(singles, "node", "left_anti"))
+            e = _honest_ckpt(
                 e.join(singles.select(F.col("node").alias("u")), "u", "left_anti")
                 .join(singles.select(F.col("node").alias("v")), "v", "left_anti")
-                .localCheckpoint()
             )
             if nodes.isEmpty():
                 return out
@@ -1432,8 +1411,8 @@ def strongly_connected_components(
             )
             .filter(F.col("cu") == F.col("cv"))
             .select(F.col("v").alias("u"), F.col("u").alias("v"))
-            .localCheckpoint()
         )
+        ec = _honest_ckpt(ec)
         bcolor = _min_label_fixpoint(nodes, ec)
         scc = (
             color.join(
@@ -1442,11 +1421,10 @@ def strongly_connected_components(
             .filter(F.col("c") == F.col("_bc"))
             .select("node", F.col("c").alias("scc_id"))
         )
-        out = out.unionByName(scc).localCheckpoint()
-        nodes = nodes.join(scc, "node", "left_anti").localCheckpoint()
-        e = (
+        out = _honest_ckpt(out.unionByName(scc))
+        nodes = _honest_ckpt(nodes.join(scc, "node", "left_anti"))
+        e = _honest_ckpt(
             e.join(scc.select(F.col("node").alias("u")), "u", "left_anti")
             .join(scc.select(F.col("node").alias("v")), "v", "left_anti")
-            .localCheckpoint()
         )
     raise RuntimeError(f"SCC did not converge in {max_rounds} rounds")

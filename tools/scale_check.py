@@ -134,30 +134,32 @@ def main() -> None:
         }
         for n in QUERY_SET
     }
-    # A-Priori with RELATIVE support: at K× baskets over the SAME item
-    # space, a FIXED absolute threshold lets far more pairs become
-    # frequent — L2 grows super-linearly by SEMANTICS (the row above
-    # measures that). Real scale-ups keep support relative to basket
-    # count; this row scales the threshold with K to isolate the plan.
+    # The registered A-Priori query now uses RELATIVE support with a
+    # floor (max(2, ceil(1e-5 * #baskets))), so the headline row above
+    # is linear-by-construction. This extra row monkeypatches the
+    # relative term to 0 — a FIXED absolute threshold over K× baskets
+    # admits combinatorially more frequent pairs, the super-linear
+    # SEMANTICS artifact the r10 table measured at ratio 8.68 — kept
+    # as the demo of why the headline switched.
     from thrill_spark.plans import queries_analytics as QA
 
-    base_sup = QA._AP_PAIR_SUPPORT
+    base_rel = QA._AP_REL_SUPPORT
     try:
-        QA._AP_PAIR_SUPPORT = base_sup * k
+        QA._AP_REL_SUPPORT = 0.0
         t0 = time.perf_counter()
         QUERIES["basket_apriori_triples"](spark, out).write.format(
             "noop"
         ).mode("overwrite").save()
-        t_rel = round(time.perf_counter() - t0, 3)
+        t_abs = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
     finally:
-        QA._AP_PAIR_SUPPORT = base_sup
+        QA._AP_REL_SUPPORT = base_rel
     b = base["basket_apriori_triples"]
-    report["basket_apriori_triples_rel_support"] = {
+    report["basket_apriori_triples_abs_support_demo"] = {
         "sf0.1_s": b,
-        f"{k}x_s": t_rel,
-        "ratio": round(t_rel / b, 2) if b > 0 else None,
-        "support": f"{base_sup} -> {base_sup * k}",
+        f"{k}x_s": t_abs,
+        "ratio": round(t_abs / b, 2) if b > 0 else None,
+        "support": f"fixed {QA._AP_PAIR_SUPPORT} (relative term disabled)",
     }
     print(json.dumps({"k": k, "queries": report}, indent=2))
 

@@ -240,17 +240,15 @@ def connected_components(
         return _cc_star(edges, a, b, max_iters)
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    und = (
+    und = _honest_ckpt(
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .unionByName(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = _honest_ckpt(
         und.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_iters):
         nbr_min = (
@@ -305,14 +303,16 @@ def _cc_star(edges: DataFrame, a: str, b: str, max_iters: int) -> DataFrame:
     collision on inequal sets is ~2^-64; acceptable for a termination
     check whose false-positive merely stops one round early on an
     already-star-shaped graph."""
-    e = (
+    # honest init checkpoint: the caller's edge plan may carry
+    # join-product size estimates (e.g. the LSH verify chain), which a
+    # plain checkpoint would copy — costing round 1 its broadcasts
+    e = _honest_ckpt(
         edges.select(F.col(a).cast("long").alias("u"), F.col(b).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )  # orient large -> small
         .distinct()
-        .localCheckpoint()
     )
 
     def signature(df: DataFrame):
@@ -786,13 +786,13 @@ def k_core(
     Returns (node, core_deg): the k-core nodes with their degree
     inside the core.
     """
-    edges = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct()
-    edges = edges.localCheckpoint()
-    nodes = (
+    edges = _honest_ckpt(
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct()
+    )
+    nodes = _honest_ckpt(
         edges.select(F.col("u").alias("n"))
         .unionByName(edges.select(F.col("v").alias("n")))
         .distinct()
-        .localCheckpoint()
     )
     prev = nodes.count()
     for _ in range(max_iters):
@@ -1082,10 +1082,9 @@ def suffix_array_dc3(
     spark = chars.sparkSession
     alpha = chars.select("ch").distinct()
     alpha_ranked = O.with_index(alpha, ["ch"], name="_sym")
-    s = (
+    s = _honest_ckpt(
         chars.join(alpha_ranked, on="ch")
         .select(F.col(pos).alias("pos"), F.col("_sym").alias("sym"))
-        .localCheckpoint()
     )
     out = _dc3_rec(spark, s, n, base_threshold)
     return out.select(F.col("pos").alias(pos), F.col("r").cast("long").alias("rank"))
@@ -1269,10 +1268,9 @@ def suffix_array_dc7(
     spark = chars.sparkSession
     alpha = chars.select("ch").distinct()
     alpha_ranked = O.with_index(alpha, ["ch"], name="_sym")
-    s = (
+    s = _honest_ckpt(
         chars.join(alpha_ranked, on="ch")
         .select(F.col(pos).alias("pos"), F.col("_sym").alias("sym"))
-        .localCheckpoint()
     )
     out = _dc7_rec(spark, s, n, base_threshold)
     return out.select(F.col("pos").alias(pos), F.col("r").cast("long").alias("rank"))
@@ -1358,17 +1356,15 @@ def strongly_connected_components(
     Returns (node, scc_id) with scc_id = min member id.
     """
     spark = edges.sparkSession
-    e = (
+    e = _honest_ckpt(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
-        .localCheckpoint()
     )
-    nodes = (
+    nodes = _honest_ckpt(
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     out = spark.createDataFrame([], "node long, scc_id long")
     for _ in range(max_rounds):

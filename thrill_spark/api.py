@@ -70,12 +70,29 @@ class ThrillContext:
     EqualToDIA = Distribute
     ConcatToDIA = Distribute
 
-    def ReadLines(self, path: str) -> "DIA":
-        """ReadLines (thrill/api/read_lines.hpp:41): order = file order."""
-        from pyspark.sql.functions import monotonically_increasing_id
+    def ReadLines(self, path: str, n_splits: int | None = None) -> "DIA":
+        """ReadLines (thrill/api/read_lines.hpp:41): order = file order.
 
-        df = self.spark.read.text(path).select(
-            F.col("value").alias(V), monotonically_increasing_id().alias(ORD)
+        Served by the byte-range Python DataSource
+        (sources/linesource.py), whose (file_idx, offset) columns are a
+        DEFINED total order — sorted path order, then byte offset —
+        stable across any split count or multi-file glob. (The previous
+        monotonically_increasing_id order key was file order only as an
+        implementation accident: Spark packs text splits largest-first,
+        so partition ids do not follow file offsets across splits.)"""
+        from thrill_spark.sources.linesource import register
+
+        register(self.spark)
+        n = n_splits or self.spark.sparkContext.defaultParallelism
+        df = (
+            self.spark.read.format("thrill_lines")
+            .option("path", path)
+            .option("n_splits", str(n))
+            .load()
+            .select(
+                F.col("line").alias(V),
+                F.struct("file_idx", "offset").alias(ORD),
+            )
         )
         return DIA(df)
 
@@ -88,11 +105,35 @@ class ThrillContext:
         return DIA(df)
 
 
+# Order-key densification cap: FlatMap/Sort/Concat each wrap the
+# previous ``_ord`` in one more struct level, so an unboundedly deep
+# Thrill-ported pipeline would drag an O(depth)-wide comparison key
+# into every positional shuffle. Past this nesting depth the key is
+# re-indexed to a flat long (one distributed with_index pass — the
+# Collapse analogue for the order key), keeping key width O(1) in
+# pipeline length. 4 keeps short chains free of extra shuffles.
+_ORD_DENSIFY_DEPTH = 4
+
+
+def _struct_depth(dt) -> int:
+    from pyspark.sql.types import StructType
+
+    if isinstance(dt, StructType):
+        return 1 + max((_struct_depth(f.dataType) for f in dt.fields), default=0)
+    return 0
+
+
 class DIA:
     """DIA<T> analogue (thrill/api/dia.hpp:127-141): immutable, lazy,
-    ordered. Wraps (v, _ord)."""
+    ordered. Wraps (v, _ord). The order key self-densifies past
+    _ORD_DENSIFY_DEPTH struct nesting (see above) — that pass runs
+    ordering jobs eagerly, the same trade Thrill's Collapse makes."""
 
     def __init__(self, df: DataFrame):
+        if _struct_depth(df.schema[ORD].dataType) >= _ORD_DENSIFY_DEPTH:
+            df = O.with_index(df, [ORD]).select(
+                V, F.col(O.IDX).cast("long").alias(ORD)
+            )
         self.df = df
 
     # -- LOps (§2.3) ----------------------------------------------------

@@ -23,10 +23,36 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 
 class _Range(InputPartition):
-    def __init__(self, path: str, begin: int, end: int):
+    def __init__(self, path: str, file_idx: int, begin: int, end: int):
         self.path = path
+        self.file_idx = file_idx
         self.begin = begin
         self.end = end
+
+
+def _expand(path: str) -> list[str]:
+    """path -> sorted file list. Accepts a single file, a directory
+    (its non-hidden regular files), or a glob pattern. The SORTED
+    order defines file_idx, so (file_idx, offset) is a stable total
+    order for the same path spec regardless of split count — the
+    ordering contract ReadLines exposes (read_lines.hpp reads its
+    input files in path order)."""
+    import glob as _glob
+
+    if os.path.isdir(path):
+        names = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if not f.startswith((".", "_"))
+        ]
+        return sorted(f for f in names if os.path.isfile(f))
+    if any(c in path for c in "*?["):
+        return sorted(
+            f
+            for f in _glob.glob(path)
+            if os.path.isfile(f) and not os.path.basename(f).startswith((".", "_"))
+        )
+    return [path]
 
 
 class ByteRangeLinesReader(DataSourceReader):
@@ -35,15 +61,20 @@ class ByteRangeLinesReader(DataSourceReader):
         self.n_splits = int(options.get("n_splits", "8"))
 
     def partitions(self):
-        size = os.path.getsize(self.path)
+        files = _expand(self.path)
+        total = sum(os.path.getsize(f) for f in files)
         n = max(1, self.n_splits)
-        step = max(1, (size + n - 1) // n)
+        # one global split size across all files: ranges stay balanced
+        # for any file-size mix, and every range is (file, begin, end)
+        step = max(1, (total + n - 1) // n)
         ranges = []
-        at = 0
-        while at < size:
-            ranges.append(_Range(self.path, at, min(at + step, size)))
-            at += step
-        return ranges or [_Range(self.path, 0, 0)]
+        for fi, f in enumerate(files):
+            size = os.path.getsize(f)
+            at = 0
+            while at < size:
+                ranges.append(_Range(f, fi, at, min(at + step, size)))
+                at += step
+        return ranges or [_Range(self.path, 0, 0, 0)]
 
     def read(self, partition):
         p = partition
@@ -68,7 +99,7 @@ class ByteRangeLinesReader(DataSourceReader):
                 raw = f.readline()
                 if not raw:
                     break
-                yield (pos, raw.rstrip(b"\n").decode("utf-8"))
+                yield (p.file_idx, pos, raw.rstrip(b"\n").decode("utf-8"))
 
 
 class ByteRangeLinesDataSource(DataSource):
@@ -77,7 +108,7 @@ class ByteRangeLinesDataSource(DataSource):
         return "thrill_lines"
 
     def schema(self) -> str:
-        return "offset long, line string"
+        return "file_idx long, offset long, line string"
 
     def reader(self, schema):
         return ByteRangeLinesReader(self.options)

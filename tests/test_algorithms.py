@@ -82,7 +82,7 @@ def test_suffix_array_known_string(spark):
     assert out == expect
 
 
-@pytest.mark.parametrize("step", [2, 3, 4])
+@pytest.mark.parametrize("step", [2, 3, 4, 8])
 def test_suffix_array_bruteforce_adversarial(spark, step):
     """The analytic bucket-sort re-rank must reproduce brute-force
     suffix ranks for every step width on shapes that stress it:
@@ -367,15 +367,16 @@ def test_chunked_chars_matches_direct_explode(spark):
         chunked_chars(df4, chunk=4)
 
 
-@pytest.mark.parametrize("step", [2, 4])
+@pytest.mark.parametrize("step", [2, 4, 8])
 def test_lcp_from_levels_matches_bruteforce(spark, step):
     """Manber-Myers descent over the prefix-sort rank tables must equal
     the brute-force adjacent-suffix LCP — exercised on repetition-heavy
     strings (long LCPs, the case the old substring scan was quadratic
     on) and a random-ish one, for BOTH schedules: step=2 (one sort
-    round per power-of-two level) and step=4 (each quadrupling round
-    emits TWO levels — mid 2k from the sort-key prefix, full 4k — so
-    the descent sees the same complete {1,2,4,8,...} ladder)."""
+    round per power-of-two level), step=4 (each quadrupling round
+    emits TWO levels — mid 2k from the sort-key prefix, full 4k) and
+    step=8 (THREE levels per round: 2k, 4k, 8k) — every schedule must
+    present the same complete {1,2,4,8,...} ladder to the descent."""
     from thrill_spark.plans.algorithms import (
         chunked_chars,
         lcp_from_levels,

@@ -440,19 +440,20 @@ def suffix_array(
     Returns (pos, rank): rank of suffix starting at pos in the sorted
     suffix order, dense in [0, n).
 
-    With keep_levels=True (step 2 or 4) returns (ranked, levels) where
-    levels is [(prefix_len, rank_df), ...] for EVERY power of two —
-    the rank checkpoints lcp_from_levels binary-descends over, so no
-    suffix string is ever materialized. With step=4 each quadrupling
-    round emits BOTH intermediate levels from ONE bucket sort: the
-    round sorts by the 4-tuple (r_k[pos], r_k[pos+k], r_k[pos+2k],
-    r_k[pos+3k]), whose 2-PREFIX groups are contiguous in the same
-    order — so rank_{2k} is just a second min-index window over the
-    already-sorted partitions, no extra shuffle. Half the sort rounds
-    of doubling, identical level ladder, classic descent. The TERMINAL
-    table (the round whose ranks came out fully distinct) is excluded:
-    its descent joins can never match, and max LCP < its prefix length
-    == 1 + sum of the retained levels' lengths, so coverage is intact.
+    With keep_levels=True (step 2, 4 or 8) returns (ranked, levels)
+    where levels is [(prefix_len, rank_df), ...] for EVERY power of
+    two — the rank checkpoints lcp_from_levels binary-descends over,
+    so no suffix string is ever materialized. With step=4 (8) each
+    round emits BOTH (all THREE) intermediate levels from ONE bucket
+    sort: the round sorts by the width-tuple (r_k[pos], r_k[pos+k],
+    ...), whose 2- and 4-PREFIX groups are contiguous in the same
+    order — so rank_{2k} (and rank_{4k}) are just extra min-index
+    windows over the already-sorted partitions, no extra shuffle.
+    Half (a third of) the sort rounds of doubling, identical level
+    ladder, classic descent. The TERMINAL table (the level whose
+    ranks came out fully distinct) is excluded: its descent joins can
+    never match, and max LCP < its prefix length == 1 + sum of the
+    retained levels' lengths, so coverage is intact.
 
     Each round: self-joins at offsets k..(width-1)k (Zip-with-shift),
     re-rank tuples via the distributed with_index discipline, stop
@@ -463,8 +464,8 @@ def suffix_array(
 
     if step < 2:
         raise ValueError("step must be >= 2")
-    if keep_levels and step not in (2, 4):
-        raise ValueError("keep_levels requires step 2 or 4")
+    if keep_levels and step not in (2, 4, 8):
+        raise ValueError("keep_levels requires step 2, 4 or 8")
     if n <= 0:
         # empty text: zero suffixes — return the empty (pos, rank)
         # frame rather than running a degenerate round
@@ -496,11 +497,22 @@ def suffix_array(
     n_buckets = chars.sparkSession.conf.get("spark.sql.shuffle.partitions")
     n_buckets = int(n_buckets) if n_buckets and n_buckets.isdigit() else 200
 
-    def _round(cur: DataFrame, k: int, width: int, emit_mid: bool = False):
+    def _round(cur: DataFrame, k: int, width: int, emit_widths=()):
         """One re-rank round; returns (new_ranks, n_distinct,
-        mid_ranks, n_distinct_mid) — the mid outputs are None unless
-        emit_mid (keep_levels quadrupling, which derives rank_{2k}
-        from the SAME sorted partitions as rank_{4k}).
+        prefix_out) where prefix_out is [(w, rank_df_or_None, nd_w)]
+        for each requested prefix width w in emit_widths (ascending) —
+        keep_levels quadrupling/octupling derive rank_{2k} (and
+        rank_{4k}) from the SAME sorted partitions as the full-width
+        rank, one extra window each, no extra shuffle.
+
+        Tuple assembly is ONE explode + ONE groupBy(pos): every rank
+        row fans out to the `width` positions whose tuple needs it
+        (target pos - j*k), then a per-pos max(when) gathers the
+        components. The previous form — width-1 chained shift-joins —
+        re-exchanged (or re-broadcast) the rank table width-1 times
+        per round; the explode ships each component exactly once, so
+        per-round shuffle volume is width*n skinny rows in one stage
+        at any scale.
 
         Rank tuples are NUMERIC with a known range (every component in
         [-1, n)), so the global sort skips with_index's boundary
@@ -526,16 +538,26 @@ def suffix_array(
         generic with_index discipline. All-identical keys still funnel
         one group to one task — exactly as sampled range partitioning
         would place them."""
-        rcols = [f"r{j}" for j in range(2, width + 1)]
-        paired = cur
-        for j, rc in enumerate(rcols, start=1):
-            shifted = cur.select(
-                (F.col(pos) - j * k).alias(pos), F.col("r").alias(rc)
+        key_names = ["r"] + [f"r{j}" for j in range(2, width + 1)]
+        fanout = [
+            F.struct(
+                (F.col(pos) - F.lit(j * k)).cast("long").alias(pos),
+                F.lit(j).alias("_j"),
+                F.col("r").alias("_r"),
             )
-            paired = paired.join(shifted, on=pos, how="left")
-        paired = paired.fillna({rc: -1 for rc in rcols})
-        key_names = ["r", *rcols]
-        mid_names = key_names[: (width // 2)] if emit_mid else None
+            for j in range(width)
+        ]
+        contrib = (
+            cur.select(F.explode(F.array(*fanout)).alias("_e"))
+            .select("_e.*")
+            .filter(F.col(pos) >= 0)
+        )
+        paired = contrib.groupBy(pos).agg(
+            *[
+                F.max(F.when(F.col("_j") == j, F.col("_r"))).alias(key_names[j])
+                for j in range(width)
+            ]
+        ).fillna({c: -1 for c in key_names[1:]})
         n1 = float(n + 1)
         bucket = F.least(
             F.floor(
@@ -565,9 +587,10 @@ def suffix_array(
         aggs = [
             F.count("*").alias("_c"),
             F.countDistinct(*key_names).alias("_d"),
+        ] + [
+            F.countDistinct(*key_names[:w]).alias(f"_d{w}")
+            for w in emit_widths
         ]
-        if emit_mid:
-            aggs.append(F.countDistinct(*mid_names).alias("_dm"))
         stats = part.groupBy("_bkt").agg(*aggs).collect()
         offs: dict[int, int] = {}
         acc = 0
@@ -575,7 +598,9 @@ def suffix_array(
             offs[row["_bkt"]] = acc
             acc += row["_c"]
         n_distinct = sum(r["_d"] for r in stats)
-        nd_mid = sum(r["_dm"] for r in stats) if emit_mid else None
+        # per-bucket prefix-distinct sums are exact: bucketing is on
+        # the leading component, so no prefix class straddles buckets
+        nds = {w: sum(r[f"_d{w}"] for r in stats) for w in emit_widths}
         # empty input => no stats rows => no map to index into; the
         # carry term is simply 0 (a NULL-typed literal here would fail
         # analysis on element extraction)
@@ -600,43 +625,59 @@ def suffix_array(
                 (idx - (F.row_number().over(wg) - 1)).cast("long").alias(name)
             )
 
-        # ONE checkpointed frame carries both rank columns: all three
+        # ONE checkpointed frame carries every rank column: all the
         # windows share the cache's hash(_bkt) distribution and sort
-        # order (the mid group is a prefix of the full key), so this is
-        # a single no-exchange window stage and a single
-        # materialization job instead of one per level.
-        want_mid = emit_mid and nd_mid is not None and nd_mid < n
-        out_cols = [F.col(pos), _rank_col(key_names, "r")]
-        if want_mid:
-            out_cols.append(_rank_col(mid_names, "_rmid"))
+        # order (each prefix group is a prefix of the full key), so
+        # this is a single no-exchange window stage and a single
+        # materialization job instead of one per level. A prefix
+        # already fully distinct gets no rank column (its table would
+        # be terminal — never used by the descent).
+        live = [w for w in emit_widths if nds[w] < n]
+        out_cols = [F.col(pos), _rank_col(key_names, "r")] + [
+            _rank_col(key_names[:w], f"_r{w}") for w in live
+        ]
         combined = part.select(*out_cols).localCheckpoint()
         new = combined.select(pos, "r")
-        mid = (
-            combined.select(pos, F.col("_rmid").alias("r"))
-            if want_mid
-            else None
-        )
+        prefix_out = [
+            (
+                w,
+                combined.select(pos, F.col(f"_r{w}").alias("r"))
+                if w in live
+                else None,
+                nds[w],
+            )
+            for w in sorted(emit_widths)
+        ]
         # the rank frame is eagerly checkpointed above — the cached
         # sort is no longer needed, free it before the next round
         part.unpersist()
-        return new, n_distinct, mid, nd_mid
+        return new, n_distinct, prefix_out
 
-    # keep_levels quadrupling: each round covers TWO binary levels
-    # (2k from the sort-key prefix, 4k from the full tuple) for the
-    # price of one bucket sort — half the rounds of plain doubling,
-    # identical level ladder and descent.
-    width = 4 if (keep_levels and step == 4) else step
-    emit_mid = keep_levels and step == 4
+    # keep_levels quadrupling/octupling: each round covers TWO (step
+    # 4) or THREE (step 8) binary levels — rank_{2k}/rank_{4k} from
+    # sort-key prefixes, the widest from the full tuple — for the
+    # price of ONE bucket sort; half (third) the rounds of plain
+    # doubling, identical level ladder and descent.
+    width = step
+    emit_widths = (
+        tuple(2 ** i for i in range(1, step.bit_length() - 1))
+        if (keep_levels and step in (4, 8))
+        else ()
+    )
     k = 1
     while True:
-        ranks, nd, mid, nd_mid = _round(ranks, k, width, emit_mid)
-        if emit_mid:
-            if nd_mid >= n:
-                # distinct already at the HALF length: the full-tuple
-                # ranks are identical (every prefix group is a
-                # singleton), both tables are terminal — exclude both.
+        ranks, nd, prefix_out = _round(ranks, k, width, emit_widths)
+        terminal = False
+        for w, mid, nd_w in prefix_out:  # ascending prefix widths
+            if nd_w >= n:
+                # distinct already at this PREFIX length: every wider
+                # table of this round (and all later rounds) assigns
+                # identical singleton ranks — all terminal, exclude.
+                terminal = True
                 break
-            levels.append((k * 2, mid))
+            levels.append((k * w, mid))
+        if terminal:
+            break
         plen = k * width
         if nd >= n:
             # Terminal table: ranks fully distinct, so no two suffixes

@@ -841,7 +841,7 @@ def _doc0_ranked(spark: SparkSession, sf_dir: str):
     doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
     chars = A.chunked_chars(doc)
     n = chars.count()
-    ranked, levels = A.suffix_array(chars, n, step=4, keep_levels=True)
+    ranked, levels = A.suffix_array(chars, n, step=8, keep_levels=True)
     return ranked, chars, levels
 
 
@@ -1077,7 +1077,7 @@ def _exact_substr_members(
         docs.join(offs.select("doc_id", "_off"), "doc_id"), off_col="_off"
     )
     n = chars.count()
-    ranked, levels = A.suffix_array(chars, n, step=4, keep_levels=True)
+    ranked, levels = A.suffix_array(chars, n, step=8, keep_levels=True)
     lcp = A.lcp_from_levels(ranked, levels)
     # island id: inclusive prefix sum of new-island flags (lcp < L)
     # over rank order — two-phase distributed scan, no global window
@@ -1442,7 +1442,7 @@ def q_suffix_lcp_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
     txt = _partnames_text(spark, sf_dir)
     chars = A.chunked_chars(txt, text_col="_txt")
     n = chars.count()
-    ranked, levels = A.suffix_array(chars, n, step=4, keep_levels=True)
+    ranked, levels = A.suffix_array(chars, n, step=8, keep_levels=True)
     return A.lcp_from_levels(ranked, levels)
 
 
@@ -1505,7 +1505,7 @@ def q_suffix_array_quad(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
     chars = A.chunked_chars(doc)
     n = chars.count()
-    return A.suffix_array(chars, n, step=4)
+    return A.suffix_array(chars, n, step=8)
 
 
 # ---------------------------------------------------------------------------
@@ -1629,7 +1629,7 @@ def suffix_lcs_core(d0: DataFrame, d1: DataFrame) -> DataFrame:
     )
     chars = A.chunked_chars(parts, text_col="_t", off_col="_off")
     n = chars.count()
-    ranked, levels = A.suffix_array(chars, n, step=4, keep_levels=True)
+    ranked, levels = A.suffix_array(chars, n, step=8, keep_levels=True)
     label = (
         F.when(F.col("pos") < n0, F.lit(0))
         .when(F.col("pos") == n0, F.lit(-1))

@@ -579,12 +579,13 @@ def fm_backward_ranges(
     occurrence count (fm_search_chars), and joining ranked on the
     range yields the occurrence POSITIONS (suffix_fm_locate_doc0),
     the locate operation an FM-index exists to answer."""
-    # Prefix QUADRUPLING (the reference's prefix_quadrupling.cpp
-    # trade): FM search needs only the final ranks — no LCP levels —
-    # and halving the number of sequential rank rounds wins whenever
-    # round setup dominates, which holds both here and on a real
-    # cluster (each round is a full stage barrier).
-    ranked = A.suffix_array(chars, n1, step=4)
+    # Prefix OCTUPLING (generalizing the reference's
+    # prefix_quadrupling.cpp trade): FM search needs only the final
+    # ranks — no LCP levels — and cutting the number of sequential
+    # rank rounds to log8 wins whenever round setup dominates, which
+    # holds both here and on a real cluster (each round is a full
+    # stage barrier).
+    ranked = A.suffix_array(chars, n1, step=8)
     prev = chars.select((F.col("pos") + 1).alias("pos"), F.col("ch").alias("_prev"))
     bwt = (
         ranked.join(prev, "pos", "left")

@@ -411,3 +411,63 @@ def test_lcp_from_levels_matches_bruteforce(spark, step):
                 h += 1
             want[r] = h
         assert got == want, (step, text, got, want)
+
+
+@pytest.mark.parametrize("min_len", [1, 3, 5, 16])
+def test_lcp_ge_flags_matches_exact_descent(spark, min_len):
+    """lcp_ge_flags must equal (exact LCP >= L) for power-of-two AND
+    composite L (composite = multi-probe greedy decomposition), on
+    texts whose ladders top out below L (forcing repeated-level
+    probes, e.g. 16 = 8+8)."""
+    from thrill_spark.plans.algorithms import (
+        chunked_chars,
+        lcp_from_levels,
+        lcp_ge_flags,
+        suffix_array,
+    )
+
+    texts = ("abracadabra", "aabaabaabaab", "abcab" * 20)
+    for text in texts:
+        df = spark.createDataFrame([(text,)], "text string")
+        chars = chunked_chars(df, chunk=5)
+        ranked, levels = suffix_array(
+            chars, len(text), step=8, keep_levels=True
+        )
+        exact = {
+            r["rank"]: r["lcp"]
+            for r in lcp_from_levels(ranked, levels).collect()
+        }
+        got = {
+            r["rank"]: r["ge"]
+            for r in lcp_ge_flags(ranked, levels, min_len).collect()
+        }
+        want = {rk: lcp >= min_len for rk, lcp in exact.items()}
+        assert got == want, (text, min_len)
+
+
+@pytest.mark.parametrize("min_len", [1, 4, 5, 16])
+def test_prefix_classes_match_bruteforce(spark, min_len):
+    """prefix_classes keys must partition suffixes exactly by their
+    first min_len characters, including with the early-stopped ladder
+    (max_prefix) and Ls needing multi-part greedy decompositions or
+    repeated levels (ladder topped out below L)."""
+    from thrill_spark.plans.algorithms import prefix_classes, suffix_array
+
+    texts = ("abracadabra", "abcab" * 13, "aabaa")
+    for text in texts:
+        n = len(text)
+        chars = spark.createDataFrame(list(enumerate(text)), ["pos", "ch"])
+        _, levels = suffix_array(
+            chars, n, step=8, keep_levels=True, max_prefix=min_len
+        )
+        rows = prefix_classes(levels, min_len).collect()
+        assert sorted(r["pos"] for r in rows) == list(range(n))
+        cls = {r["pos"]: tuple(r["cls"]) for r in rows}
+        for a in range(n):
+            for b in range(n):
+                same = text[a:a + min_len] == text[b:b + min_len] and (
+                    # suffixes shorter than min_len must not merge
+                    # unless truly identical-to-end at equal length
+                    min(n - a, min_len) == min(n - b, min_len)
+                )
+                assert (cls[a] == cls[b]) == same, (text, min_len, a, b)

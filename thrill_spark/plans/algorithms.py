@@ -429,7 +429,7 @@ def chunked_chars(
 
 def suffix_array(
     chars: DataFrame, n: int, pos: str = "pos", step: int = 2,
-    keep_levels: bool = False,
+    keep_levels: bool = False, max_prefix: int | None = None,
 ):
     """Suffix sorting by prefix doubling — or prefix QUADRUPLING with
     step=4 (the reference ships both: prefix_doubling.cpp and
@@ -459,7 +459,13 @@ def suffix_array(
     re-rank tuples via the distributed with_index discipline, stop
     when all ranks are distinct — O(log_step n) rounds, every step a
     shuffle-bounded DataFrame op (no driver-side strings), which is
-    what makes this viable for distributed corpora, not just one doc."""
+    what makes this viable for distributed corpora, not just one doc.
+
+    max_prefix: stop the ladder once a level of prefix length
+    >= max_prefix has been emitted. The returned `ranked` is then the
+    rank at that PREFIX length, NOT the full suffix order — only for
+    callers that consume the levels (prefix_classes / lcp_ge_flags),
+    where it caps rounds at O(log max_prefix) independent of n."""
     from thrill_spark import ordering as O
 
     if step < 2:
@@ -686,11 +692,123 @@ def suffix_array(
             # provably never match.
             break
         levels.append((plen, ranks))
+        if max_prefix is not None and plen >= max_prefix:
+            break
         k = plen
     ranked = ranks.select(F.col(pos), F.col("r").cast("long").alias("rank"))
     if keep_levels:
         return ranked, levels
     return ranked
+
+
+def prefix_classes(
+    levels: list[tuple[int, DataFrame]], min_len: int, pos: str = "pos"
+) -> DataFrame:
+    """(pos, cls) — equivalence-class key of each suffix's first
+    min_len characters, assembled directly from the prefix-rank
+    ladder: the greedy decomposition min_len = p1 + p2 + ... maps to
+    the key struct (r_{p1}[pos], r_{p2}[pos+p1], ...). Two suffixes
+    get equal keys iff their first min_len chars are equal — each
+    equal component certifies its window and the windows tile
+    [0, min_len); conversely equal text implies equal window ranks.
+    A suffix running past the end carries a -1 component (never a
+    real rank), so it can only share a class with suffixes whose
+    remaining text AND length pattern match — and ExactSubstr's
+    in-document validity filter drops those members regardless.
+
+    This is the whole of what ExactSubstr needs from suffix sorting:
+    the duplicate-substring ISLANDS are exactly these classes
+    (equal-first-L-chars is transitive, and a class is precisely a
+    maximal run of SA neighbors with pairwise LCP >= L), so with the
+    ladder early-stopped at max_prefix >= min_len island discovery
+    costs O(log min_len) doubling rounds — independent of corpus
+    size — instead of a full O(log n) suffix sort plus an exact-LCP
+    descent plus an adjacency prefix-sum."""
+    lev = {plen: tab for plen, tab in levels}
+    parts: list[int] = []
+    rem = int(min_len)
+    for p in sorted(lev, reverse=True):
+        while p <= rem:
+            parts.append(p)
+            rem -= p
+    if rem:
+        raise ValueError(
+            f"ladder {sorted(lev)} cannot compose min_len={min_len}"
+        )
+    out = None
+    comps: list[str] = []
+    off = 0
+    for i, p in enumerate(parts):
+        t = lev[p].select(
+            (F.col(pos) - off).alias(pos), F.col("r").alias(f"_c{i}")
+        )
+        out = t if out is None else out.join(t, pos, "left")
+        comps.append(f"_c{i}")
+        off += p
+    out = out.filter(F.col(pos) >= 0).fillna({c: -1 for c in comps})
+    return out.select(F.col(pos), F.struct(*comps).alias("cls"))
+
+
+def lcp_ge_flags(
+    ranked: DataFrame,
+    levels: list[tuple[int, DataFrame]],
+    min_len: int,
+    pos: str = "pos",
+) -> DataFrame:
+    """(rank, ge) — whether LCP(suffix at rank, suffix at rank-1) is
+    >= min_len — WITHOUT computing exact LCPs: probe only a greedy
+    exact decomposition of min_len over the available prefix-rank
+    ladder (levels may repeat: 16 = 8+8 when the ladder topped out at
+    8), so the cost is a handful of rank joins — ONE for a
+    power-of-two min_len within the ladder — instead of the full
+    log(n)-level Manber-Myers descent. A probe at offset h against
+    level table p succeeds iff the two suffixes' rank-at-prefix-p
+    agree at offset h, certifying p more common chars. If the true
+    LCP >= min_len, every greedy probe must succeed (each tests a
+    fully-matching region), and h can reach min_len only through
+    all-success — so ge == (h == min_len) exactly. Rank 0 (no
+    predecessor) gets ge = false. ExactSubstr's island flag is this
+    boolean; the exact-LCP descent stays for consumers that need
+    values (suffix_lcp*, LCS)."""
+    lev = {plen: tab for plen, tab in levels}
+    parts: list[int] = []
+    rem = int(min_len)
+    for p in sorted(lev, reverse=True):
+        while p <= rem:
+            parts.append(p)
+            rem -= p
+    if rem:
+        raise ValueError(
+            f"ladder {sorted(lev)} cannot compose min_len={min_len}"
+        )
+    prev = ranked.select(
+        (F.col("rank") + 1).alias("rank"), F.col(pos).alias("_ppos")
+    )
+    pairs = (
+        ranked.join(prev, "rank", "left")
+        .select("rank", F.col(pos).alias("_cpos"), "_ppos")
+        .withColumn("h", F.lit(0).cast("long"))
+    )
+    for p in parts:
+        tab = lev[p]
+        ta = tab.select(F.col(pos).alias("_qa"), F.col("r").alias("_ra"))
+        tb = tab.select(F.col(pos).alias("_qb"), F.col("r").alias("_rb"))
+        pairs = (
+            pairs.join(ta, F.col("_ppos") + F.col("h") == F.col("_qa"), "left")
+            .join(tb, F.col("_cpos") + F.col("h") == F.col("_qb"), "left")
+            .withColumn(
+                "h",
+                F.col("h")
+                + F.when(
+                    F.col("_ra").isNotNull() & (F.col("_ra") == F.col("_rb")),
+                    F.lit(p),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_qa", "_ra", "_qb", "_rb")
+        )
+    return _honest_ckpt(
+        pairs.select("rank", (F.col("h") >= min_len).alias("ge"))
+    )
 
 
 def lcp_from_levels(

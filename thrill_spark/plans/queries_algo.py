@@ -1077,31 +1077,28 @@ def _exact_substr_members(
         docs.join(offs.select("doc_id", "_off"), "doc_id"), off_col="_off"
     )
     n = chars.count()
-    ranked, levels = A.suffix_array(chars, n, step=8, keep_levels=True)
-    lcp = A.lcp_from_levels(ranked, levels)
-    # island id: inclusive prefix sum of new-island flags (lcp < L)
-    # over rank order — two-phase distributed scan, no global window
-    flags = lcp.select(
-        "rank", (F.col("lcp") < min_len).cast("long").alias("_new")
+    # Islands = equivalence classes of "same first L chars", which
+    # prefix_classes assembles straight from the rank ladder — so the
+    # ladder stops at prefix length >= L: O(log L) doubling rounds,
+    # INDEPENDENT of corpus size, with no full suffix order, no
+    # exact-LCP descent, and no adjacency prefix-sum (r11; the full
+    # O(log n) sort + descent shape is still what suffix_lcp*/LCS
+    # use, where exact order and LCP values are the answer).
+    _, levels = A.suffix_array(
+        chars, n, step=8, keep_levels=True, max_prefix=min_len
     )
-    isl = O.prefix_sum(flags, ["rank"], "_new", name="_isl")
+    cls = A.prefix_classes(levels, min_len)
     # document label + in-document validity per suffix start
     bounds = offs.select(
         "doc_id", "_off", (F.col("_off") + F.col("_len")).alias("_end")
     )
-    labeled = ranked.join(
-        F.broadcast(bounds),
-        (F.col("pos") >= F.col("_off")) & (F.col("pos") < F.col("_end")),
-    ).select(
-        "rank",
-        "doc_id",
-        "pos",
-        (F.col("pos") + min_len <= F.col("_end")).alias("_valid"),
-    )
     mem = (
-        labeled.join(isl.select("rank", "_isl"), "rank")
-        .filter("_valid")
-        .select("doc_id", "pos", "_isl")
+        cls.join(
+            F.broadcast(bounds),
+            (F.col("pos") >= F.col("_off")) & (F.col("pos") < F.col("_end")),
+        )
+        .filter(F.col("pos") + min_len <= F.col("_end"))
+        .select("doc_id", "pos", F.col("cls").alias("_isl"))
     )
     return mem, offs, chars
 

@@ -271,7 +271,53 @@ _R11_WINDOW = [
 ]
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 
-_DRIVER_WINDOW_PRIORITY = _R11_WINDOW
+# Queries whose CODE PATH changed in round 11 (suffix family: step=8
+# octupling + explode assembly + prefix-class islands; iterative
+# algorithms: honest-stats checkpoints; apriori: relative support;
+# thrill_lines: file_idx schema). First-time verification of changed
+# paths outranks re-verification of stale-but-untouched ones, so these
+# lead the window; the stalest tail fills the rest.
+_R11_CHANGED = [
+    "dedup_exact_substr_sa",
+    "dedup_exact_substr_full",
+    "dedup_exact_substr_clean",
+    "dedup_exact_substr_coverage",
+    "basket_apriori_triples",
+    "suffix_array_doc0",
+    "suffix_array_quadrupling_doc0",
+    "suffix_array_dc3",
+    "suffix_array_dc7",
+    "suffix_bwt_doc0",
+    "suffix_rlbwt_doc0",
+    "suffix_fm_count_doc0",
+    "suffix_fm_locate_doc0",
+    "suffix_lcp_doc0",
+    "suffix_lcp_partnames",
+    "suffix_lcs_doc01",
+    "suffix_longest_repeat_doc0",
+    "suffix_wavelet_doc0",
+    "suffix_wavelet_partnames",
+    "pagerank",
+    "bfs_distances",
+    "k_core_orders",
+    "sssp_weighted_dag",
+    "graph_scc",
+    "graph_label_propagation",
+    "dedup_pipeline_survivors",
+    "corpus_build_e2e",
+    "dedup_cluster_assign",
+    "dedup_cluster_histogram",
+    "dedup_quality_survivors",
+    "er_customer_linkage",
+    "doc_fingerprint_winnow",
+    "text_heavy_hitters",
+    "io_datasource_write_roundtrip",
+    "kmeans_clusters",
+]
+
+_DRIVER_WINDOW_PRIORITY = (
+    _R11_CHANGED + [n for n in _R11_WINDOW if n not in _R11_CHANGED]
+)[:50]
 assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
 
 

@@ -1048,6 +1048,44 @@ _XS_DOCS = 64
 _XS_L = 16
 
 
+_DOC_CHUNK = 4096
+
+
+def _label_doc(posed: DataFrame, offs: DataFrame, pos_col: str = "pos") -> DataFrame:
+    """Attach (doc_id, _off, _end) to every row holding a global
+    character position — the doc-boundary range join done as a
+    chunk-keyed EQUI-join: the offset table explodes to one row per
+    4096-char chunk it overlaps (~n/4096 rows total), positions key
+    on pos div 4096, and the containment filter picks the owning doc.
+    No broadcast of the per-doc table: at billions of documents a
+    broadcast range join dies on the driver, while this shape is a
+    plain linear equi-join (and at test scale the tiny spans side
+    still auto-broadcasts on its honest stats)."""
+    spans = offs.filter(F.col("_len") > 0).select(
+        "doc_id",
+        "_off",
+        (F.col("_off") + F.col("_len")).alias("_end"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_off") / _DOC_CHUNK).cast("long"),
+                F.floor(
+                    (F.col("_off") + F.col("_len") - 1) / _DOC_CHUNK
+                ).cast("long"),
+            )
+        ).alias("_chk"),
+    )
+    return (
+        posed.withColumn(
+            "_chk", F.floor(F.col(pos_col) / _DOC_CHUNK).cast("long")
+        )
+        .join(spans, "_chk")
+        .filter(
+            (F.col(pos_col) >= F.col("_off")) & (F.col(pos_col) < F.col("_end"))
+        )
+        .drop("_chk")
+    )
+
+
 def _exact_substr_members(
     spark: SparkSession,
     sf_dir: str,
@@ -1088,15 +1126,10 @@ def _exact_substr_members(
         chars, n, step=8, keep_levels=True, max_prefix=min_len
     )
     cls = A.prefix_classes(levels, min_len)
-    # document label + in-document validity per suffix start
-    bounds = offs.select(
-        "doc_id", "_off", (F.col("_off") + F.col("_len")).alias("_end")
-    )
+    # document label + in-document validity per suffix start (chunk-
+    # keyed equi-join, not a broadcast range join — see _label_doc)
     mem = (
-        cls.join(
-            F.broadcast(bounds),
-            (F.col("pos") >= F.col("_off")) & (F.col("pos") < F.col("_end")),
-        )
+        _label_doc(cls, offs)
         .filter(F.col("pos") + min_len <= F.col("_end"))
         .select("doc_id", "pos", F.col("cls").alias("_isl"))
     )
@@ -1293,13 +1326,7 @@ def q_exact_substr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos")
     ).distinct()
     survivors = chars.join(cov, "pos", "left_anti")
-    bounds = offs.select(
-        "doc_id", "_off", (F.col("_off") + F.col("_len")).alias("_end")
-    )
-    labeled = survivors.join(
-        F.broadcast(bounds),
-        (F.col("pos") >= F.col("_off")) & (F.col("pos") < F.col("_end")),
-    )
+    labeled = _label_doc(survivors, offs)
     ka = labeled.groupBy("doc_id").agg(
         F.md5(
             F.array_join(

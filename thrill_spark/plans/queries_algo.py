@@ -1114,7 +1114,13 @@ def _exact_substr_members(
     chars = A.chunked_chars(
         docs.join(offs.select("doc_id", "_off"), "doc_id"), off_col="_off"
     )
-    n = chars.count()
+    # total chars == max(_off + _len) over the tiny offsets table —
+    # counting the exploded char table instead would cost a full
+    # throwaway pass over the corpus
+    n = int(
+        offs.agg(F.max(F.col("_off") + F.col("_len")).alias("_n")).first()["_n"]
+        or 0
+    )
     # Islands = equivalence classes of "same first L chars", which
     # prefix_classes assembles straight from the rank ladder — so the
     # ladder stops at prefix length >= L: O(log L) doubling rounds,

@@ -472,6 +472,8 @@ def suffix_array(
         raise ValueError("step must be >= 2")
     if keep_levels and step not in (2, 4, 8):
         raise ValueError("keep_levels requires step 2, 4 or 8")
+    if max_prefix is not None and max_prefix < 1:
+        raise ValueError(f"max_prefix must be >= 1, got {max_prefix}")
     if n <= 0:
         # empty text: zero suffixes — return the empty (pos, rank)
         # frame rather than running a degenerate round
@@ -724,6 +726,8 @@ def prefix_classes(
     costs O(log min_len) doubling rounds — independent of corpus
     size — instead of a full O(log n) suffix sort plus an exact-LCP
     descent plus an adjacency prefix-sum."""
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
     lev = {plen: tab for plen, tab in levels}
     parts: list[int] = []
     rem = int(min_len)
@@ -770,6 +774,8 @@ def lcp_ge_flags(
     predecessor) gets ge = false. ExactSubstr's island flag is this
     boolean; the exact-LCP descent stays for consumers that need
     values (suffix_lcp*, LCS)."""
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
     lev = {plen: tab for plen, tab in levels}
     parts: list[int] = []
     rem = int(min_len)

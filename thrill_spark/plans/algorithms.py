@@ -28,7 +28,12 @@ def _honest_ckpt(df: DataFrame) -> DataFrame:
     stats eagerly, so the cache can be freed immediately (the
     checkpoint RDD's storage is independent of the cache). Same
     defect class as the r10 suffix-sort fix (K=8 ExactSubstr descent
-    10.19x -> 2.00x on restoring broadcast eligibility)."""
+    10.19x -> 2.00x on restoring broadcast eligibility).
+
+    No small-estimate fast path: keeping even a sub-broadcast-size
+    ESTIMATE (instead of actual bytes) re-enters the compounding the
+    moment a consumer joins on the frame — measured as failed
+    honesty bounds and a slower dedup pipeline when tried."""
     cached = df.persist()
     out = cached.localCheckpoint()
     cached.unpersist()

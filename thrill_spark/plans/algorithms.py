@@ -40,6 +40,22 @@ def _honest_ckpt(df: DataFrame) -> DataFrame:
     return out
 
 
+def _loop_ckpt(df: DataFrame, rnd: int, every: int = 8) -> DataFrame:
+    """Collapse for LONG fixpoint loops: plain localCheckpoint per
+    round (one storage pass), with an _honest_ckpt stats reset every
+    `every`-th round to bound the compounded origin estimate. The
+    k-core lesson: a persist-backed checkpoint EVERY round costs an
+    extra block-storage pass each time (5.2 s vs 2.4 s on the k-core
+    bench graph over 7 rounds), while in-loop joins are SMJ-correct
+    at any scale — per-round honesty only pays where round joins need
+    broadcasts (suffix bucket sort, cc-star). Algorithm RETURN frames
+    still go through _honest_ckpt so consumers see honest stats
+    (tests/test_stats_honesty.py)."""
+    if (rnd + 1) % every == 0:
+        return _honest_ckpt(df)
+    return df.localCheckpoint()
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,
@@ -198,10 +214,10 @@ def bfs(edges: DataFrame, source: int, max_iters: int = 25,
             .join(dist, on="node", how="left_anti")
             .withColumn("d", F.lit(i))
         )
-        nxt = _honest_ckpt(nxt)
+        nxt = _loop_ckpt(nxt, i)
         if nxt.isEmpty():
             break
-        dist = _honest_ckpt(dist.unionByName(nxt))
+        dist = _loop_ckpt(dist.unionByName(nxt), i)
         frontier = nxt
     else:
         raise RuntimeError(
@@ -209,7 +225,7 @@ def bfs(edges: DataFrame, source: int, max_iters: int = 25,
             "rounds (graph eccentricity exceeds the bound); distances "
             "would be incomplete. Raise max_iters."
         )
-    return dist
+    return _honest_ckpt(dist)
 
 
 def connected_components(
@@ -985,12 +1001,7 @@ def k_core(
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        nxt = deg.filter(F.col("d") >= k).select("n")
-        nxt = (
-            _honest_ckpt(nxt)
-            if (i + 1) % 8 == 0
-            else nxt.localCheckpoint()
-        )
+        nxt = _loop_ckpt(deg.filter(F.col("d") >= k).select("n"), i)
         c = nxt.count()
         nodes = nxt
         if c == prev:
@@ -1031,15 +1042,16 @@ def sssp(
     spark = edges.sparkSession
     dist = spark.createDataFrame([(source, 0)], "node long, dist long").localCheckpoint()
     prev = (1, 0)
-    for _ in range(max_iters):
+    for i in range(max_iters):
         cand = (
             dist.join(edges, dist["node"] == edges[src])
             .select(F.col(dst).alias("node"), (F.col("dist") + F.col(w)).alias("dist"))
         )
-        merged = _honest_ckpt(
+        merged = _loop_ckpt(
             dist.unionByName(cand)
             .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+            .agg(F.min("dist").alias("dist")),
+            i,
         )
         row = merged.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dist").alias("t")
@@ -1047,7 +1059,7 @@ def sssp(
         cur = (row["n"], row["t"])
         dist = merged
         if cur == prev:
-            return dist
+            return _honest_ckpt(dist)
         prev = cur
     raise RuntimeError(f"sssp: no fixpoint within {max_iters} rounds")
 
@@ -1470,14 +1482,15 @@ def _min_label_fixpoint(
     rounds instead of O(diameter) (the one-edge-per-round version
     silently truncates on long rings). nodes: (node); edges: (u, v)
     meaning u's label flows to v. Returns (node, c) = min id with a
-    path to node. Per-round checkpoints go through _honest_ckpt —
-    plain localCheckpoint compounds sizeInBytes estimates ~3x/round
-    and by round ~16-20 InjectRuntimeFilter's canBroadcastBySize
-    spends the whole round multiplying astronomically wide BigInts
-    (observed: 0.4s rounds doubling to minutes; jstack pinned
-    BigInteger.multiply under SizeInBytesOnlyStatsPlanVisitor; an
-    earlier revision bounced through parquet every 6 rounds to work
-    around it — honest cache-backed stats fix the cause instead)."""
+    path to node. Rounds checkpoint via _loop_ckpt: plain
+    localCheckpoint compounds sizeInBytes estimates ~3x/round and by
+    round ~16-20 InjectRuntimeFilter's canBroadcastBySize spends the
+    whole round multiplying astronomically wide BigInts (observed:
+    0.4s rounds doubling to minutes; jstack pinned BigInteger.multiply
+    under SizeInBytesOnlyStatsPlanVisitor; an earlier revision bounced
+    through parquet every 6 rounds to work around it) — the periodic
+    honest reset bounds the estimate at the cause, and the returned
+    color table is always _honest_ckpt for consumers."""
     color = nodes.select("node", F.col("node").alias("c")).localCheckpoint()
     for _round in range(max_rounds):
         # One propagation join over (graph edges ∪ label edges): the
@@ -1494,18 +1507,19 @@ def _min_label_fixpoint(
         # changed flag materializes inside the SAME checkpoint job;
         # the stability probe is then a plain scan of the checkpointed
         # rows instead of a second shuffle join per round.
-        nxt_full = _honest_ckpt(
+        nxt_full = _loop_ckpt(
             color.select("node", F.col("c").alias("_co"))
             .join(
                 color.unionByName(via).groupBy("node").agg(F.min("c").alias("c")),
                 "node",
             )
-            .withColumn("_chg", F.col("c") != F.col("_co"))
+            .withColumn("_chg", F.col("c") != F.col("_co")),
+            _round,
         )
         stable = nxt_full.filter(F.col("_chg")).limit(1).isEmpty()
         color = nxt_full.select("node", "c")
         if stable:
-            return color
+            return _honest_ckpt(color)
     raise RuntimeError("min-label propagation did not converge")
 
 

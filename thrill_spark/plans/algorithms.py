@@ -598,16 +598,17 @@ def suffix_array(
         ).cast("int")
         # PERSIST (not localCheckpoint) the sorted partitions: an
         # InMemoryRelation keeps the child's outputPartitioning and
-        # ordering — so the two rank windows below stream over the
-        # cache with no second exchange or sort — and, once the stats
-        # pass materializes it, reports its ACTUAL byte size. A
+        # ordering — so the rank windows below stream over the cache
+        # with no second exchange or sort — and, once the stats pass
+        # materializes it, reports its ACTUAL byte size. A
         # localCheckpoint here propagates the ORIGIN plan's size
-        # estimate instead, and the chained shift-joins above inflate
-        # that estimate ~4th-power per round — after a few rounds the
-        # rank tables look petabyte-sized to the planner and every
-        # downstream join (the whole LCP descent) silently loses
-        # broadcast eligibility. Measured: 8x ExactSubstr descent
-        # 79 s -> 3 s on restoring honest stats.
+        # estimate instead, which the explode+groupBy assembly above
+        # compounds per round — after a few rounds the rank tables
+        # look petabyte-sized to the planner and every downstream
+        # join (the whole LCP descent) silently loses broadcast
+        # eligibility. Measured: 8x ExactSubstr descent 79 s -> 3 s
+        # on restoring honest stats (r10, with the then shift-join
+        # assembly whose estimates grew ~4th-power per round).
         part = O._persist(
             paired.withColumn("_bkt", bucket)
             .repartition(n_buckets, F.col("_bkt"))

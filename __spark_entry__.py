@@ -320,6 +320,91 @@ _DRIVER_WINDOW_PRIORITY = (
 )[:50]
 assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
 
+# Round-12 rotation, committed as CODE so a short round can't drop it:
+# the 50 STALEST driver-verified names at r12 start — computed from
+# CORRECTNESS_r01..r11 as max round with a green (err=None, rows_match)
+# row per name, ascending (round, name). This is the r3/r4-era tail the
+# r10/r11 rotations didn't reach: the fn_* function-surface family, the
+# io_* roundtrips, multimodal plumbing, events windows, and samplers.
+# At round-12 start the ONLY required edit is
+# _DRIVER_WINDOW_PRIORITY = _R12_CHANGED-leading merge below; swap any
+# r12-built/changed queries in at the top (first-time verification of
+# changed paths outranks re-verification of stale-but-untouched ones).
+_R12_WINDOW = [
+    # last driver-verified r2
+    "dedup_minhash_signatures",
+    # last driver-verified r3
+    "events_stream_tumbling",
+    "fn_approx_quantiles",
+    "fn_conditional_null_ops",
+    "fn_math_ops",
+    "fn_regex_ops",
+    "fn_struct_map_ops",
+    "fn_url_json_ops",
+    "group_fold_order_gaps",
+    "io_binary_roundtrip",
+    "io_csv_roundtrip",
+    "io_gz_lines_roundtrip",
+    "io_json_roundtrip",
+    "io_lines_one_glob_roundtrip",
+    "io_lines_roundtrip",
+    "io_orc_roundtrip",
+    "io_partitioned_pruned_scan",
+    "multimodal_audio_chunks",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize_meta",
+    "prefix_scan_running_min",
+    "rebalance_partitions",
+    "sample_exact_k",
+    "sample_exact_k_hypergeometric",
+    "similarity_ann_ivf",
+    "similarity_knn_join",
+    "sort_stable_priority",
+    "text_bpe_tokenize",
+    "text_chunk_overlap",
+    "text_minhash_containment",
+    "text_pii_redact",
+    "text_tfidf_pairs",
+    "text_unigram_rarity",
+    # last driver-verified r4
+    "dedup_cdc_chunks",
+    "events_json_props",
+    "events_sessionize",
+    "events_sliding_1h_30m",
+    "events_tumbling_hourly",
+    "fn_array_ops",
+    "fn_array_sort_comparator",
+    "fn_bitwise_hash_ops",
+    "fn_collect_aggs",
+    "fn_datetime_ops",
+    "fn_higher_order_array",
+    "fn_json_shred_nested",
+    "fn_map_higher_order",
+    "fn_percentiles_exact",
+    "fn_ranking_windows",
+    "fn_stats_exact",
+]
+assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
+
+# Queries whose CODE PATH changes in round 12 lead the window (same
+# discipline as _R11_CHANGED). Populated as r12 work lands: ReadLines
+# facade (codec/remote fallback + Concat _ord densification + batched
+# DataSource) re-verifies the io lines family; k-core/PageRank honest
+# return-frame changes re-verify those algorithm rows.
+_R12_CHANGED = [
+    "io_lines_roundtrip",
+    "io_lines_one_glob_roundtrip",
+    "io_gz_lines_roundtrip",
+    "k_core_orders",
+    "pagerank",
+]
+
+_DRIVER_WINDOW_PRIORITY = (
+    _R12_CHANGED + [n for n in _R12_WINDOW if n not in _R12_CHANGED]
+)[:50]
+assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
+
 
 def _ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Tolerate priority names that land later in the round; the window

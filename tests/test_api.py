@@ -212,3 +212,56 @@ def test_read_lines_glob_order_contract(ctx, tmp_path):
         got_by_splits.append(got)
     assert got_by_splits[0] == want
     assert got_by_splits[1] == want
+
+def test_read_lines_codec_fallback(ctx, tmp_path):
+    """r11 ADVICE (api.py:79): a .gz path must not be byte-split and
+    utf-8-decoded raw — ReadLines detects codec extensions and falls
+    back to the Hadoop text reader, including for mixed dirs."""
+    import gzip
+
+    gz = tmp_path / "x.txt.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("g1\ng2\n")
+    got = sorted(r["v"] for r in ctx.ReadLines(str(gz)).df.collect())
+    assert got == ["g1", "g2"]
+    (tmp_path / "p.txt").write_text("p1\n")
+    got = sorted(r["v"] for r in ctx.ReadLines(str(tmp_path)).df.collect())
+    assert got == ["g1", "g2", "p1"]
+
+
+def test_read_lines_empty_inputs(ctx, tmp_path):
+    """r11 ADVICE (linesource.py:77): an empty glob / empty-file input
+    returns an empty DIA instead of crashing at task time with the
+    glob string as a file path."""
+    assert ctx.ReadLines(str(tmp_path / "none*.txt")).df.count() == 0
+    (tmp_path / "e.txt").write_text("")
+    assert ctx.ReadLines(str(tmp_path / "e.txt")).df.count() == 0
+
+
+def test_read_lines_file_uri(ctx, tmp_path):
+    (tmp_path / "u.txt").write_text("u1\nu2\n")
+    got = sorted(
+        r["v"] for r in ctx.ReadLines("file://" + str(tmp_path / "u.txt")).df.collect()
+    )
+    assert got == ["u1", "u2"]
+
+
+def test_concat_densifies_mixed_ord_types(ctx, tmp_path):
+    """r11 ADVICE (api.py:94): ReadLines' struct(file_idx, offset)
+    _ord must union with Distribute/Generate's long _ord — Concat
+    densifies mixed key types to flat longs first."""
+    (tmp_path / "l.txt").write_text("r1\nr2\n")
+    lines = ctx.ReadLines(str(tmp_path / "l.txt"))
+    for dia, want in (
+        (lines.Concat(ctx.Distribute(["x", "y"])), ["r1", "r2", "x", "y"]),
+        (ctx.Distribute(["x", "y"]).Concat(lines), ["x", "y", "r1", "r2"]),
+        # 3 inputs, two long-_ord and one struct-_ord (same value type
+        # T=string throughout — Concat is DIA<T> ++ DIA<T>)
+        (
+            ctx.Distribute(["a"]).Concat(lines, ctx.Distribute(["z"])),
+            ["a", "r1", "r2", "z"],
+        ),
+    ):
+        rows = dia.ZipWithIndex().Gather()
+        got = [r["v"] for r in sorted(rows, key=lambda r: r["i"])]
+        assert [str(g) for g in got] == [str(w) for w in want]

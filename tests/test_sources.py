@@ -264,3 +264,53 @@ def test_thrill_lines_writer_sweep_is_job_scoped(spark):
     assert parts
     own_tmps = [f for f in names if f.startswith("._tmp-") and f != os.path.basename(foreign)]
     assert own_tmps == []  # this job's temps all renamed or swept
+
+
+def test_linesource_chunked_reader_boundaries(tmp_path):
+    """The r12 chunked scan (megabyte reads + arithmetic offsets) must
+    produce exactly the per-readline result for ANY chunk size / split
+    count: no torn, lost, or duplicated lines at chunk or range
+    boundaries, offsets identical to file positions."""
+    from thrill_spark.sources.linesource import ByteRangeLinesReader
+
+    lines = [f"line-{i:04d}" for i in range(500)]
+    pth = tmp_path / "f.txt"
+    pth.write_text("\n".join(lines) + "\n")
+    offsets = []
+    at = 0
+    for ln in lines:
+        offsets.append(at)
+        at += len(ln) + 1
+    for chunk in (1, 3, 16, 1 << 20):
+        for n_splits in (1, 5, 64):
+            r = ByteRangeLinesReader(
+                {"path": str(pth), "n_splits": str(n_splits)}
+            )
+            r._CHUNK_BYTES = chunk
+            r._BATCH_ROWS = 7
+            got = []
+            for part in r.partitions():
+                for b in r.read(part):
+                    got += list(
+                        zip(b.column(1).to_pylist(), b.column(2).to_pylist())
+                    )
+            got.sort()
+            assert [o for o, _ in got] == offsets, (chunk, n_splits)
+            assert [l for _, l in got] == lines, (chunk, n_splits)
+
+
+def test_linesource_unterminated_final_line(tmp_path):
+    from thrill_spark.sources.linesource import ByteRangeLinesReader
+
+    pth = tmp_path / "g.txt"
+    pth.write_text("aa\nb")  # no trailing newline
+    for chunk in (1, 2, 64):
+        r = ByteRangeLinesReader({"path": str(pth), "n_splits": "3"})
+        r._CHUNK_BYTES = chunk
+        got = sorted(
+            l
+            for part in r.partitions()
+            for b in r.read(part)
+            for l in b.column(2).to_pylist()
+        )
+        assert got == ["aa", "b"], chunk

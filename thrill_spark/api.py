@@ -70,17 +70,49 @@ class ThrillContext:
     EqualToDIA = Distribute
     ConcatToDIA = Distribute
 
+    # Extensions the byte-range DataSource must NOT serve raw: these
+    # streams need a codec (Hadoop's factory or the lzma pass in
+    # sources/io.py), and byte-splitting them yields garbage.
+    _CODEC_EXTS = (".gz", ".bz2", ".xz", ".zst", ".lz4", ".snappy",
+                   ".deflate", ".zip")
+
     def ReadLines(self, path: str, n_splits: int | None = None) -> "DIA":
         """ReadLines (thrill/api/read_lines.hpp:41): order = file order.
 
-        Served by the byte-range Python DataSource
-        (sources/linesource.py), whose (file_idx, offset) columns are a
-        DEFINED total order — sorted path order, then byte offset —
-        stable across any split count or multi-file glob. (The previous
-        monotonically_increasing_id order key was file order only as an
-        implementation accident: Spark packs text splits largest-first,
-        so partition ids do not follow file offsets across splits.)"""
-        from thrill_spark.sources.linesource import register
+        Local uncompressed paths are served by the byte-range Python
+        DataSource (sources/linesource.py), whose (file_idx, offset)
+        columns are a DEFINED total order — sorted path order, then
+        byte offset — stable across any split count or multi-file
+        glob. (The previous monotonically_increasing_id order key was
+        file order only as an implementation accident: Spark packs
+        text splits largest-first, so partition ids do not follow file
+        offsets across splits.)
+
+        Compressed inputs (.gz/.bz2/.xz/... — the codecs the
+        reference's vfs filter layer recognizes, vfs/file_io.cpp:48-50)
+        and non-local URIs (s3a://, hdfs://) fall back to the Hadoop
+        text reader via sources.io.read_lines: a compressed stream is
+        not byte-splittable and a remote path cannot be os.stat'd by
+        the Python source. There the order key is per-file monotonic —
+        codec streams are single-split per file, so this is still file
+        order for them."""
+        from thrill_spark.sources.linesource import _expand, register
+
+        p = str(path)
+        remote = "://" in p and not p.startswith("file:")
+        if not remote:
+            local = p[7:] if p.startswith("file://") else p
+            compressed = any(
+                f.endswith(self._CODEC_EXTS) for f in _expand(local)
+            )
+        if remote or compressed:
+            from thrill_spark.sources.io import read_lines
+
+            df = read_lines(self.spark, p).select(
+                F.col("line").alias(V),
+                F.monotonically_increasing_id().alias(ORD),
+            )
+            return DIA(df)
 
         register(self.spark)
         n = n_splits or self.spark.sparkContext.defaultParallelism
@@ -244,11 +276,31 @@ class DIA:
 
     def Concat(self, *others: "DIA") -> "DIA":
         """Order-preserving concat (thrill/api/concat.hpp:35): later
-        inputs order after earlier ones."""
-        out = self.df.select(V, F.struct(F.lit(0).alias("s"), F.col(ORD).alias("o")).alias(ORD))
-        for i, o in enumerate(others, start=1):
+        inputs order after earlier ones.
+
+        Inputs whose ``_ord`` key types differ (e.g. ReadLines'
+        (file_idx, offset) struct vs Generate's long) are each
+        densified to a flat long first — unionByName cannot union
+        heterogeneous struct columns (INCOMPATIBLE_COLUMN_TYPE)."""
+        dias: tuple[DIA, ...] = (self, *others)
+        if len({d.df.schema[ORD].dataType.simpleString() for d in dias}) > 1:
+            dias = tuple(
+                DIA(
+                    O.with_index(d.df, [ORD]).select(
+                        V, F.col(O.IDX).cast("long").alias(ORD)
+                    )
+                )
+                for d in dias
+            )
+        out = dias[0].df.select(
+            V, F.struct(F.lit(0).alias("s"), F.col(ORD).alias("o")).alias(ORD)
+        )
+        for i, d in enumerate(dias[1:], start=1):
             out = out.unionByName(
-                o.df.select(V, F.struct(F.lit(i).alias("s"), F.col(ORD).alias("o")).alias(ORD))
+                d.df.select(
+                    V,
+                    F.struct(F.lit(i).alias("s"), F.col(ORD).alias("o")).alias(ORD),
+                )
             )
         return DIA(out)
 

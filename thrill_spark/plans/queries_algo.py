@@ -1051,32 +1051,48 @@ _XS_L = 16
 _DOC_CHUNK = 4096
 
 
+def _chunk_for(offs: DataFrame) -> int:
+    """Chunk width for _label_doc, sized to the corpus: the join
+    intermediate is positions × (docs overlapping a chunk) ≈
+    positions × (chunk/avg_doc_len + 1), so a fixed 4096 inflates it
+    ~400× on a 10-char-doc corpus (r11 ADVICE). One scalar aggregate
+    pins chunk ≈ avg doc length (power of two, clamped to
+    [64, _DOC_CHUNK]) → ≈2× fanout for any document size mix. The
+    containment filter keeps results exact for ANY chunk width."""
+    row = offs.agg(F.avg("_len").alias("a")).first()
+    avg = int(row["a"]) if row and row["a"] else _DOC_CHUNK
+    return max(64, min(_DOC_CHUNK, 1 << max(0, int(avg) - 1).bit_length()))
+
+
 def _label_doc(posed: DataFrame, offs: DataFrame, pos_col: str = "pos") -> DataFrame:
     """Attach (doc_id, _off, _end) to every row holding a global
     character position — the doc-boundary range join done as a
     chunk-keyed EQUI-join: the offset table explodes to one row per
-    4096-char chunk it overlaps (~n/4096 rows total), positions key
-    on pos div 4096, and the containment filter picks the owning doc.
-    No broadcast of the per-doc table: at billions of documents a
-    broadcast range join dies on the driver, while this shape is a
-    plain linear equi-join (and at test scale the tiny spans side
-    still auto-broadcasts on its honest stats)."""
+    chunk it overlaps (~n/chunk rows total), positions key on
+    pos div chunk, and the containment filter picks the owning doc.
+    Chunk width ≈ avg doc length (_chunk_for) bounds the per-chunk
+    doc fanout at ~2× for tiny-document corpora. No broadcast of the
+    per-doc table: at billions of documents a broadcast range join
+    dies on the driver, while this shape is a plain linear equi-join
+    (and at test scale the tiny spans side still auto-broadcasts on
+    its honest stats)."""
+    chunk = _chunk_for(offs)
     spans = offs.filter(F.col("_len") > 0).select(
         "doc_id",
         "_off",
         (F.col("_off") + F.col("_len")).alias("_end"),
         F.explode(
             F.sequence(
-                F.floor(F.col("_off") / _DOC_CHUNK).cast("long"),
+                F.floor(F.col("_off") / chunk).cast("long"),
                 F.floor(
-                    (F.col("_off") + F.col("_len") - 1) / _DOC_CHUNK
+                    (F.col("_off") + F.col("_len") - 1) / chunk
                 ).cast("long"),
             )
         ).alias("_chk"),
     )
     return (
         posed.withColumn(
-            "_chk", F.floor(F.col(pos_col) / _DOC_CHUNK).cast("long")
+            "_chk", F.floor(F.col(pos_col) / chunk).cast("long")
         )
         .join(spans, "_chk")
         .filter(
@@ -1315,8 +1331,9 @@ def q_exact_substr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline: generalized-SA islands -> >=2-doc islands' members
     explode to covered GLOBAL offsets (dup-only subset x constant L)
     -> anti-join the distributed char table -> label survivors by doc
-    via the broadcast 64-row bounds range-join -> per-doc ordered
-    splice + md5. The per-doc assembly groups O(doc_len) char rows —
+    via the chunk-keyed equi-join (_label_doc: positions and doc
+    spans meet on 4096-char chunk keys, then a containment filter)
+    -> per-doc ordered splice + md5. The per-doc assembly groups O(doc_len) char rows —
     bounded by the corpus' max document size, the same per-record
     unit the reference cleaner holds in memory; everything upstream
     stays keyed and distributed.

@@ -39,6 +39,10 @@ def _expand(path: str) -> list[str]:
     input files in path order)."""
     import glob as _glob
 
+    if path.startswith("file://"):
+        path = path[7:]
+    elif path.startswith("file:"):
+        path = path[5:]
     if os.path.isdir(path):
         names = [
             os.path.join(path, f)
@@ -74,13 +78,47 @@ class ByteRangeLinesReader(DataSourceReader):
             while at < size:
                 ranges.append(_Range(f, fi, at, min(at + step, size)))
                 at += step
-        return ranges or [_Range(self.path, 0, 0, 0)]
+        if ranges:
+            return ranges
+        # Nothing matched (empty glob/dir) or only empty files: one
+        # empty range against a REAL file if any exists — never the
+        # raw glob/dir string, which would crash open() at task time.
+        return [_Range(files[0], 0, 0, 0)] if files else []
+
+    # Lines per Arrow batch and bytes per file read on the read path.
+    # The r11 version looped readline()/tell() per line and yielded
+    # one Python tuple each — at 100 TB that per-line Python overhead
+    # dominates the scan. This version reads megabyte chunks, splits
+    # on \n with offsets tracked arithmetically (no per-line
+    # syscalls), and yields Arrow RecordBatches — same exact
+    # (file_idx, offset) ordering contract, near-Arrow throughput.
+    _BATCH_ROWS = 8192
+    _CHUNK_BYTES = 1 << 20
 
     def read(self, partition):
+        import pyarrow as pa
+
         p = partition
+        # partitions() == [] makes Spark invoke read(None) once; an
+        # all-empty input also reaches here as a zero-width range
+        if p is None or p.begin >= p.end:
+            return
+
+        def _batch(offs, lines):
+            return pa.record_batch(
+                [
+                    pa.array([p.file_idx] * len(offs), pa.int64()),
+                    pa.array(offs, pa.int64()),
+                    pa.array(lines, pa.string()),
+                ],
+                names=["file_idx", "offset", "line"],
+            )
+
+        offs: list[int] = []
+        lines: list[str] = []
         with open(p.path, "rb") as f:
             if p.begin == 0:
-                f.seek(0)
+                pos = 0
             else:
                 # seek one byte back and discard through that line's
                 # newline: if byte begin-1 IS the newline, this consumes
@@ -89,17 +127,37 @@ class ByteRangeLinesReader(DataSourceReader):
                 # previous range's read-through) is skipped
                 f.seek(p.begin - 1)
                 f.readline()
-            while True:
                 pos = f.tell()
-                # a line is ours iff it STARTS in [begin, end); one
-                # starting before `end` is read through even if it
-                # extends past it (read_lines.hpp semantics)
-                if pos >= p.end:
+            if pos >= p.end:
+                return
+            # `buf` holds the partial line at the chunk boundary; `pos`
+            # is the file offset of its first byte. A line is ours iff
+            # it STARTS in [begin, end); one starting before `end` is
+            # read through even past it (read_lines.hpp semantics).
+            buf = b""
+            done = False
+            while not done:
+                chunk = f.read(self._CHUNK_BYTES)
+                if not chunk:
+                    # EOF: an unterminated final line is still a line
+                    if buf and pos < p.end:
+                        offs.append(pos)
+                        lines.append(buf.decode("utf-8"))
                     break
-                raw = f.readline()
-                if not raw:
-                    break
-                yield (p.file_idx, pos, raw.rstrip(b"\n").decode("utf-8"))
+                parts = (buf + chunk).split(b"\n")
+                buf = parts.pop()
+                for part in parts:
+                    if pos >= p.end:
+                        done = True
+                        break
+                    offs.append(pos)
+                    lines.append(part.decode("utf-8"))
+                    pos += len(part) + 1
+                if len(lines) >= self._BATCH_ROWS:
+                    yield _batch(offs, lines)
+                    offs, lines = [], []
+        if lines:
+            yield _batch(offs, lines)
 
 
 class ByteRangeLinesDataSource(DataSource):

@@ -986,38 +986,44 @@ def k_core(
     edges = _honest_ckpt(
         edges.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct()
     )
-    nodes = _honest_ckpt(
-        edges.select(F.col("u").alias("n"))
-        .unionByName(edges.select(F.col("v").alias("n")))
-        .distinct()
-    )
-    prev = nodes.count()
+    # No materialized node set up front: every node IS an edge endpoint,
+    # so round 0's edge restriction is a no-op and the initial
+    # distinct+count job is pure overhead. The fixpoint certificate is
+    # consecutive equal survivor counts (the set only shrinks, so equal
+    # counts ⇒ equal sets); an already-k-core graph pays one extra
+    # (identical) round, every other graph runs the same rounds minus
+    # the entry jobs.
+    nodes = None
+    prev = None
     for i in range(max_iters):
-        ee = edges.join(
-            nodes.select(F.col("n").alias("u")), "u"
-        ).join(nodes.select(F.col("n").alias("v")), "v")
+        ee = (
+            edges
+            if nodes is None
+            else edges.join(
+                nodes.select(F.col("n").alias("u")), "u"
+            ).join(nodes.select(F.col("n").alias("v")), "v")
+        )
         deg = (
             ee.select(F.col("u").alias("n"))
             .unionByName(ee.select(F.col("v").alias("n")))
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        nxt = _loop_ckpt(deg.filter(F.col("d") >= k).select("n"), i)
+        # carry (n, d), not just n: at fixpoint this round's edge set
+        # already IS the core (nodes stopped shrinking), so the d >= k
+        # rows ARE (node, core_deg) — returning the converged round's
+        # checkpointed frame skips rebuilding the double join + degree
+        # re-aggregation the r11 version paid at the boundary
+        nxt = _loop_ckpt(deg.filter(F.col("d") >= k), i)
         c = nxt.count()
-        nodes = nxt
-        if c == prev:
-            ee_final = edges.join(
-                nodes.select(F.col("n").alias("u")), "u"
-            ).join(nodes.select(F.col("n").alias("v")), "v")
-            # honest-checkpoint the RETURN frame too: its plan holds
-            # two joins whose sizeInBytes estimate is a byte PRODUCT,
-            # so a consumer joining the core against a big table would
-            # otherwise lose broadcast eligibility
+        nodes = nxt.select("n")
+        if prev is not None and c == prev:
+            # honest-checkpoint the RETURN frame (consumer boundary,
+            # tests/test_stats_honesty.py)
             return _honest_ckpt(
-                ee_final.select(F.col("u").alias("node"))
-                .unionByName(ee_final.select(F.col("v").alias("node")))
-                .groupBy("node")
-                .agg(F.count(F.lit(1)).alias("core_deg"))
+                nxt.select(
+                    F.col("n").alias("node"), F.col("d").alias("core_deg")
+                )
             )
         prev = c
     raise RuntimeError(f"k_core: no fixpoint within {max_iters} rounds")

@@ -83,19 +83,29 @@ def pagerank(
     edges_deg = edges.join(out_deg, on=src).select(
         F.col(src).alias("node"), F.col(dst).alias("to"), "deg"
     ).cache()
+    pending: list[DataFrame] = []
     for i in range(iterations):
+        # rollup, not groupBy: the grand-total row IS the linked-rank
+        # sum (Σ_edges rank/deg = Σ_{src with outdeg} rank), so the
+        # dangling-mass scalar rides this aggregation instead of a
+        # separate ranks⋈out_deg job per iteration (r11 VERDICT #7 —
+        # one fewer stage barrier per round). grouping() tells the
+        # total row apart from any real NULL node group.
         contribs = (
             edges_deg.join(ranks, on="node")
             .select(F.col("to").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("contrib"))
+            .rollup("node")
+            .agg(F.sum("c").alias("contrib"), F.grouping("node").alias("_g"))
+            .persist()
         )
-        total_linked = ranks.join(out_deg, ranks.node == out_deg[src], "inner").agg(
-            F.sum("rank")
-        ).first()[0] or 0.0
+        pending.append(contribs)
+        total_linked = (
+            contribs.filter(F.col("_g") == 1).first()["contrib"] or 0.0
+        )
         dangling = 1.0 - total_linked
+        per_node = contribs.filter(F.col("_g") == 0).drop("_g")
         ranks = (
-            nodes.join(contribs, on="node", how="left")
+            nodes.join(per_node, on="node", how="left")
             .select(
                 "node",
                 (
@@ -105,9 +115,14 @@ def pagerank(
             )
         )
         # Collapse: cut iterative lineage; also on the LAST iteration
-        # so the returned frame reports honest stats to consumers
+        # so the returned frame reports honest stats to consumers.
+        # Once ranks is materialized the cached contribs feeding its
+        # lineage can be freed.
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
             ranks = _honest_ckpt(ranks)
+            for p in pending:
+                p.unpersist()
+            pending = []
     return ranks
 
 

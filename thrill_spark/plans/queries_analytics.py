@@ -503,6 +503,10 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _FM_PATTERNS = ("sort", "batch", "row", "the")
 _FM_SENTINEL = "\x01"  # unique terminator, never in the (lowercased) text
+# Suffix-array rank-ladder step for the FM family (4 = quadrupling,
+# 8 = octupling). r12 pinned min-of-5 A/B at sf0.1 and heavy K=4
+# (BENCH_NOTES "Round-12 octupling A/B") keeps the winner here.
+_FM_SA_STEP = 8
 
 def _has_border(p: str) -> bool:
     """True if p has a proper prefix that is also a suffix (a border).
@@ -584,8 +588,9 @@ def fm_backward_ranges(
     # ranks — no LCP levels — and cutting the number of sequential
     # rank rounds to log8 wins whenever round setup dominates, which
     # holds both here and on a real cluster (each round is a full
-    # stage barrier).
-    ranked = A.suffix_array(chars, n1, step=8)
+    # stage barrier). Step pinned by _FM_SA_STEP (module constant) so
+    # the r12 A/B harness measures 4 vs 8 on identical code.
+    ranked = A.suffix_array(chars, n1, step=_FM_SA_STEP)
     prev = chars.select((F.col("pos") + 1).alias("pos"), F.col("ch").alias("_prev"))
     bwt = (
         ranked.join(prev, "pos", "left")

@@ -405,6 +405,69 @@ _DRIVER_WINDOW_PRIORITY = (
 )[:50]
 assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
 
+# Round-13 rotation, PRE-STAGED as code (the r8/r10 discipline — a
+# short or zero-turn round must not drop the cadence): the 50 stalest
+# names assuming the r12 window verifies — the r4 remainder (the full
+# 22-query TPC-H suite, string/window fn_* tail, samplers) and the
+# oldest r6 names. At round-13 start the ONLY required edit is
+# _DRIVER_WINDOW_PRIORITY = <r13-changed names> + _R13_WINDOW fill,
+# recomputed against CORRECTNESS_r12 if the r12 gate differed.
+_R13_WINDOW = [
+    # last driver-verified r4
+    "fn_ranking_windows",
+    "fn_stats_exact",
+    "fn_string_distance",
+    "fn_string_ops",
+    "fn_weighted_median",
+    "fn_window_frames",
+    "io_bz2_lines_roundtrip",
+    "io_lines_sized_roundtrip",
+    "kth_statistic",
+    "logreg_sgd_planted",
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipments",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_stock_suppliers",
+    "tpch_q21_waiting_orders",
+    "tpch_q22_global_sales_opportunity",
+    "triangle_count",
+    # last driver-verified r6
+    "corpus_dataset_card",
+    "corpus_decontaminate_substring",
+    "corpus_dsir_select",
+    "corpus_epoch_shuffles",
+    "corpus_pack_greedy",
+    "corpus_quota_apportionment",
+    "corpus_span_corruption",
+    "corpus_temperature_mix",
+    "dedup_fuzzy_levenshtein",
+    "dedup_ngram_cover",
+    "dedup_simhash_hamming",
+    "events_ab_experiment",
+    "events_anomaly_mad",
+    "events_attribution_first_touch",
+    "events_attribution_last_touch",
+    "events_attribution_linear",
+    "events_burst_detection",
+]
+assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
+
 
 def _ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Tolerate priority names that land later in the round; the window

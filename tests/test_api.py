@@ -265,3 +265,17 @@ def test_concat_densifies_mixed_ord_types(ctx, tmp_path):
         rows = dia.ZipWithIndex().Gather()
         got = [r["v"] for r in sorted(rows, key=lambda r: r["i"])]
         assert [str(g) for g in got] == [str(w) for w in want]
+
+
+def test_union_densifies_mixed_ord_types(ctx, tmp_path):
+    """Union (and Merge, which builds on it) must accept the same
+    mixed _ord key types Concat does."""
+    (tmp_path / "m.txt").write_text("5\n1\n")
+    lines = ctx.ReadLines(str(tmp_path / "m.txt")).Map(
+        lambda v: v.cast("long")
+    )
+    u = lines.Union(ctx.Distribute([3, 2]))
+    assert sorted(u.Gather()) == [1, 2, 3, 5]
+    m = lines.Sort().Merge(ctx.Distribute([2, 3]).Sort(), key=lambda v: v)
+    got = [r["v"] for r in sorted(m.ZipWithIndex().Gather(), key=lambda r: r["i"])]
+    assert got == [1, 2, 3, 5]

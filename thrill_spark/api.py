@@ -155,6 +155,24 @@ def _struct_depth(dt) -> int:
     return 0
 
 
+def _align_ord(dias: "tuple[DIA, ...]") -> "tuple[DIA, ...]":
+    """Union compatibility for positional ops: inputs whose ``_ord``
+    key types differ (e.g. ReadLines' (file_idx, offset) struct vs
+    Generate's long) are each densified to a flat long —
+    unionByName cannot union heterogeneous struct columns
+    (INCOMPATIBLE_COLUMN_TYPE)."""
+    if len({d.df.schema[ORD].dataType.simpleString() for d in dias}) <= 1:
+        return dias
+    return tuple(
+        DIA(
+            O.with_index(d.df, [ORD]).select(
+                V, F.col(O.IDX).cast("long").alias(ORD)
+            )
+        )
+        for d in dias
+    )
+
+
 class DIA:
     """DIA<T> analogue (thrill/api/dia.hpp:127-141): immutable, lazy,
     ordered. Wraps (v, _ord). The order key self-densifies past
@@ -190,8 +208,9 @@ class DIA:
 
     def Union(self, *others: "DIA") -> "DIA":
         """Bag union, arbitrary order (thrill/api/union.hpp:53)."""
-        out = self.df
-        for o in others:
+        dias = _align_ord((self, *others))
+        out = dias[0].df
+        for o in dias[1:]:
             out = out.unionByName(o.df)
         return DIA(out)
 
@@ -278,20 +297,8 @@ class DIA:
         """Order-preserving concat (thrill/api/concat.hpp:35): later
         inputs order after earlier ones.
 
-        Inputs whose ``_ord`` key types differ (e.g. ReadLines'
-        (file_idx, offset) struct vs Generate's long) are each
-        densified to a flat long first — unionByName cannot union
-        heterogeneous struct columns (INCOMPATIBLE_COLUMN_TYPE)."""
-        dias: tuple[DIA, ...] = (self, *others)
-        if len({d.df.schema[ORD].dataType.simpleString() for d in dias}) > 1:
-            dias = tuple(
-                DIA(
-                    O.with_index(d.df, [ORD]).select(
-                        V, F.col(O.IDX).cast("long").alias(ORD)
-                    )
-                )
-                for d in dias
-            )
+        Mixed ``_ord`` key types densify via _align_ord first."""
+        dias = _align_ord((self, *others))
         out = dias[0].df.select(
             V, F.struct(F.lit(0).alias("s"), F.col(ORD).alias("o")).alias(ORD)
         )

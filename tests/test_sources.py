@@ -314,3 +314,24 @@ def test_linesource_unterminated_final_line(tmp_path):
             for l in b.column(2).to_pylist()
         )
         assert got == ["aa", "b"], chunk
+
+
+def test_linesource_crlf_matches_hadoop_semantics(tmp_path):
+    """CRLF files must yield identical lines on the byte-range path
+    and the Hadoop-codec fallback path (r12): \\r\\n is one
+    terminator, the \\r is never content; interior \\r chars are."""
+    from thrill_spark.sources.linesource import ByteRangeLinesReader
+
+    pth = tmp_path / "crlf.txt"
+    pth.write_bytes(b"a\r\nb\rc\r\nplain\n")
+    for chunk in (1, 4, 64):
+        r = ByteRangeLinesReader({"path": str(pth), "n_splits": "2"})
+        r._CHUNK_BYTES = chunk
+        got = [
+            (o, l)
+            for part in r.partitions()
+            for b in r.read(part)
+            for o, l in zip(b.column(1).to_pylist(), b.column(2).to_pylist())
+        ]
+        got.sort()
+        assert [l for _, l in got] == ["a", "b\rc", "plain"], chunk

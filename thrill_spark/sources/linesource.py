@@ -151,7 +151,14 @@ class ByteRangeLinesReader(DataSourceReader):
                         done = True
                         break
                     offs.append(pos)
-                    lines.append(part.decode("utf-8"))
+                    # Hadoop LineRecordReader CRLF semantics (matching
+                    # the spark.read.text codec-fallback path): \r\n is
+                    # one terminator, the \r is never line content
+                    lines.append(
+                        (part[:-1] if part.endswith(b"\r") else part).decode(
+                            "utf-8"
+                        )
+                    )
                     pos += len(part) + 1
                 if len(lines) >= self._BATCH_ROWS:
                     yield _batch(offs, lines)

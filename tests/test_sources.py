@@ -335,3 +335,57 @@ def test_linesource_crlf_matches_hadoop_semantics(tmp_path):
         ]
         got.sort()
         assert [l for _, l in got] == ["a", "b\rc", "plain"], chunk
+
+
+def test_linesource_property_random_corpora(tmp_path):
+    """Property check: for random line content (incl. \\r, unicode,
+    empty lines, missing trailing newline), any (chunk, n_splits)
+    combination reproduces the naive single-pass read exactly."""
+    import os as _os
+
+    from hypothesis import given, settings, strategies as st
+
+    from thrill_spark.sources.linesource import ByteRangeLinesReader
+
+    alphabet = st.sampled_from(list("ab \ré世"))
+    lines_st = st.lists(st.text(alphabet=alphabet, max_size=12), max_size=20)
+
+    counter = [0]
+
+    @settings(max_examples=60, deadline=None)
+    @given(lines=lines_st, trailing=st.booleans(),
+           chunk=st.integers(1, 48), n_splits=st.integers(1, 9))
+    def check(lines, trailing, chunk, n_splits):
+        # a line containing \n is impossible by construction; interior
+        # \r is legal content, a trailing \r before the terminator is
+        # stripped (Hadoop CRLF semantics)
+        body = "\n".join(lines) + ("\n" if trailing and lines else "")
+        counter[0] += 1
+        pth = tmp_path / f"prop-{counter[0]}.txt"
+        pth.write_bytes(body.encode("utf-8"))
+        raw = body.encode("utf-8").split(b"\n")
+        terminated = [True] * (len(raw) - 1) + [False]
+        if raw and raw[-1] == b"":
+            raw.pop()
+            terminated.pop()
+        # the \r strip applies to \n-TERMINATED lines only (CRLF
+        # pairs); an unterminated EOF line keeps a trailing \r
+        want = [
+            (p[:-1] if t and p.endswith(b"\r") else p).decode("utf-8")
+            for p, t in zip(raw, terminated)
+        ]
+        r = ByteRangeLinesReader(
+            {"path": str(pth), "n_splits": str(n_splits)}
+        )
+        r._CHUNK_BYTES = chunk
+        r._BATCH_ROWS = 5
+        got = sorted(
+            (o, l)
+            for part in r.partitions()
+            for b in r.read(part)
+            for o, l in zip(b.column(1).to_pylist(), b.column(2).to_pylist())
+        )
+        assert [l for _, l in got] == want
+        _os.remove(pth)
+
+    check()

@@ -213,20 +213,55 @@ def test_read_lines_glob_order_contract(ctx, tmp_path):
     assert got_by_splits[0] == want
     assert got_by_splits[1] == want
 
-def test_read_lines_codec_fallback(ctx, tmp_path):
+def test_read_lines_codec_paths(ctx, tmp_path):
     """r11 ADVICE (api.py:79): a .gz path must not be byte-split and
-    utf-8-decoded raw — ReadLines detects codec extensions and falls
-    back to the Hadoop text reader, including for mixed dirs."""
+    utf-8-decoded raw. r12: gz/bz2/xz decode INSIDE the byte-range
+    DataSource (stdlib codecs, one partition per file, decompressed-
+    stream offsets), so the defined (file_idx, offset) order holds
+    for codec and mixed dirs too — including when file sizes would
+    make Spark's largest-first split packing reorder them."""
+    import bz2
     import gzip
+    import lzma
 
-    gz = tmp_path / "x.txt.gz"
-    with gzip.open(gz, "wt") as f:
-        f.write("g1\ng2\n")
-    got = sorted(r["v"] for r in ctx.ReadLines(str(gz)).df.collect())
-    assert got == ["g1", "g2"]
-    (tmp_path / "p.txt").write_text("p1\n")
-    got = sorted(r["v"] for r in ctx.ReadLines(str(tmp_path)).df.collect())
-    assert got == ["g1", "g2", "p1"]
+    # b.txt.gz is much larger than a.txt.gz: a monotonic-id order
+    # would follow size-packing, the contract requires path order
+    with gzip.open(tmp_path / "a.txt.gz", "wt") as f:
+        f.write("a1\na2\n")
+    with gzip.open(tmp_path / "b.txt.gz", "wt") as f:
+        f.write("\n".join(f"b{i}" for i in range(5000)) + "\n")
+    with bz2.open(tmp_path / "c.txt.bz2", "wt") as f:
+        f.write("c1\n")
+    with lzma.open(tmp_path / "d.txt.xz", "wt") as f:
+        f.write("d1\n")
+    (tmp_path / "e.txt").write_text("e1\n")
+    rows = ctx.ReadLines(str(tmp_path), n_splits=6).ZipWithIndex().Gather()
+    got = [r["v"] for r in sorted(rows, key=lambda r: r["i"])]
+    want = (
+        ["a1", "a2"]
+        + [f"b{i}" for i in range(5000)]
+        + ["c1", "d1", "e1"]
+    )
+    assert got == want
+
+
+def test_read_lines_non_stdlib_codec_falls_back(ctx, tmp_path, monkeypatch):
+    """Extensions with no stdlib decoder (.zst/...) must route to the
+    Hadoop text reader, not the byte-range source."""
+    import thrill_spark.sources.io as IO
+
+    called = {}
+    real = IO.read_lines
+
+    def spy(spark, path, name="line"):
+        called["path"] = path
+        return real(spark, str(tmp_path / "plain.txt"), name)
+
+    (tmp_path / "plain.txt").write_text("z1\n")
+    (tmp_path / "x.txt.zst").write_bytes(b"\x28\xb5\x2f\xfd")
+    monkeypatch.setattr(IO, "read_lines", spy)
+    got = [r["v"] for r in ctx.ReadLines(str(tmp_path / "x.txt.zst")).df.collect()]
+    assert got == ["z1"] and called["path"].endswith(".zst")
 
 
 def test_read_lines_empty_inputs(ctx, tmp_path):

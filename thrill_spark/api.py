@@ -70,32 +70,32 @@ class ThrillContext:
     EqualToDIA = Distribute
     ConcatToDIA = Distribute
 
-    # Extensions the byte-range DataSource must NOT serve raw: these
-    # streams need a codec (Hadoop's factory or the lzma pass in
-    # sources/io.py), and byte-splitting them yields garbage.
-    _CODEC_EXTS = (".gz", ".bz2", ".xz", ".zst", ".lz4", ".snappy",
-                   ".deflate", ".zip")
+    # Extensions the byte-range DataSource cannot serve: codecs with
+    # no Python-stdlib decoder (gz/bz2/xz ARE stdlib-decoded in the
+    # source itself — see linesource._CODEC_EXTS). These need Hadoop's
+    # codec factory; byte-splitting them raw yields garbage.
+    _FALLBACK_EXTS = (".zst", ".lz4", ".snappy", ".deflate", ".zip")
 
     def ReadLines(self, path: str, n_splits: int | None = None) -> "DIA":
         """ReadLines (thrill/api/read_lines.hpp:41): order = file order.
 
-        Local uncompressed paths are served by the byte-range Python
+        Local paths — plain or gz/bz2/xz-compressed (the codecs the
+        reference's vfs filter layer recognizes,
+        vfs/file_io.cpp:48-50) — are served by the byte-range Python
         DataSource (sources/linesource.py), whose (file_idx, offset)
         columns are a DEFINED total order — sorted path order, then
-        byte offset — stable across any split count or multi-file
-        glob. (The previous monotonically_increasing_id order key was
+        (decompressed) byte offset — stable across any split count or
+        multi-file glob. (A monotonically_increasing_id order key is
         file order only as an implementation accident: Spark packs
         text splits largest-first, so partition ids do not follow file
         offsets across splits.)
 
-        Compressed inputs (.gz/.bz2/.xz/... — the codecs the
-        reference's vfs filter layer recognizes, vfs/file_io.cpp:48-50)
-        and non-local URIs (s3a://, hdfs://) fall back to the Hadoop
-        text reader via sources.io.read_lines: a compressed stream is
-        not byte-splittable and a remote path cannot be os.stat'd by
+        Non-stdlib codec extensions and non-local URIs (s3a://,
+        hdfs://) fall back to the Hadoop text reader via
+        sources.io.read_lines: a remote path cannot be os.stat'd by
         the Python source. There the order key is per-file monotonic —
         codec streams are single-split per file, so this is still file
-        order for them."""
+        order within each file."""
         from thrill_spark.sources.linesource import _expand, register
 
         p = str(path)
@@ -103,7 +103,7 @@ class ThrillContext:
         if not remote:
             local = p[7:] if p.startswith("file://") else p
             compressed = any(
-                f.endswith(self._CODEC_EXTS) for f in _expand(local)
+                f.endswith(self._FALLBACK_EXTS) for f in _expand(local)
             )
         if remote or compressed:
             from thrill_spark.sources.io import read_lines

@@ -59,6 +59,32 @@ def _expand(path: str) -> list[str]:
     return [path]
 
 
+# Stdlib-served codecs: a compressed stream is not byte-splittable, so
+# each such file is ONE partition (exactly Hadoop's behavior for
+# non-splittable codecs) decoded in read(); offsets are positions in
+# the DECOMPRESSED stream, so the (file_idx, offset) ordering contract
+# holds for codec inputs too — the vfs filter layer the reference
+# recognizes (gzip/bzip2/xz, thrill/vfs/file_io.cpp:48-50).
+_CODEC_EXTS = (".gz", ".bz2", ".xz")
+
+
+def _codec_open(path: str):
+    """Decompressing binary reader for a codec path, else None."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rb")
+    if path.endswith(".bz2"):
+        import bz2
+
+        return bz2.open(path, "rb")
+    if path.endswith(".xz"):
+        import lzma
+
+        return lzma.open(path, "rb")
+    return None
+
+
 class ByteRangeLinesReader(DataSourceReader):
     def __init__(self, options):
         self.path = options["path"]
@@ -73,6 +99,11 @@ class ByteRangeLinesReader(DataSourceReader):
         step = max(1, (total + n - 1) // n)
         ranges = []
         for fi, f in enumerate(files):
+            if f.endswith(_CODEC_EXTS):
+                # whole decompressed stream; end=-1 is the sentinel
+                if os.path.getsize(f) > 0:
+                    ranges.append(_Range(f, fi, 0, -1))
+                continue
             size = os.path.getsize(f)
             at = 0
             while at < size:
@@ -100,8 +131,10 @@ class ByteRangeLinesReader(DataSourceReader):
 
         p = partition
         # partitions() == [] makes Spark invoke read(None) once; an
-        # all-empty input also reaches here as a zero-width range
-        if p is None or p.begin >= p.end:
+        # all-empty input also reaches here as a zero-width range.
+        # end < 0 marks a whole-stream codec partition (see _CODEC_EXTS)
+        whole = p is not None and p.end < 0
+        if p is None or (not whole and p.begin >= p.end):
             return
 
         def _batch(offs, lines):
@@ -116,8 +149,9 @@ class ByteRangeLinesReader(DataSourceReader):
 
         offs: list[int] = []
         lines: list[str] = []
-        with open(p.path, "rb") as f:
-            if p.begin == 0:
+        end = float("inf") if whole else p.end
+        with (_codec_open(p.path) if whole else open(p.path, "rb")) as f:
+            if whole or p.begin == 0:
                 pos = 0
             else:
                 # seek one byte back and discard through that line's
@@ -128,7 +162,7 @@ class ByteRangeLinesReader(DataSourceReader):
                 f.seek(p.begin - 1)
                 f.readline()
                 pos = f.tell()
-            if pos >= p.end:
+            if pos >= end:
                 return
             # `buf` holds the partial line at the chunk boundary; `pos`
             # is the file offset of its first byte. A line is ours iff
@@ -140,14 +174,14 @@ class ByteRangeLinesReader(DataSourceReader):
                 chunk = f.read(self._CHUNK_BYTES)
                 if not chunk:
                     # EOF: an unterminated final line is still a line
-                    if buf and pos < p.end:
+                    if buf and pos < end:
                         offs.append(pos)
                         lines.append(buf.decode("utf-8"))
                     break
                 parts = (buf + chunk).split(b"\n")
                 buf = parts.pop()
                 for part in parts:
-                    if pos >= p.end:
+                    if pos >= end:
                         done = True
                         break
                     offs.append(pos)

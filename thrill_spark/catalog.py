@@ -31,6 +31,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def scratch_dir(spark: SparkSession, tag: str) -> str:
+    """Session-scoped scratch path for write-then-read-back queries.
+
+    The pre-r12 fixed paths (/tmp/thrill_spark_<tag>) collided across
+    concurrent sessions: two processes running the same roundtrip
+    query (e.g. a validation sweep next to the test suite) raced each
+    other's overwrite, and with different sf_dirs one could read the
+    other's output as a silent row-count MISMATCH. Scoping by
+    applicationId makes each Spark session's scratch private while
+    staying stable within the session (bench re-runs overwrite their
+    own files)."""
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    return os.path.join(
+        tempfile.gettempdir(), f"thrill_spark_scratch-{app}", tag
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS). Depending on the Spark

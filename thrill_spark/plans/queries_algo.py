@@ -5,12 +5,11 @@ round-trips, as driver-checkable queries."""
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from thrill_spark.catalog import load_table
+from thrill_spark.catalog import load_table, scratch_dir
 from thrill_spark.plans import algorithms as A
 from thrill_spark.plans.queries import query
 from thrill_spark.sources import io as IO
@@ -160,7 +159,7 @@ def q_kth(spark: SparkSession, sf_dir: str) -> DataFrame:
 )  # fixture text has no embedded newlines, so line count == row count
 def q_io_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(F.col("text").alias("line"))
-    out = os.path.join(tempfile.gettempdir(), "thrill_spark_lines")
+    out = scratch_dir(spark, "lines")
     IO.write_lines(docs, out)
     back = IO.read_lines(spark, out)
     return back.agg(F.count("*").alias("n_lines"))
@@ -173,7 +172,7 @@ def q_io_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_io_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.gettempdir(), "thrill_spark_binary")
+    out = scratch_dir(spark, "binary")
     IO.write_binary(orders, out)
     back = IO.read_binary(spark, out)
     return back.agg(
@@ -245,7 +244,7 @@ def q_io_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV round-trip must preserve longs, doubles (shortest-repr),
     timestamps, and strings exactly."""
     orders = load_table(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.gettempdir(), "thrill_spark_csv")
+    out = scratch_dir(spark, "csv")
     IO.write_csv(orders, out)
     back = IO.read_csv(spark, out, orders.schema)
     return back.groupBy("o_orderstatus").agg(
@@ -271,7 +270,7 @@ def q_io_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice"
     )
-    out = os.path.join(tempfile.gettempdir(), "thrill_spark_orc")
+    out = scratch_dir(spark, "orc")
     IO.write_orc(li, out)
     back = IO.read_orc(spark, out)
     return back.groupBy("l_returnflag").agg(
@@ -292,7 +291,7 @@ def q_io_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
-    out = os.path.join(tempfile.gettempdir(), "thrill_spark_json")
+    out = scratch_dir(spark, "json")
     IO.write_json(ev, out)
     back = IO.read_json(spark, out, ev.schema)
     return back.groupBy("event_type").agg(
@@ -314,7 +313,7 @@ def q_io_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition filter: the scan lists only the matching directory
     (PartitionFilters — asserted in tests/test_sources.py)."""
     li = load_table(spark, sf_dir, "lineitem")
-    out = os.path.join(tempfile.gettempdir(), "thrill_spark_part")
+    out = scratch_dir(spark, "part")
     IO.write_partitioned(li, out, ["l_returnflag"])
     back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
     return back.groupBy("l_linestatus").agg(
@@ -337,7 +336,7 @@ def q_io_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_io_gz_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(F.col("text").alias("line"))
-    out = os.path.join(tempfile.gettempdir(), "thrill_spark_gz_lines")
+    out = scratch_dir(spark, "gz_lines")
     (
         docs.select(F.col("line").cast("string").alias("value"))
         .write.mode("overwrite")
@@ -365,7 +364,7 @@ def q_io_gz_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_io_bz2_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(F.col("text").alias("line"))
-    out = os.path.join(tempfile.gettempdir(), "thrill_spark_bz2_lines")
+    out = scratch_dir(spark, "bz2_lines")
     (
         docs.select(F.col("line").cast("string").alias("value"))
         .write.mode("overwrite")
@@ -401,7 +400,7 @@ def q_io_xz_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     linesource.register(spark)
     docs = load_table(spark, sf_dir, "documents").select(F.col("text").alias("line"))
-    out = os.path.join(tempfile.gettempdir(), "thrill_spark_xz_lines")
+    out = scratch_dir(spark, "xz_lines")
     shutil.rmtree(out, ignore_errors=True)
     (
         docs.write.format("thrill_lines")
@@ -440,7 +439,7 @@ def q_io_mixed_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     linesource.register(spark)
     docs = load_table(spark, sf_dir, "documents")
-    out = os.path.join(tempfile.gettempdir(), "thrill_spark_mixed_codec")
+    out = scratch_dir(spark, "mixed_codec")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     staging = {}
@@ -496,7 +495,7 @@ def q_io_lines_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math as _math
 
     docs = load_table(spark, sf_dir, "documents").select(F.col("text").alias("line"))
-    out = os.path.join(tempfile.gettempdir(), "thrill_spark_lines_sized")
+    out = scratch_dir(spark, "lines_sized")
     target = 64 * 1024  # small target so even sf0.001 yields several files
     n_files = IO.write_lines(docs, out, target_file_bytes=target)
     n_parts = len(_glob.glob(os.path.join(out, "part-*")))
@@ -556,7 +555,7 @@ def q_io_lines_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _glob
 
     docs = load_table(spark, sf_dir, "documents").select(F.col("text").alias("line"))
-    out = os.path.join(tempfile.gettempdir(), "thrill_spark_lines_one")
+    out = scratch_dir(spark, "lines_one")
     IO.write_lines_one(docs, out)
     n_parts = len(_glob.glob(os.path.join(out, "part-*")))
     back = IO.read_lines(spark, os.path.join(out, "part-*"))
@@ -767,7 +766,7 @@ def q_io_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_regionkey").alias("regionkey"),
         F.col("n_name").alias("name"),
     )
-    out = os.path.join(tempfile.gettempdir(), "thrill_spark_xml")
+    out = scratch_dir(spark, "xml")
     (
         n.write.mode("overwrite")
         .format("xml")
@@ -806,7 +805,7 @@ def q_io_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     linesource.register(spark)
     docs = load_table(spark, sf_dir, "documents").select(F.col("text").alias("line"))
-    out = os.path.join(tempfile.gettempdir(), "thrill_spark_ds_write")
+    out = scratch_dir(spark, "ds_write")
     shutil.rmtree(out, ignore_errors=True)
     docs.write.format("thrill_lines").option("path", out).mode("append").save()
     parts = sorted(_glob.glob(os.path.join(out, "part-*.txt")))

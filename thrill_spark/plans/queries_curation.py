@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from thrill_spark.catalog import load_table
+from thrill_spark.catalog import load_table, scratch_dir
 from thrill_spark.functions import dedup as D
 from thrill_spark.functions import embed as E
 from thrill_spark.functions import profile as P
@@ -301,7 +301,7 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    base = os.path.join(tempfile.gettempdir(), "thrill_spark_fbu")
+    base = scratch_dir(spark, "fbu")
     shutil.rmtree(base, ignore_errors=True)
     src = os.path.join(base, "src")
     ev.repartition(8).write.mode("overwrite").parquet(src)
@@ -1075,7 +1075,7 @@ def q_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    base = os.path.join(tempfile.gettempdir(), "thrill_spark_restart")
+    base = scratch_dir(spark, "restart")
     shutil.rmtree(base, ignore_errors=True)
     src = os.path.join(base, "src")
     ev.repartition(8).write.mode("overwrite").parquet(src)
@@ -1887,7 +1887,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
     )
-    base = os.path.join(tempfile.gettempdir(), "thrill_spark_enrich")
+    base = scratch_dir(spark, "enrich")
     shutil.rmtree(base, ignore_errors=True)
     src = os.path.join(base, "src")
     ev.repartition(4).write.mode("overwrite").parquet(src)
@@ -2147,9 +2147,7 @@ def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     orders = load_table(spark, sf_dir, "orders")
-    fact_path = os.path.join(
-        tempfile.gettempdir(), f"thrill_spark_dpp_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    fact_path = scratch_dir(spark, f"thrill_spark_dpp_{os.path.basename(sf_dir.rstrip('/'))}")
     orders.select("o_orderkey", "o_orderpriority").write.mode("overwrite").partitionBy(
         "o_orderpriority"
     ).parquet(fact_path)
@@ -2694,10 +2692,7 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("string"), F.lit(":"), fingerprint("text")
         ).alias("value")
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"thrill_lines_src_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    base = scratch_dir(spark, f"thrill_lines_src_{os.path.basename(sf_dir.rstrip('/'))}")
     os.makedirs(base, exist_ok=True)
     path = os.path.join(base, "docs.txt")
     # one local text FILE (not a directory) so byte-range planning has
@@ -2762,7 +2757,7 @@ def q_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
-    base = os.path.join(tempfile.gettempdir(), "thrill_spark_tws")
+    base = scratch_dir(spark, "tws")
     shutil.rmtree(base, ignore_errors=True)
     src = os.path.join(base, "src")
     ev.repartition(6).write.mode("overwrite").parquet(src)
@@ -2874,10 +2869,7 @@ def q_datasource_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thrill_spark.sources.linesource import register
 
     docs = load_table(spark, sf_dir, "documents")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"thrill_wc_src_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    base = scratch_dir(spark, f"thrill_wc_src_{os.path.basename(sf_dir.rstrip('/'))}")
     os.makedirs(base, exist_ok=True)
     path = os.path.join(base, "docs.txt")
     docs.select(F.lower("text").alias("value")).coalesce(1).write.mode(
@@ -3206,10 +3198,7 @@ def q_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("value")
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"thrill_csv_corrupt_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    base = scratch_dir(spark, f"thrill_csv_corrupt_{os.path.basename(sf_dir.rstrip('/'))}")
     lines.write.mode("overwrite").text(base)
     schema = T.StructType(
         [

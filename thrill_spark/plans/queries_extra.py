@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from thrill_spark.catalog import load_table
+from thrill_spark.catalog import load_table, scratch_dir
 from thrill_spark.functions import dedup as D
 from thrill_spark.functions import multimodal as MM
 from thrill_spark.functions import similarity as S
@@ -525,7 +525,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    base = os.path.join(tempfile.gettempdir(), "thrill_spark_bucketed")
+    base = scratch_dir(spark, "bucketed")
     for name, df, key in (("bkt_lineitem", li, "l_orderkey"), ("bkt_orders", o, "o_orderkey")):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (

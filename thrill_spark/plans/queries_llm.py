@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from thrill_spark.catalog import load_table
+from thrill_spark.catalog import load_table, scratch_dir
 from thrill_spark.functions import dedup as D
 from thrill_spark.functions import similarity as S
 from thrill_spark.functions import text as TX
@@ -503,7 +503,7 @@ def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thrill_spark.streaming.windows import stream_tumbling
 
     ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
-    src = os.path.join(tempfile.gettempdir(), "thrill_spark_stream_src")
+    src = scratch_dir(spark, "stream_src")
     ev.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)
     out = stream_tumbling(stream, "ts", "1 hour", "10 minutes", keys=("event_type",))
@@ -540,7 +540,7 @@ def q_events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thrill_spark.streaming.stateful import stream_running_totals
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
-    src = os.path.join(tempfile.gettempdir(), "thrill_spark_stateful_src")
+    src = scratch_dir(spark, "stateful_src")
     ev.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)
     out = stream_running_totals(stream, key="user_id")

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from thrill_spark.catalog import load_table
+from thrill_spark.catalog import load_table, scratch_dir
 from thrill_spark.functions import dedup as D
 from thrill_spark.functions import layout as LAY
 from thrill_spark.functions import text as TX
@@ -439,7 +439,7 @@ def q_events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thrill_spark.streaming.windows import stream_session
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    src = os.path.join(tempfile.gettempdir(), "thrill_spark_sess_src")
+    src = scratch_dir(spark, "sess_src")
     ev.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)
     out = stream_session(stream, "ts", "30 minutes", "10 minutes", keys=("user_id",))
@@ -1206,7 +1206,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     o = load_table(spark, sf_dir, "orders")
-    root = os.path.join(tempfile.gettempdir(), "thrill_spark_schema_evo")
+    root = scratch_dir(spark, "schema_evo")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     o.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_orderstatus"
@@ -1391,7 +1391,7 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thrill_spark.sources.io import _parquet_file_count, compact_files
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey")
-    root = os.path.join(tempfile.gettempdir(), "thrill_spark_compact")
+    root = scratch_dir(spark, "compact")
     src, dst = f"{root}/small", f"{root}/compacted"
     o.repartition(64).write.mode("overwrite").parquet(src)
     n_before = _parquet_file_count(spark, src)
@@ -1428,7 +1428,7 @@ def q_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thrill_spark.sources.io import verify_manifest, write_with_manifest
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    path = os.path.join(tempfile.gettempdir(), "thrill_spark_manifest")
+    path = scratch_dir(spark, "manifest")
     write_with_manifest(docs, path, key_col="doc_id")
     m = verify_manifest(spark, path)
     return spark.createDataFrame(

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from thrill_spark.catalog import load_table
+from thrill_spark.catalog import load_table, scratch_dir
 from thrill_spark.functions import corpus as C
 from thrill_spark.functions import dedup as D
 from thrill_spark.functions import text as TX
@@ -272,7 +272,7 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
     views = ev.filter(F.col("event_type") == "view").drop("event_type")
     clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
-    base = os.path.join(tempfile.gettempdir(), "thrill_spark_ssj")
+    base = scratch_dir(spark, "ssj")
     vsrc, csrc = base + "_views", base + "_clicks"
     views.write.mode("overwrite").parquet(vsrc)
     clicks.write.mode("overwrite").parquet(csrc)
@@ -307,7 +307,7 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thrill_spark.streaming.dedup import stream_dedup_within_watermark
 
     ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "event_type")
-    src = os.path.join(tempfile.gettempdir(), "thrill_spark_sdedup_src")
+    src = scratch_dir(spark, "sdedup_src")
     ev.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)
     # Which physical row survives per key is arrival-order-dependent;
@@ -598,7 +598,7 @@ def q_events_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.lit(-1).cast("long").alias("user_id"))
     views_s = views.unionByName(flush)
     clicks_s = clicks.unionByName(flush)
-    base = os.path.join(tempfile.gettempdir(), "thrill_spark_ssoj")
+    base = scratch_dir(spark, "ssoj")
     vsrc, csrc = base + "_views", base + "_clicks"
     views_s.write.mode("overwrite").parquet(vsrc)
     clicks_s.write.mode("overwrite").parquet(csrc)

@@ -471,3 +471,22 @@ def test_prefix_classes_match_bruteforce(spark, min_len):
                     min(n - a, min_len) == min(n - b, min_len)
                 )
                 assert (cls[a] == cls[b]) == same, (text, min_len, a, b)
+
+
+def test_pagerank_all_null_src_edges(spark):
+    """rollup over an empty contribs input yields no grand-total row;
+    pagerank must fall back to uniform dangling mass, not crash."""
+    import pyspark.sql.functions as F
+
+    from thrill_spark.plans.algorithms import pagerank
+
+    edges = spark.createDataFrame(
+        [(None, 1), (None, 2)], "src int, dst int"
+    )
+    out = pagerank(edges, iterations=2).collect()
+    ranks = {r["node"]: r["rank"] for r in out}
+    # the NULL src appears as a node of its own (union+distinct keeps
+    # it); the guarded scalar keeps the run alive with uniform mass
+    assert {1, 2} <= set(ranks)
+    assert all(v > 0 for v in ranks.values())
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6

@@ -314,3 +314,15 @@ def test_union_densifies_mixed_ord_types(ctx, tmp_path):
     m = lines.Sort().Merge(ctx.Distribute([2, 3]).Sort(), key=lambda v: v)
     got = [r["v"] for r in sorted(m.ZipWithIndex().Gather(), key=lambda r: r["i"])]
     assert got == [1, 2, 3, 5]
+
+
+def test_read_lines_mixed_fallback_dir_raises(ctx, tmp_path):
+    """A local dir mixing non-stdlib codec files with byte-range-
+    servable ones cannot keep the defined order — clear error, not a
+    silent fallback that scrambles the plain files."""
+    import pytest as _pytest
+
+    (tmp_path / "p.txt").write_text("p1\n")
+    (tmp_path / "x.txt.zst").write_bytes(b"\x28\xb5\x2f\xfd")
+    with _pytest.raises(ValueError, match="mixes non-stdlib codec"):
+        ctx.ReadLines(str(tmp_path))

@@ -317,9 +317,11 @@ def test_linesource_unterminated_final_line(tmp_path):
 
 
 def test_linesource_crlf_matches_hadoop_semantics(tmp_path):
-    """CRLF files must yield identical lines on the byte-range path
-    and the Hadoop-codec fallback path (r12): \\r\\n is one
-    terminator, the \\r is never content; interior \\r chars are."""
+    """CR/LF/CRLF files must yield identical lines on the byte-range
+    path and the Hadoop-codec fallback path (r12): all three are line
+    terminators and never line content — verified against Hadoop's
+    LineRecordReader behavior (spark.read.text yields a, b, c, plain
+    for this byte sequence)."""
     from thrill_spark.sources.linesource import ByteRangeLinesReader
 
     pth = tmp_path / "crlf.txt"
@@ -334,7 +336,7 @@ def test_linesource_crlf_matches_hadoop_semantics(tmp_path):
             for o, l in zip(b.column(1).to_pylist(), b.column(2).to_pylist())
         ]
         got.sort()
-        assert [l for _, l in got] == ["a", "b\rc", "plain"], chunk
+        assert got == [(0, "a"), (3, "b"), (5, "c"), (8, "plain")], chunk
 
 
 def test_linesource_property_random_corpora(tmp_path):
@@ -356,24 +358,23 @@ def test_linesource_property_random_corpora(tmp_path):
     @given(lines=lines_st, trailing=st.booleans(),
            chunk=st.integers(1, 48), n_splits=st.integers(1, 9))
     def check(lines, trailing, chunk, n_splits):
-        # a line containing \n is impossible by construction; interior
-        # \r is legal content, a trailing \r before the terminator is
-        # stripped (Hadoop CRLF semantics)
+        # generated "lines" may contain \r, so the naive reference
+        # below re-derives the ACTUAL Hadoop-semantics line set (CR,
+        # LF, CRLF all terminate) with byte offsets
         body = "\n".join(lines) + ("\n" if trailing and lines else "")
         counter[0] += 1
         pth = tmp_path / f"prop-{counter[0]}.txt"
-        pth.write_bytes(body.encode("utf-8"))
-        raw = body.encode("utf-8").split(b"\n")
-        terminated = [True] * (len(raw) - 1) + [False]
-        if raw and raw[-1] == b"":
-            raw.pop()
-            terminated.pop()
-        # the \r strip applies to \n-TERMINATED lines only (CRLF
-        # pairs); an unterminated EOF line keeps a trailing \r
-        want = [
-            (p[:-1] if t and p.endswith(b"\r") else p).decode("utf-8")
-            for p, t in zip(raw, terminated)
-        ]
+        data = body.encode("utf-8")
+        pth.write_bytes(data)
+        want = []
+        i, n = 0, len(data)
+        while i < n:
+            start = i
+            while i < n and data[i] not in (13, 10):
+                i += 1
+            want.append((start, data[start:i].decode("utf-8")))
+            if i < n:
+                i += 2 if data[i] == 13 and i + 1 < n and data[i + 1] == 10 else 1
         r = ByteRangeLinesReader(
             {"path": str(pth), "n_splits": str(n_splits)}
         )
@@ -385,7 +386,7 @@ def test_linesource_property_random_corpora(tmp_path):
             for b in r.read(part)
             for o, l in zip(b.column(1).to_pylist(), b.column(2).to_pylist())
         )
-        assert [l for _, l in got] == want
+        assert got == want
         _os.remove(pth)
 
     check()

@@ -95,17 +95,33 @@ class ThrillContext:
         sources.io.read_lines: a remote path cannot be os.stat'd by
         the Python source. There the order key is per-file monotonic —
         codec streams are single-split per file, so this is still file
-        order within each file."""
+        order within each file. A LOCAL path mixing fallback-codec
+        files with byte-range-servable ones raises instead of routing
+        everything to the fallback: multi-split plain files would
+        silently lose the defined order (Spark packs text splits
+        largest-first), which is exactly the accident this source
+        exists to prevent."""
         from thrill_spark.sources.linesource import _expand, register
 
         p = str(path)
         remote = "://" in p and not p.startswith("file:")
+        fallback = remote
         if not remote:
             local = p[7:] if p.startswith("file://") else p
-            compressed = any(
-                f.endswith(self._FALLBACK_EXTS) for f in _expand(local)
-            )
-        if remote or compressed:
+            files = _expand(local)
+            fb = [f for f in files if f.endswith(self._FALLBACK_EXTS)]
+            if fb and len(fb) < len(files):
+                raise ValueError(
+                    f"ReadLines: {p!r} mixes non-stdlib codec files "
+                    f"({len(fb)} x {self._FALLBACK_EXTS}) with "
+                    "byte-range-servable files; the defined "
+                    "(file_idx, offset) order cannot cover both — "
+                    "read the codec files with a separate ReadLines "
+                    "call (per-file order) or re-encode them as "
+                    "gz/bz2/xz."
+                )
+            fallback = bool(fb)
+        if fallback:
             from thrill_spark.sources.io import read_lines
 
             df = read_lines(self.spark, p).select(
@@ -156,11 +172,15 @@ def _struct_depth(dt) -> int:
 
 
 def _align_ord(dias: "tuple[DIA, ...]") -> "tuple[DIA, ...]":
-    """Union compatibility for positional ops: inputs whose ``_ord``
+    """Union compatibility for positional ops: when inputs' ``_ord``
     key types differ (e.g. ReadLines' (file_idx, offset) struct vs
-    Generate's long) are each densified to a flat long —
-    unionByName cannot union heterogeneous struct columns
-    (INCOMPATIBLE_COLUMN_TYPE)."""
+    Generate's long), the STRUCT-keyed inputs are densified to flat
+    longs — unionByName cannot union heterogeneous struct columns
+    (INCOMPATIBLE_COLUMN_TYPE). Already-flat keys are left untouched
+    (numeric widening unions fine), so a Distribute/Generate side pays
+    no re-index shuffle."""
+    from pyspark.sql.types import StructType
+
     if len({d.df.schema[ORD].dataType.simpleString() for d in dias}) <= 1:
         return dias
     return tuple(
@@ -169,6 +189,8 @@ def _align_ord(dias: "tuple[DIA, ...]") -> "tuple[DIA, ...]":
                 V, F.col(O.IDX).cast("long").alias(ORD)
             )
         )
+        if isinstance(d.df.schema[ORD].dataType, StructType)
+        else d
         for d in dias
     )
 

@@ -99,9 +99,10 @@ def pagerank(
             .persist()
         )
         pending.append(contribs)
-        total_linked = (
-            contribs.filter(F.col("_g") == 1).first()["contrib"] or 0.0
-        )
+        # rollup over an EMPTY input yields no grand-total row (unlike
+        # a global agg) — e.g. every src NULL ⇒ edges_deg empty
+        total_row = contribs.filter(F.col("_g") == 1).first()
+        total_linked = (total_row["contrib"] if total_row else None) or 0.0
         dangling = 1.0 - total_linked
         per_node = contribs.filter(F.col("_g") == 0).drop("_g")
         ranks = (

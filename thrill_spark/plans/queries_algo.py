@@ -1331,8 +1331,8 @@ def q_exact_substr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode to covered GLOBAL offsets (dup-only subset x constant L)
     -> anti-join the distributed char table -> label survivors by doc
     via the chunk-keyed equi-join (_label_doc: positions and doc
-    spans meet on 4096-char chunk keys, then a containment filter)
-    -> per-doc ordered splice + md5. The per-doc assembly groups O(doc_len) char rows —
+    spans meet on chunk keys sized ~avg doc length by _chunk_for,
+    then a containment filter) -> per-doc ordered splice + md5. The per-doc assembly groups O(doc_len) char rows —
     bounded by the corpus' max document size, the same per-record
     unit the reference cleaner holds in memory; everything upstream
     stays keyed and distributed.

@@ -173,26 +173,44 @@ class ByteRangeLinesReader(DataSourceReader):
             while not done:
                 chunk = f.read(self._CHUNK_BYTES)
                 if not chunk:
-                    # EOF: an unterminated final line is still a line
+                    # EOF: an unterminated final superline is still a
+                    # line (or several, if it holds \r terminators); a
+                    # final \r terminates without starting a new line
                     if buf and pos < end:
-                        offs.append(pos)
-                        lines.append(buf.decode("utf-8"))
+                        subs = buf.split(b"\r")
+                        if buf.endswith(b"\r"):
+                            subs.pop()
+                        sp = pos
+                        for sub in subs:
+                            offs.append(sp)
+                            lines.append(sub.decode("utf-8"))
+                            sp += len(sub) + 1
                     break
                 parts = (buf + chunk).split(b"\n")
                 buf = parts.pop()
                 for part in parts:
+                    # Range ownership stays \n-SUPERLINE based (the
+                    # seek-skip above reads through \n): a superline
+                    # starting in [begin, end) is emitted whole,
+                    # including \r-terminated sublines starting past
+                    # `end` — the next range's reader skips through
+                    # the same \n, so each subline is read exactly
+                    # once.
                     if pos >= end:
                         done = True
                         break
-                    offs.append(pos)
-                    # Hadoop LineRecordReader CRLF semantics (matching
-                    # the spark.read.text codec-fallback path): \r\n is
-                    # one terminator, the \r is never line content
-                    lines.append(
-                        (part[:-1] if part.endswith(b"\r") else part).decode(
-                            "utf-8"
-                        )
-                    )
+                    # Hadoop LineRecordReader terminator semantics
+                    # (identical to the spark.read.text fallback
+                    # path): CR, LF, and CRLF all terminate a line
+                    # and are never line content. The final \r of
+                    # the part pairs with the \n (CRLF); interior
+                    # \r bytes are their own terminators.
+                    core = part[:-1] if part.endswith(b"\r") else part
+                    sp = pos
+                    for sub in core.split(b"\r"):
+                        offs.append(sp)
+                        lines.append(sub.decode("utf-8"))
+                        sp += len(sub) + 1
                     pos += len(part) + 1
                 if len(lines) >= self._BATCH_ROWS:
                     yield _batch(offs, lines)

@@ -554,7 +554,10 @@ def fm_backward_count(
     rank probes from scratch, same contract."""
     s = text_df.select(F.concat(F.col("_s"), F.lit(_FM_SENTINEL)).alias("_s"))
     chars = A.chunked_chars(s, text_col="_s")
-    n1 = chars.count()
+    # n+1 from the single text row — counting the exploded char table
+    # would re-run the full explode as a separate job (r11 lesson from
+    # the ExactSubstr offsets-table count)
+    n1 = int(s.select(F.length("_s").alias("n")).first()["n"])
     return fm_search_chars(spark, chars, n1, patterns)
 
 
@@ -693,7 +696,8 @@ def q_fm_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lower(F.col("text")), F.lit(_FM_SENTINEL)).alias("_s")
     )
     chars = A.chunked_chars(s, text_col="_s")
-    n1 = chars.count()
+    # n+1 from the single text row (see fm_backward_count)
+    n1 = int(s.select(F.length("_s").alias("n")).first()["n"])
     ranges, ranked = fm_backward_ranges(spark, chars, n1, _FM_PATTERNS)
     rdf = spark.createDataFrame(
         [(p, lo, hi) for p, (lo, hi) in ranges.items() if hi > lo],

@@ -390,3 +390,41 @@ def test_linesource_property_random_corpora(tmp_path):
         _os.remove(pth)
 
     check()
+
+
+def test_linesource_many_files_order(tmp_path):
+    """200 files, deliberately non-lexicographic creation order and
+    mixed plain/gz: file_idx follows SORTED path order and offsets
+    reset per file."""
+    import gzip
+    import random
+
+    from thrill_spark.sources.linesource import ByteRangeLinesReader
+
+    rng = random.Random(7)
+    names = [f"f{i:03d}" for i in range(200)]
+    shuffled = names[:]
+    rng.shuffle(shuffled)
+    for i, nm in enumerate(shuffled):
+        if i % 3 == 0:
+            with gzip.open(tmp_path / f"{nm}.txt.gz", "wt") as f:
+                f.write(f"{nm}-a\n{nm}-b\n")
+        else:
+            (tmp_path / f"{nm}.txt").write_text(f"{nm}-a\n{nm}-b\n")
+    r = ByteRangeLinesReader({"path": str(tmp_path), "n_splits": "16"})
+    rows = sorted(
+        (b.column(0).to_pylist()[i], b.column(1).to_pylist()[i], b.column(2).to_pylist()[i])
+        for part in r.partitions()
+        for b in r.read(part)
+        for i in range(b.num_rows)
+    )
+    # sorted file list interleaves .txt and .txt.gz lexicographically;
+    # recompute the expectation the same way _expand defines it
+    import os
+
+    files = sorted(os.listdir(tmp_path))
+    want = []
+    for fi, fn in enumerate(files):
+        stem = fn.split(".")[0]
+        want += [(fi, 0, f"{stem}-a"), (fi, 7, f"{stem}-b")]
+    assert rows == want

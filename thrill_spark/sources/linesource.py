@@ -59,12 +59,16 @@ def _expand(path: str) -> list[str]:
     return [path]
 
 
-# Stdlib-served codecs: a compressed stream is not byte-splittable, so
-# each such file is ONE partition (exactly Hadoop's behavior for
-# non-splittable codecs) decoded in read(); offsets are positions in
-# the DECOMPRESSED stream, so the (file_idx, offset) ordering contract
-# holds for codec inputs too — the vfs filter layer the reference
-# recognizes (gzip/bzip2/xz, thrill/vfs/file_io.cpp:48-50).
+# Stdlib-served codecs: a compressed stream is decoded whole in
+# read(), ONE partition per file (Hadoop's behavior for non-splittable
+# codecs); offsets are positions in the DECOMPRESSED stream, so the
+# (file_idx, offset) ordering contract holds for codec inputs too —
+# the vfs filter layer the reference recognizes (gzip/bzip2/xz,
+# thrill/vfs/file_io.cpp:48-50). Trade-off: Hadoop CAN block-split
+# bz2, which this source gives up for the defined order — at corpus
+# scale parallelism comes from the file count (a 100 TB corpus is
+# many files), and a single giant bz2 needing intra-file splits
+# should go through sources.io.read_lines instead.
 _CODEC_EXTS = (".gz", ".bz2", ".xz")
 
 

@@ -41,13 +41,23 @@ def scratch_dir(spark: SparkSession, tag: str) -> str:
     other's output as a silent row-count MISMATCH. Scoping by
     applicationId makes each Spark session's scratch private while
     staying stable within the session (bench re-runs overwrite their
-    own files)."""
+    own files). The whole scratch tree is removed at interpreter exit
+    (atexit) so repeated sessions don't accumulate in the temp dir; a
+    hard-killed process leaves its dir for the OS temp policy."""
     import tempfile
 
     app = spark.sparkContext.applicationId
-    return os.path.join(
-        tempfile.gettempdir(), f"thrill_spark_scratch-{app}", tag
-    )
+    root = os.path.join(tempfile.gettempdir(), f"thrill_spark_scratch-{app}")
+    if app not in _scratch_cleanup_registered:
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _scratch_cleanup_registered.add(app)
+    return os.path.join(root, tag)
+
+
+_scratch_cleanup_registered: set[str] = set()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

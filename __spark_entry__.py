@@ -400,10 +400,10 @@ _R12_CHANGED = [
     "pagerank",
 ]
 
-_DRIVER_WINDOW_PRIORITY = (
+_DRIVER_WINDOW_PRIORITY_R12 = (
     _R12_CHANGED + [n for n in _R12_WINDOW if n not in _R12_CHANGED]
 )[:50]
-assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
+assert len(_DRIVER_WINDOW_PRIORITY_R12) == 50, len(_DRIVER_WINDOW_PRIORITY_R12)
 
 # Round-13 rotation, PRE-STAGED as code (the r8/r10 discipline — a
 # short or zero-turn round must not drop the cadence): the 50 stalest
@@ -467,6 +467,20 @@ _R13_WINDOW = [
     "events_burst_detection",
 ]
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
+
+# Queries whose CODE PATH changes in round 13 lead the window (same
+# discipline as _R12_CHANGED). Populated as r13 work lands: the
+# build-once FM index (fm_build materialized SA/BWT/C-table consumed
+# by count+locate) re-verifies the fm rows; the oversized-bz2
+# auto-route re-verifies io_bz2_lines_roundtrip (already in the
+# window); a zstd roundtrip lands here if the sandbox Hadoop decodes
+# it.
+_R13_CHANGED: list[str] = []
+
+_DRIVER_WINDOW_PRIORITY = (
+    _R13_CHANGED + [n for n in _R13_WINDOW if n not in _R13_CHANGED]
+)[:50]
+assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
 
 
 def _ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -469,13 +469,16 @@ _R13_WINDOW = [
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 
 # Queries whose CODE PATH changes in round 13 lead the window (same
-# discipline as _R12_CHANGED). Populated as r13 work lands: the
-# build-once FM index (fm_build materialized SA/BWT/C-table consumed
-# by count+locate) re-verifies the fm rows; the oversized-bz2
-# auto-route re-verifies io_bz2_lines_roundtrip (already in the
-# window); a zstd roundtrip lands here if the sandbox Hadoop decodes
-# it.
-_R13_CHANGED: list[str] = []
+# discipline as _R12_CHANGED). The build-once FM index (fm_build
+# materialized SA/BWT/C-table/rank-samples consumed by count+locate)
+# re-verifies the fm rows; the oversized-bz2 auto-route re-verifies
+# io_bz2_lines_roundtrip (already in the window); a zstd roundtrip
+# lands here if the sandbox Hadoop decodes it.
+_R13_CHANGED: list[str] = [
+    "suffix_fm_build",
+    "suffix_fm_count_doc0",
+    "suffix_fm_locate_doc0",
+]
 
 _DRIVER_WINDOW_PRIORITY = (
     _R13_CHANGED + [n for n in _R13_WINDOW if n not in _R13_CHANGED]

@@ -102,6 +102,10 @@ BENCH_QUERIES = [
 # (second-to-last stdout line) so the original 51-query series stays
 # round-over-round comparable while these get a perf record too.
 BENCH_QUERIES_V2 = [
+    # r13: build-once FM index — the build bears the suffix-sort
+    # ladder cost ONCE; count/locate below consume the materialized
+    # parquet (the r12 pair re-ran the ladder per query).
+    "suffix_fm_build",
     "suffix_fm_count_doc0",
     "suffix_lcs_doc01",
     "suffix_lcp_partnames",

@@ -21,10 +21,12 @@ oracle hash-matches bit-for-bit at every sf.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from thrill_spark.catalog import load_table
+from thrill_spark.catalog import load_table, scratch_dir
 from thrill_spark.functions import text as TX
 from thrill_spark.plans import algorithms as A
 from thrill_spark.plans.queries import query
@@ -493,13 +495,19 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# FM-index backward-search counting over doc0: builds BWT + C-table +
-# rank probes from the distributed suffix array, then counts pattern
-# occurrences WITHOUT scanning the text — the canonical consumer of the
-# suffix_sorting family's output (reference examples/suffix_sorting/
-# builds SA/BWT/LCP; this query is why those structures exist). The
-# oracle verifies the FM counts against a direct position-scan count,
-# so a green row proves the index machinery, not just the arithmetic.
+# FM-index family over doc0: suffix_fm_build materializes the index
+# ONCE (suffix array + BWT as a rank-sorted parquet table, plus
+# per-block rank samples), and count/locate consume it — the
+# build-once/query-many pattern an FM index exists for (VERDICT r12
+# #2; reference examples/suffix_sorting/ likewise builds SA/BWT/LCP
+# to files that downstream searches read). Backward search maps
+# [lo, hi) through lo' = C[c] + rank(c, lo) where rank(c, i) =
+# samples[c, i div B] + a partial count over the single B-rank block
+# containing i — with the index parquet range-partitioned and sorted
+# by rank, those literal block predicates row-group-prune, so a probe
+# touches one block instead of the whole BWT. The oracles verify the
+# counts, positions, AND the index's search surface (C-table + rank
+# ranges) against direct suffix scans of the text.
 # ---------------------------------------------------------------------------
 _FM_PATTERNS = ("sort", "batch", "row", "the")
 _FM_SENTINEL = "\x01"  # unique terminator, never in the (lowercased) text
@@ -507,6 +515,9 @@ _FM_SENTINEL = "\x01"  # unique terminator, never in the (lowercased) text
 # 8 = octupling). r12 pinned min-of-5 A/B at sf0.1 and heavy K=4
 # (BENCH_NOTES "Round-12 octupling A/B") keeps the winner here.
 _FM_SA_STEP = 8
+# Rank-sample checkpoint spacing B: rank(c, i) reads one sampled
+# cumulative count plus a partial scan of at most B index rows.
+_FM_RANK_BLOCK = 1024
 
 def _has_border(p: str) -> bool:
     """True if p has a proper prefix that is also a suffix (a border).
@@ -575,6 +586,115 @@ def fm_search_chars(
     return [(p, max(hi - lo, 0)) for p, (lo, hi) in state.items()]
 
 
+def _fm_samples_rollup(
+    rows, n1: int
+) -> tuple[dict[str, int], dict[tuple[str, int], int]]:
+    """Driver-side rollup of collected (ch, blk, n) rank-sample rows
+    into the C-table (char -> first SA rank, i.e. count of strictly
+    smaller chars) and DENSE cumulative checkpoints cum[(ch, b)] =
+    occurrences of ch in BWT ranks < b*B, for b in 0..nblocks. Bounded:
+    |alphabet| x (n1/B + 1) entries — at corpus scale the cum table
+    stays a distributed join side instead of a driver dict, same
+    contract (noted in fm_build_index)."""
+    per: dict[str, dict[int, int]] = {}
+    for r in rows:
+        per.setdefault(r["ch"], {})[int(r["blk"])] = int(r["n"])
+    nblocks = (n1 + _FM_RANK_BLOCK - 1) // _FM_RANK_BLOCK
+    ctab: dict[str, int] = {}
+    cum: dict[tuple[str, int], int] = {}
+    acc = 0
+    for ch in sorted(per):
+        ctab[ch] = acc
+        run = 0
+        for b in range(nblocks + 1):
+            cum[(ch, b)] = run
+            run += per[ch].get(b, 0)
+        acc += run
+    return ctab, cum
+
+
+def _fm_rank_samples(
+    bwt: DataFrame, n1: int
+) -> tuple[dict[str, int], dict[tuple[str, int], int]]:
+    """C-table + rank checkpoints from a (rank, ch) BWT frame: one
+    alphabet x nblocks aggregate (the `samples` side of the
+    materialized index, computed in-memory for the chars entry
+    point)."""
+    rows = (
+        bwt.groupBy(
+            "ch",
+            F.floor(F.col("rank") / _FM_RANK_BLOCK).cast("long").alias("blk"),
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    return _fm_samples_rollup(rows, n1)
+
+
+def _fm_backward_search(
+    bwt: DataFrame,
+    ctab: dict[str, int],
+    cum: dict[tuple[str, int], int],
+    n1: int,
+    patterns: tuple[str, ...],
+) -> dict[str, tuple[int, int]]:
+    """Backward search with block-sampled rank probes, all patterns
+    stepped together: rank(c, i) = cum[c, i div B] + |{ranks in
+    [B*(i div B), i) with ch = c}|. Probes landing exactly on a block
+    boundary are answered by the checkpoint alone; the remaining
+    partial counts for the whole step batch into ONE conditional-
+    aggregate scan whose filter is a pure LITERAL predicate — over the
+    materialized parquet index (rank-sorted row groups) that predicate
+    prunes to the probed blocks, so a probe reads ~B rows, not the
+    rank-i prefix. Loop length = max pattern length, never data size."""
+    state: dict[str, tuple[int, int]] = {p: (0, n1) for p in patterns}
+    max_len = max(len(p) for p in patterns)
+    B = _FM_RANK_BLOCK
+    for j in range(1, max_len + 1):
+        # Explicit (pattern, char, lo, hi) step tuples — lo/hi stay
+        # paired with their pattern end-to-end.
+        steps: list[tuple[str, str, int, int]] = []
+        for p, (lo, hi) in state.items():
+            if j > len(p) or lo >= hi:
+                continue
+            c = p[len(p) - j]
+            if c not in ctab:
+                state[p] = (0, 0)
+                continue
+            steps.append((p, c, lo, hi))
+        if not steps:
+            break
+        need: list[tuple[str, int]] = []
+        for p, c, lo, hi in steps:
+            for i in (lo, hi):
+                if i % B != 0 and (c, i) not in need:
+                    need.append((c, i))
+        partial: dict[tuple[str, int], int] = {}
+        if need:
+            conds = [
+                (F.col("ch") == c)
+                & (F.col("rank") >= (i // B) * B)
+                & (F.col("rank") < i)
+                for c, i in need
+            ]
+            flt = conds[0]
+            for cnd in conds[1:]:
+                flt = flt | cnd
+            aggs = [
+                F.sum(F.when(cnd, 1).otherwise(0)).alias(f"k{k}")
+                for k, cnd in enumerate(conds)
+            ]
+            row = bwt.filter(flt).agg(*aggs).first()
+            for k, key in enumerate(need):
+                partial[key] = int(row[f"k{k}"] or 0)
+        for p, c, lo, hi in steps:
+            state[p] = (
+                ctab[c] + cum[(c, lo // B)] + partial.get((c, lo), 0),
+                ctab[c] + cum[(c, hi // B)] + partial.get((c, hi), 0),
+            )
+    return state
+
+
 def fm_backward_ranges(
     spark: SparkSession,
     chars: DataFrame,
@@ -584,8 +704,10 @@ def fm_backward_ranges(
     """FM backward search returning the suffix-array rank RANGE
     [lo, hi) per pattern plus the (pos, rank) table — hi-lo is the
     occurrence count (fm_search_chars), and joining ranked on the
-    range yields the occurrence POSITIONS (suffix_fm_locate_doc0),
-    the locate operation an FM-index exists to answer."""
+    range yields the occurrence POSITIONS, the locate operation an
+    FM-index exists to answer. In-memory entry point (raw chars, no
+    disk index) for one-shot searches and the scale harnesses; the
+    doc0 queries go through fm_build_index instead."""
     # Prefix OCTUPLING (generalizing the reference's
     # prefix_quadrupling.cpp trade): FM search needs only the final
     # ranks — no LCP levels — and cutting the number of sequential
@@ -601,69 +723,116 @@ def fm_backward_ranges(
         .persist()
     )
     try:
-        # C-table: chars strictly smaller than c across the whole BWT
-        # (bounded: alphabet-size rows).
-        counts = {r["ch"]: r["n"] for r in
-                  bwt.groupBy("ch").agg(F.count("*").alias("n")).collect()}
-        ctab: dict[str, int] = {}
-        acc = 0
-        for ch in sorted(counts):
-            ctab[ch] = acc
-            acc += counts[ch]
-        # Backward search, all patterns stepped together; probe batch j
-        # asks rank(c_j, lo) and rank(c_j, hi) for every live pattern.
-        state: dict[str, tuple[int, int]] = {p: (0, n1) for p in patterns}
-        max_len = max(len(p) for p in patterns)
-        for j in range(1, max_len + 1):
-            # Explicit (pattern, char, lo, hi) step tuples — lo/hi stay
-            # paired with their pattern end-to-end.
-            steps: list[tuple[str, str, int, int]] = []
-            for p, (lo, hi) in state.items():
-                if j > len(p) or lo >= hi:
-                    continue
-                c = p[len(p) - j]
-                if c not in ctab:
-                    state[p] = (0, 0)
-                    continue
-                steps.append((p, c, lo, hi))
-            if not steps:
-                break
-            pdf = spark.createDataFrame(
-                [(p, c, i) for p, c, lo, hi in steps for i in (lo, hi)],
-                "p string, c string, i long",
-            )
-            got = (
-                bwt.join(
-                    F.broadcast(pdf),
-                    (F.col("ch") == F.col("c")) & (F.col("rank") < F.col("i")),
-                )
-                .groupBy("p", "i").agg(F.count("*").alias("occ"))
-                .collect()
-            )
-            occ = {(r["p"], r["i"]): r["occ"] for r in got}
-            for p, c, lo, hi in steps:
-                state[p] = (
-                    ctab[c] + occ.get((p, lo), 0),
-                    ctab[c] + occ.get((p, hi), 0),
-                )
+        ctab, cum = _fm_rank_samples(bwt, n1)
+        state = _fm_backward_search(bwt, ctab, cum, n1, patterns)
     finally:
         bwt.unpersist()
     return state, ranked
 
 
+# Process-level memo for materialized indexes: scratch base path ->
+# (n1, ctab, cum). The parquet itself is the source of truth — the
+# memo only skips re-deriving the driver dicts; a missing _SUCCESS
+# (fresh session dir) forces a rebuild.
+_FM_INDEX_CACHE: dict[str, tuple[int, dict, dict]] = {}
+
+
+def fm_build_index(
+    spark: SparkSession, sf_dir: str, step: int | None = None,
+    force: bool = False,
+) -> tuple[str, int, dict[str, int], dict[tuple[str, int], int]]:
+    """Build-once FM index over lower(doc0 text)+sentinel — the
+    build-once/query-many pattern an FM index exists for (reference
+    examples/suffix_sorting/ likewise builds SA/BWT once to files
+    that downstream searches read). Materializes:
+
+    - `idx` parquet (rank, pos, ch): suffix array + BWT fused,
+      range-partitioned AND sorted by rank so the search's literal
+      block probes and locate's [lo, hi) range scans row-group-prune
+      to the touched ranks instead of scanning the whole index;
+    - `samples` parquet (ch, blk, n): per-char counts per B-rank
+      block — the rank checkpoints whose rollup yields the C-table
+      and cum[(ch, b)] (driver dicts here, alphabet x n/B entries;
+      at corpus scale the rollup stays a distributed frame joined
+      into the probe plan, same contract).
+
+    suffix_fm_count_doc0 / suffix_fm_locate_doc0 consume this index
+    instead of re-running the suffix-sort ladder per query (the r12
+    fm pair rebuilt the ladder twice). Returns (idx_path, n1, ctab,
+    cum); memoized per session scratch path, `force=True` rebuilds
+    (suffix_fm_build always bears the full build cost)."""
+    step = _FM_SA_STEP if step is None else step
+    tag = "fm_index_{}_s{}".format(
+        os.path.basename(os.path.abspath(sf_dir).rstrip("/")), step
+    )
+    base = scratch_dir(spark, tag)
+    idx_path = os.path.join(base, "idx")
+    cached = _FM_INDEX_CACHE.get(base)
+    if (
+        cached is not None
+        and not force
+        and os.path.exists(os.path.join(idx_path, "_SUCCESS"))
+    ):
+        return (idx_path, *cached)
+    doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
+    s = doc.select(F.concat(F.lower(F.col("text")), F.lit(_FM_SENTINEL)).alias("_s"))
+    chars = A.chunked_chars(s, text_col="_s")
+    # n+1 from the single text row — counting the exploded char table
+    # would re-run the full explode as a separate job
+    n1 = int(s.select(F.length("_s").alias("n")).first()["n"])
+    ranked = A.suffix_array(chars, n1, step=step)
+    prev = chars.select((F.col("pos") + 1).alias("pos"), F.col("ch").alias("_prev"))
+    idx = ranked.join(prev, "pos", "left").select(
+        "rank", "pos", F.coalesce("_prev", F.lit(_FM_SENTINEL)).alias("ch")
+    )
+    # One range partition per ~64 blocks keeps row groups aligned with
+    # probe locality without tiny-file sprawl at small n.
+    nparts = max(1, min(256, -(-n1 // (_FM_RANK_BLOCK * 64))))
+    (
+        idx.repartitionByRange(nparts, "rank")
+        .sortWithinPartitions("rank")
+        .write.mode("overwrite")
+        .parquet(idx_path)
+    )
+    idx_df = spark.read.parquet(idx_path)
+    smp_path = os.path.join(base, "samples")
+    (
+        idx_df.groupBy(
+            "ch",
+            F.floor(F.col("rank") / _FM_RANK_BLOCK).cast("long").alias("blk"),
+        )
+        .agg(F.count("*").alias("n"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(smp_path)
+    )
+    ctab, cum = _fm_samples_rollup(spark.read.parquet(smp_path).collect(), n1)
+    _FM_INDEX_CACHE[base] = (n1, ctab, cum)
+    return idx_path, n1, ctab, cum
+
+
+def _fm_load_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int, dict[str, int], dict[tuple[str, int], int]]:
+    idx_path, n1, ctab, cum = fm_build_index(spark, sf_dir)
+    return spark.read.parquet(idx_path), n1, ctab, cum
+
+
 @query("suffix_fm_count_doc0", _sql_fm_count())
 def q_fm_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FM-index occurrence counting over lower(doc0) — see
-    fm_backward_count for the index mechanics. The oracle counts the
-    same (border-free) patterns by direct substring scan, so the hash
-    match certifies the index agrees with the text; overlapping
-    (bordered) patterns are certified by tests/test_fm_index.py."""
+    """FM-index occurrence counting over lower(doc0), consuming the
+    MATERIALIZED index (fm_build_index — built once per session and
+    shared with locate, instead of re-running the suffix-sort ladder
+    per query). The oracle counts the same (border-free) patterns by
+    direct substring scan, so the hash match certifies the index
+    agrees with the text; overlapping (bordered) patterns are
+    certified by tests/test_fm_index.py."""
     bad = [p for p in _FM_PATTERNS if _has_border(p)]
     if bad:
         raise ValueError(f"FM patterns {bad!r} have a border; oracle would undercount")
-    doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
-    text_df = doc.select(F.lower(F.col("text")).alias("_s"))
-    rows = fm_backward_count(spark, text_df, _FM_PATTERNS)
+    idx_df, n1, ctab, cum = _fm_load_index(spark, sf_dir)
+    state = _fm_backward_search(idx_df, ctab, cum, n1, _FM_PATTERNS)
+    rows = [(p, max(hi - lo, 0)) for p, (lo, hi) in state.items()]
     return spark.createDataFrame(rows, "pattern string, n_occ long")
 
 
@@ -683,30 +852,94 @@ def _sql_fm_locate() -> str:
 
 @query("suffix_fm_locate_doc0", _sql_fm_locate())
 def q_fm_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FM-index LOCATE: backward search narrows each pattern to its
-    suffix-array rank range [lo, hi), then one broadcast range-join of
-    the tiny (pattern, lo, hi) table against the (pos, rank) suffix
-    array emits every occurrence position — count's sibling operation,
-    and the one a dedup/attribution pipeline actually consumes. The
-    oracle re-derives the positions by direct substring scan, exact
-    for any pattern (no border restriction: positions never overlap
-    ambiguously the way replace-counts do)."""
-    doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
-    s = doc.select(
-        F.concat(F.lower(F.col("text")), F.lit(_FM_SENTINEL)).alias("_s")
+    """FM-index LOCATE over the MATERIALIZED index (shared with count
+    via fm_build_index): backward search narrows each pattern to its
+    suffix-array rank range [lo, hi), then a literal-predicate scan
+    of the rank-sorted index parquet (row-group-pruned to the probed
+    ranges) broadcast-joined to the tiny (pattern, lo, hi) table emits
+    every occurrence position — count's sibling operation, and the one
+    a dedup/attribution pipeline actually consumes. The oracle
+    re-derives the positions by direct substring scan, exact for any
+    pattern (no border restriction: positions never overlap ambiguously
+    the way replace-counts do)."""
+    idx_df, n1, ctab, cum = _fm_load_index(spark, sf_dir)
+    ranges = _fm_backward_search(idx_df, ctab, cum, n1, _FM_PATTERNS)
+    live = [(p, lo, hi) for p, (lo, hi) in ranges.items() if hi > lo]
+    if not live:
+        return spark.createDataFrame([], "pattern string, pos long")
+    # Literal [lo, hi) union keeps the scan prunable (a join-side-only
+    # range predicate cannot reach the parquet reader).
+    flt = None
+    for _, lo, hi in live:
+        cnd = (F.col("rank") >= lo) & (F.col("rank") < hi)
+        flt = cnd if flt is None else (flt | cnd)
+    rdf = spark.createDataFrame(live, "pattern string, _lo long, _hi long")
+    return (
+        idx_df.filter(flt)
+        .join(
+            F.broadcast(rdf),
+            (F.col("rank") >= F.col("_lo")) & (F.col("rank") < F.col("_hi")),
+        )
+        .select("pattern", F.col("pos").cast("long").alias("pos"))
     )
-    chars = A.chunked_chars(s, text_col="_s")
-    # n+1 from the single text row (see fm_backward_count)
-    n1 = int(s.select(F.length("_s").alias("n")).first()["n"])
-    ranges, ranked = fm_backward_ranges(spark, chars, n1, _FM_PATTERNS)
-    rdf = spark.createDataFrame(
-        [(p, lo, hi) for p, (lo, hi) in ranges.items() if hi > lo],
-        "pattern string, _lo long, _hi long",
-    )
-    return ranked.join(
-        F.broadcast(rdf),
-        (F.col("rank") >= F.col("_lo")) & (F.col("rank") < F.col("_hi")),
-    ).select("pattern", F.col("pos").cast("long").alias("pos"))
+
+
+def _sql_fm_build() -> str:
+    # The index's search surface re-derived by direct suffix scan:
+    # C-table occupancy intervals from character frequencies (the
+    # sentinel, smaller than every text char, holds rank [0, 1)), and
+    # per-pattern SA rank ranges by comparing each suffix's |P|-prefix
+    # against the pattern — a proper-prefix slice sorts before P
+    # exactly like the sentinel-terminated suffix does, so plain
+    # binary-collation comparison reproduces the suffix order.
+    vals = ", ".join(f"('{p}')" for p in _FM_PATTERNS)
+    return f"""
+    WITH t AS (SELECT lower(text) AS txt FROM documents WHERE doc_id = 0),
+    pos AS (SELECT txt, unnest(generate_series(1, length(txt))) AS i FROM t),
+    freq AS (SELECT substr(txt, i, 1) AS ch, COUNT(*) AS n FROM pos GROUP BY 1),
+    cum AS (SELECT ch, n,
+            1 + COALESCE(SUM(n) OVER (ORDER BY ch
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+            FROM freq),
+    pats(pattern) AS (VALUES {vals}),
+    pr AS (SELECT pattern,
+             1 + COUNT(CASE WHEN substr(txt, i, length(pattern)) < pattern
+                            THEN 1 END) AS lo,
+             COUNT(CASE WHEN substr(txt, i, length(pattern)) = pattern
+                        THEN 1 END) AS n
+           FROM pos CROSS JOIN pats GROUP BY pattern)
+    SELECT 'C:<s>' AS item, CAST(0 AS BIGINT) AS lo, CAST(1 AS BIGINT) AS hi
+    UNION ALL
+    SELECT 'C:' || ch, CAST(lo AS BIGINT), CAST(lo + n AS BIGINT) FROM cum
+    UNION ALL
+    SELECT 'P:' || pattern, CAST(lo AS BIGINT), CAST(lo + n AS BIGINT) FROM pr
+    UNION ALL
+    SELECT 'N', CAST(0 AS BIGINT), CAST(length(txt) + 1 AS BIGINT) FROM t
+    """
+
+
+@query("suffix_fm_build", _sql_fm_build())
+def q_fm_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the doc0 FM index (ALWAYS a fresh build — this query
+    bears the full suffix-sort ladder cost; count/locate then consume
+    the parquet it wrote) and emit its search surface for oracle
+    verification: per-char SA occupancy intervals [C[c], C[c]+n_c)
+    (the C-table), per-pattern backward-search rank ranges [lo, hi),
+    and the index size row ('N', 0, n+1). Every value is re-derivable
+    in SQL by direct suffix comparison over the text, so a hash match
+    certifies the materialized structure end-to-end — C-table, rank
+    samples, and the SA order the backward search walks."""
+    idx_path, n1, ctab, cum = fm_build_index(spark, sf_dir, force=True)
+    idx_df = spark.read.parquet(idx_path)
+    nblocks = (n1 + _FM_RANK_BLOCK - 1) // _FM_RANK_BLOCK
+    rows: list[tuple[str, int, int]] = [("N", 0, n1)]
+    for ch, lo in ctab.items():
+        label = "<s>" if ch == _FM_SENTINEL else ch
+        rows.append((f"C:{label}", lo, lo + cum[(ch, nblocks)]))
+    state = _fm_backward_search(idx_df, ctab, cum, n1, _FM_PATTERNS)
+    for p, (lo, hi) in state.items():
+        rows.append((f"P:{p}", lo, hi))
+    return spark.createDataFrame(rows, "item string, lo long, hi long")
 
 
 # ---------------------------------------------------------------------------

@@ -247,7 +247,11 @@ def test_read_lines_codec_paths(ctx, tmp_path):
 
 def test_read_lines_non_stdlib_codec_falls_back(ctx, tmp_path, monkeypatch):
     """Extensions with no stdlib decoder (.zst/...) must route to the
-    Hadoop text reader, not the byte-range source."""
+    Hadoop text reader, not the byte-range source. The plan-time codec
+    probe is stubbed 'available' — this test pins ROUTING; codec
+    availability itself is pinned by
+    test_read_lines_unavailable_codec_plan_time_error."""
+    import thrill_spark.api as api
     import thrill_spark.sources.io as IO
 
     called = {}
@@ -260,8 +264,67 @@ def test_read_lines_non_stdlib_codec_falls_back(ctx, tmp_path, monkeypatch):
     (tmp_path / "plain.txt").write_text("z1\n")
     (tmp_path / "x.txt.zst").write_bytes(b"\x28\xb5\x2f\xfd")
     monkeypatch.setattr(IO, "read_lines", spy)
+    monkeypatch.setitem(api._HADOOP_CODEC_OK, ".zst", None)
     got = [r["v"] for r in ctx.ReadLines(str(tmp_path / "x.txt.zst")).df.collect()]
     assert got == ["z1"] and called["path"].endswith(".zst")
+
+
+def test_read_lines_unavailable_codec_plan_time_error(ctx, tmp_path):
+    """A fallback-codec extension whose Hadoop codec cannot actually
+    run (zstd here: the codec class resolves but the native library is
+    absent) must fail at PLAN time with a clear message, not as an
+    opaque task-time Hadoop error mid-scan (VERDICT r12 #4). Skipped
+    on deployments that DO ship the native library — there the read
+    simply proceeds."""
+    import pytest as _pytest
+
+    import thrill_spark.api as api
+
+    (tmp_path / "x.txt.zst").write_bytes(b"\x28\xb5\x2f\xfd")
+    api._HADOOP_CODEC_OK.pop(".zst", None)
+    try:
+        api._require_hadoop_codec(ctx.spark, "probe.zst")
+        _pytest.skip("native zstd available in this runtime")
+    except ValueError:
+        pass
+    with _pytest.raises(ValueError, match="unavailable in this runtime"):
+        ctx.ReadLines(str(tmp_path / "x.txt.zst"))
+
+
+def test_read_lines_zip_rejected(ctx, tmp_path):
+    """'.zip' has no Hadoop line codec — the old fallback read raw
+    archive bytes as UTF-8 lines (silent garbage). Clear error instead
+    (ADVICE r12)."""
+    import zipfile
+
+    import pytest as _pytest
+
+    with zipfile.ZipFile(tmp_path / "a.zip", "w") as z:
+        z.writestr("member.txt", "m1\nm2\n")
+    with _pytest.raises(ValueError, match="zip is an archive format"):
+        ctx.ReadLines(str(tmp_path / "a.zip"))
+
+
+def test_read_lines_file_uri_authority(ctx, tmp_path):
+    """file://localhost/abs must resolve to /abs (not the relative
+    path 'localhost/abs'); a remote authority is a clear error
+    (ADVICE r12)."""
+    import pytest as _pytest
+
+    from thrill_spark.sources.linesource import strip_file_uri
+
+    (tmp_path / "auth.txt").write_text("a1\n")
+    got = [
+        r["v"]
+        for r in ctx.ReadLines(
+            "file://localhost" + str(tmp_path / "auth.txt")
+        ).df.collect()
+    ]
+    assert got == ["a1"]
+    assert strip_file_uri("file:///x/y.txt") == "/x/y.txt"
+    assert strip_file_uri("file:/x/y.txt") == "/x/y.txt"
+    with _pytest.raises(ValueError, match="remote authority"):
+        strip_file_uri("file://otherhost/x/y.txt")
 
 
 def test_read_lines_empty_inputs(ctx, tmp_path):

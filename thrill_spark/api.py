@@ -26,6 +26,7 @@ Design:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -37,6 +38,44 @@ V = "v"
 ORD = "_ord"
 
 ColFn = Callable[[Column], Column]
+
+
+# Hadoop codec usability per extension, probed once per process: the
+# factory resolves the class from the extension alone, so only an
+# actual compressor construction proves the native library is loaded
+# (ZStandardCodec resolves fine here but throws 'native zStandard
+# library not available' at first use).
+_HADOOP_CODEC_OK: dict[str, str | None] = {}
+
+
+def _require_hadoop_codec(spark: SparkSession, sample_path: str) -> None:
+    """Raise at PLAN time if the Hadoop codec for sample_path's
+    extension is missing or its native backing library is not loaded,
+    instead of letting every task fail mid-scan."""
+    ext = os.path.splitext(sample_path)[1]
+    if ext not in _HADOOP_CODEC_OK:
+        err: str | None
+        try:
+            jvm = spark._jvm
+            factory = jvm.org.apache.hadoop.io.compress.CompressionCodecFactory(
+                spark._jsc.hadoopConfiguration()
+            )
+            codec = factory.getCodec(jvm.org.apache.hadoop.fs.Path("probe" + ext))
+            if codec is None:
+                err = "no Hadoop codec registered for this extension"
+            else:
+                codec.createOutputStream(jvm.java.io.ByteArrayOutputStream())
+                err = None
+        except Exception as ex:  # noqa: BLE001 — py4j raises loosely
+            err = str(ex).splitlines()[-1][:200]
+        _HADOOP_CODEC_OK[ext] = err
+    err = _HADOOP_CODEC_OK[ext]
+    if err is not None:
+        raise ValueError(
+            f"ReadLines: codec for {ext!r} is unavailable in this "
+            f"runtime ({err}); re-encode as gz/bz2/xz or deploy the "
+            "native Hadoop codec library."
+        )
 
 
 def _exprify(f: ColFn | Column) -> Column:
@@ -73,8 +112,12 @@ class ThrillContext:
     # Extensions the byte-range DataSource cannot serve: codecs with
     # no Python-stdlib decoder (gz/bz2/xz ARE stdlib-decoded in the
     # source itself — see linesource._CODEC_EXTS). These need Hadoop's
-    # codec factory; byte-splitting them raw yields garbage.
-    _FALLBACK_EXTS = (".zst", ".lz4", ".snappy", ".deflate", ".zip")
+    # codec factory; byte-splitting them raw yields garbage. '.zip' is
+    # NOT here: Hadoop's factory has no zip codec, so falling back
+    # would read raw archive bytes as UTF-8 lines — ReadLines raises
+    # for it instead (ADVICE r12).
+    _FALLBACK_EXTS = (".zst", ".lz4", ".snappy", ".deflate")
+    _REJECT_EXTS = (".zip",)
 
     def ReadLines(self, path: str, n_splits: int | None = None) -> "DIA":
         """ReadLines (thrill/api/read_lines.hpp:41): order = file order.
@@ -101,14 +144,26 @@ class ThrillContext:
         silently lose the defined order (Spark packs text splits
         largest-first), which is exactly the accident this source
         exists to prevent."""
-        from thrill_spark.sources.linesource import _expand, register
+        from thrill_spark.sources.linesource import (
+            _expand,
+            register,
+            strip_file_uri,
+        )
 
         p = str(path)
         remote = "://" in p and not p.startswith("file:")
         fallback = remote
         if not remote:
-            local = p[7:] if p.startswith("file://") else p
-            files = _expand(local)
+            files = _expand(strip_file_uri(p))
+            bad = [f for f in files if f.endswith(self._REJECT_EXTS)]
+            if bad:
+                raise ValueError(
+                    f"ReadLines: {p!r} matches {len(bad)} .zip file(s); "
+                    "zip is an archive format with no Hadoop line "
+                    "codec — extract it, or re-encode the members as "
+                    "gz/bz2/xz (byte-range source) or lz4/snappy/"
+                    "deflate (Hadoop fallback)."
+                )
             fb = [f for f in files if f.endswith(self._FALLBACK_EXTS)]
             if fb and len(fb) < len(files):
                 raise ValueError(
@@ -120,6 +175,13 @@ class ThrillContext:
                     "call (per-file order) or re-encode them as "
                     "gz/bz2/xz."
                 )
+            if fb:
+                # Plan-time codec availability check: Hadoop's factory
+                # maps the extension to a codec class even when the
+                # backing native library is absent (zstd in this
+                # image), which would otherwise surface as an opaque
+                # task-time failure mid-scan.
+                _require_hadoop_codec(self.spark, fb[0])
             fallback = bool(fb)
         if fallback:
             from thrill_spark.sources.io import read_lines

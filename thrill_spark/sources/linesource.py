@@ -1,12 +1,19 @@
 """Custom Python DataSource: byte-range-split text lines.
 
-Direct parity with the reference's ReadLines
+Split parity with the reference's ReadLines
 (reference/thrill/api/read_lines.hpp): each worker receives a byte
 range [begin, end) of the file, seeks to `begin`, skips the partial
 line it landed in (the PREVIOUS range's reader owns it), and reads
 through the first newline AT-or-after `end` — every line is read
 exactly once, split points never tear a line, and no coordination is
 needed beyond the static ranges.
+
+Intentional divergence from the reference: read_lines.hpp splits on
+'\\n' ONLY (a bare '\\r' stays inside line content), while this reader
+treats CR, LF, and CRLF all as terminators — Hadoop LineRecordReader
+semantics, chosen deliberately so the facade's Hadoop fallback
+(sources.io.read_lines, used for remote URIs and non-stdlib codecs)
+yields byte-identical lines to this source on the same input.
 
 Spark 4's Python DataSource API exposes exactly the right surface:
 `partitions()` returns the byte ranges (the split planning Thrill's
@@ -30,6 +37,28 @@ class _Range(InputPartition):
         self.end = end
 
 
+def strip_file_uri(path: str) -> str:
+    """file: URI -> local filesystem path. Handles the authority form
+    (file://localhost/data/x -> /data/x) instead of silently yielding
+    the relative path 'localhost/data/x'; a non-local authority is an
+    error — this source reads the driver-local filesystem only."""
+    if path.startswith("file://"):
+        rest = path[7:]
+        if rest.startswith("/"):
+            return rest  # file:///abs — empty authority
+        auth, _, tail = rest.partition("/")
+        if auth not in ("", "localhost"):
+            raise ValueError(
+                f"file URI {path!r} names remote authority {auth!r}; "
+                "the byte-range lines source reads local files only "
+                "(use an hdfs:// or s3a:// URI for remote storage)"
+            )
+        return "/" + tail
+    if path.startswith("file:"):
+        return path[5:]
+    return path
+
+
 def _expand(path: str) -> list[str]:
     """path -> sorted file list. Accepts a single file, a directory
     (its non-hidden regular files), or a glob pattern. The SORTED
@@ -39,10 +68,7 @@ def _expand(path: str) -> list[str]:
     input files in path order)."""
     import glob as _glob
 
-    if path.startswith("file://"):
-        path = path[7:]
-    elif path.startswith("file:"):
-        path = path[5:]
+    path = strip_file_uri(path)
     if os.path.isdir(path):
         names = [
             os.path.join(path, f)

@@ -305,6 +305,58 @@ def test_read_lines_zip_rejected(ctx, tmp_path):
         ctx.ReadLines(str(tmp_path / "a.zip"))
 
 
+def test_read_lines_oversized_bz2_autosplits(ctx, tmp_path):
+    """One giant bz2 next to small plain files must NOT funnel through
+    a single whole-stream partition (VERDICT r12 #5): the facade
+    routes the read through Hadoop's splittable-bz2 scan, the bz2
+    content spans >1 partition, and the defined order (sorted-path
+    file order, stream order within each file) still holds exactly."""
+    import bz2 as _bz2
+
+    from pyspark.sql import functions as F
+
+    big_lines = [f"line-{i:06d}" for i in range(120_000)]
+    (tmp_path / "big.txt.bz2").write_bytes(
+        _bz2.compress(("\n".join(big_lines) + "\n").encode(), 1)
+    )
+    plain = []
+    for j in range(3):
+        (tmp_path / f"p{j}.txt").write_text(f"plain-{j}\n")
+        plain.append(f"plain-{j}")
+    spark = ctx.spark
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024))
+    try:
+        d = ctx.ReadLines(str(tmp_path), n_splits=8)
+        # struct(file_idx, _blk, _seq) marks the Hadoop-split route
+        assert "_blk" in d.df.schema["_ord"].dataType.fieldNames()
+        nparts = (
+            d.df.filter(F.col("_ord.file_idx") == 0)
+            .select(F.spark_partition_id().alias("pid"))
+            .distinct()
+            .count()
+        )
+        assert nparts > 1, f"bz2 content in {nparts} partition(s)"
+        got = [r["v"] for r in d.df.orderBy("_ord").collect()]
+        assert got == big_lines + plain
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_read_lines_small_bz2_keeps_byte_range_source(ctx, tmp_path):
+    """A bz2 that does NOT dominate the split plan stays on the
+    byte-range source (decompressed-offset order key)."""
+    import bz2 as _bz2
+
+    (tmp_path / "s.txt.bz2").write_bytes(_bz2.compress(b"s1\ns2\n"))
+    (tmp_path / "p.txt").write_text("p1\n" * 2000)
+    d = ctx.ReadLines(str(tmp_path), n_splits=4)
+    assert d.df.schema["_ord"].dataType.fieldNames() == ["file_idx", "offset"]
+    assert sorted(r["v"] for r in d.df.collect()) == sorted(
+        ["s1", "s2"] + ["p1"] * 2000
+    )
+
+
 def test_read_lines_file_uri_authority(ctx, tmp_path):
     """file://localhost/abs must resolve to /abs (not the relative
     path 'localhost/abs'); a remote authority is a clear error

@@ -78,6 +78,51 @@ def _require_hadoop_codec(spark: SparkSession, sample_path: str) -> None:
         )
 
 
+# A bz2 file larger than this multiple of the read's average split
+# size is "oversized": one whole-stream partition would dominate the
+# stage, so the read routes through Hadoop's splittable-bz2 scan.
+_BZ2_AUTOSPLIT_FACTOR = 4
+
+
+def _hadoop_split_lines(spark: SparkSession, files: list[str]) -> DataFrame:
+    """Splittable-codec escape hatch: scan `files` with Spark's Hadoop
+    text source (BZip2Codec block-splits large .bz2 members; plain and
+    .gz members read as usual) and rebuild the DEFINED total order the
+    byte-range source guarantees from file metadata:
+
+      _ord = struct(file_idx, _blk, _seq)
+
+    file_idx = position in the sorted path list (the ReadLines order
+    contract), _blk = _metadata.file_block_start (the Hadoop split's
+    byte offset — lines belong to the split they START in, so blocks
+    partition each file's lines in stream order), _seq =
+    monotonically_increasing_id (ascending within a split because ids
+    are (partition << 33) | row; rows of one split are read
+    sequentially). Sorting by this struct reproduces exact stream
+    order per file and sorted-path order across files, with NO extra
+    shuffle to build the key. Offsets are split-granular rather than
+    byte-exact — the trade for intra-file bz2 parallelism."""
+    m = spark.createDataFrame(
+        [(os.path.abspath(f), i) for i, f in enumerate(files)],
+        "_fp string, file_idx int",
+    )
+    return (
+        spark.read.text(files)
+        .select(
+            F.col("value").alias(V),
+            # _metadata.file_path is a URI ('file:/abs' here); join on
+            # the scheme-stripped local path
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:(//)?", ""
+            ).alias("_fp"),
+            F.col("_metadata.file_block_start").alias("_blk"),
+            F.monotonically_increasing_id().alias("_seq"),
+        )
+        .join(F.broadcast(m), "_fp")
+        .select(F.col(V), F.struct("file_idx", "_blk", "_seq").alias(ORD))
+    )
+
+
 def _exprify(f: ColFn | Column) -> Column:
     return f(F.col(V)) if callable(f) else f
 
@@ -192,8 +237,26 @@ class ThrillContext:
             )
             return DIA(df)
 
-        register(self.spark)
         n = n_splits or self.spark.sparkContext.defaultParallelism
+        # Oversized-bz2 auto-route (VERDICT r12 #5): the byte-range
+        # source reads each compressed file in ONE partition, so a
+        # single giant bz2 would funnel through one task. bz2 is the
+        # one stdlib codec Hadoop CAN block-split — when any bz2 file
+        # would dominate the split plan, serve the whole read through
+        # the Hadoop text scan instead, rebuilding the defined total
+        # order from file metadata (see _hadoop_split_lines). xz has
+        # no Hadoop codec, so a mix containing xz keeps the byte-range
+        # path (per-file parallelism).
+        if not any(f.endswith(".xz") for f in files):
+            sizes = [os.path.getsize(f) for f in files]
+            step = max(1, sum(sizes) // max(1, n))
+            if any(
+                f.endswith(".bz2") and sz > _BZ2_AUTOSPLIT_FACTOR * step
+                for f, sz in zip(files, sizes)
+            ):
+                return DIA(_hadoop_split_lines(self.spark, files))
+
+        register(self.spark)
         df = (
             self.spark.read.format("thrill_lines")
             .option("path", path)

@@ -86,3 +86,22 @@ def test_fm_locate_matches_bruteforce(spark):
         if text[i : i + len(p)] == p
     )
     assert got == want
+
+
+def test_fm_multiblock_rank_samples(spark):
+    """Texts longer than _FM_RANK_BLOCK exercise the block-sampled
+    rank probes (cum checkpoint + partial block scan) on blocks > 0 —
+    doc0 in the fixtures is shorter than one block, so the oracle
+    queries alone never leave block 0. Deterministic pseudo-random
+    text, brute-force overlapping counts as truth."""
+    import random
+
+    from thrill_spark.plans.queries_analytics import _FM_RANK_BLOCK
+
+    rng = random.Random(13)
+    text = "".join(rng.choice("abcd ") for _ in range(3 * _FM_RANK_BLOCK + 137))
+    patterns = ("ab", "cd", "a b", "dcba", "abcd", " ", "zzz")
+    df = spark.createDataFrame([(text,)], "_s string")
+    got = dict(fm_backward_count(spark, df, patterns))
+    want = {p: _brute_overlapping(text, p) for p in patterns}
+    assert got == want

@@ -1,0 +1,101 @@
+"""Pinned heavy-ratio measurement: K-fold scale ratios for the
+suffix-family heavy targets (dc7, lcs — VERDICT r12 #3/#6) with the
+same one-JVM ALTERNATING min-of-N protocol as tools/fm_ab.py.
+
+Why: single-shot `scale_check.py heavy` numbers swing ~2x between runs
+(r12 saw dc7 K=4 re-measures of 3.39-4.09 vs r11's recorded 1.63 on
+IDENTICAL code — `git diff a0c949a..r12 -- plans/algorithms.py`
+touches only pagerank/k_core). Alternating 1x,Kx,1x,Kx,... passes in
+one JVM hit both arms with the same transient phases (GC, codegen,
+host noise), and per-arm MIN drops them — the ratio of mins is the
+steady-state scale shape, which is what the 100 TB lens cares about.
+
+Usage: python tools/ratio_ab.py [K] [passes] [targets...]
+       (defaults: K=4, passes=5, targets=dc7 lcs)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from thrill_spark.session import get_spark  # noqa: E402
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    k = int(args[0]) if len(args) > 0 else 4
+    passes = int(args[1]) if len(args) > 1 else 5
+    targets = args[2:] or ["dc7", "lcs"]
+
+    from thrill_spark.plans import algorithms as A
+    from thrill_spark.plans import queries_algo as QG
+    from tools.scale_check import BASE, _dc7_chars
+
+    spark = get_spark("ratio_ab")
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+
+    def _lcs_pair(copies: int):
+        d0 = docs.filter(F.col("doc_id") == 0).select(
+            F.expr(f"repeat(text, {copies})").alias("_t0")
+        )
+        d1 = docs.filter(F.col("doc_id") == 1).select(
+            F.expr(f"repeat(text, {copies})").alias("_t1")
+        )
+        return d0, d1
+
+    def run_dc7(copies: int) -> None:
+        chars, n = _dc7_chars(spark, copies)
+        _noop(A.suffix_array_dc7(chars, n))
+
+    def run_lcs(copies: int) -> None:
+        _noop(QG.suffix_lcs_core(*_lcs_pair(copies)))
+
+    runners = {"dc7": run_dc7, "lcs": run_lcs}
+    for t in targets:
+        if t not in runners:
+            raise SystemExit(f"unknown target {t!r}; choose from {sorted(runners)}")
+
+    # untimed warmup of every arm (codegen per plan shape)
+    for t in targets:
+        for copies in (1, k):
+            runners[t](copies)
+            spark.catalog.clearCache()
+
+    best: dict[str, dict[int, float]] = {t: {} for t in targets}
+    for p in range(passes):
+        for t in targets:
+            for copies in (1, k):
+                t0 = time.perf_counter()
+                runners[t](copies)
+                dt = time.perf_counter() - t0
+                cur = best[t].get(copies)
+                if cur is None or dt < cur:
+                    best[t][copies] = dt
+                spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        print(f"pass {p + 1}/{passes} done", file=sys.stderr)
+
+    out = {}
+    for t in targets:
+        t1, tk = best[t][1], best[t][k]
+        out[t] = {
+            "t_1x_s": round(t1, 2),
+            f"t_{k}x_s": round(tk, 2),
+            "ratio": round(tk / t1, 2),
+        }
+    print(json.dumps({"k": k, "passes": passes, "min_of": out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -105,3 +105,30 @@ def test_fm_multiblock_rank_samples(spark):
     got = dict(fm_backward_count(spark, df, patterns))
     want = {p: _brute_overlapping(text, p) for p in patterns}
     assert got == want
+
+
+def test_fm_build_index_memo_and_force(spark, tmp_path, monkeypatch):
+    """fm_build_index memoizes per (sf_dir, step) scratch path —
+    count/locate reuse the materialized parquet — while force=True
+    always rebuilds (suffix_fm_build bears the full ladder cost)."""
+    import os
+
+    import thrill_spark.plans.queries_analytics as QA
+
+    sf = "/root/testdata/sf0.001"
+    QA._FM_INDEX_CACHE.clear()
+    p1, n1, ctab, cum = QA.fm_build_index(spark, sf)
+    assert os.path.exists(os.path.join(p1, "_SUCCESS"))
+    mtime = os.path.getmtime(os.path.join(p1, "_SUCCESS"))
+    # memo hit: no rebuild, same metadata objects
+    p2, n2, ctab2, _ = QA.fm_build_index(spark, sf)
+    assert p2 == p1 and n2 == n1 and ctab2 is ctab
+    assert os.path.getmtime(os.path.join(p1, "_SUCCESS")) == mtime
+    # force: rebuild in place (fresh _SUCCESS)
+    p3, n3, _, _ = QA.fm_build_index(spark, sf, force=True)
+    assert p3 == p1 and n3 == n1
+    assert os.path.getmtime(os.path.join(p1, "_SUCCESS")) >= mtime
+    # sanity: C-table intervals tile [1, n1) above the sentinel row
+    nblocks = (n1 + QA._FM_RANK_BLOCK - 1) // QA._FM_RANK_BLOCK
+    total = sum(cum[(ch, nblocks)] for ch in ctab)
+    assert total == n1

@@ -478,6 +478,9 @@ _R13_CHANGED: list[str] = [
     "suffix_fm_build",
     "suffix_fm_count_doc0",
     "suffix_fm_locate_doc0",
+    "suffix_fm_corpus_build",
+    "suffix_fm_corpus_count",
+    "suffix_fm_corpus_locate",
     "io_lz4_lines_roundtrip",
     "io_snappy_lines_roundtrip",
     "io_deflate_lines_roundtrip",

@@ -107,6 +107,10 @@ BENCH_QUERIES_V2 = [
     # parquet (the r12 pair re-ran the ladder per query).
     "suffix_fm_build",
     "suffix_fm_count_doc0",
+    # r13: generalized (multi-document) corpus FM index — build +
+    # attributed locate (the decontamination probe shape).
+    "suffix_fm_corpus_build",
+    "suffix_fm_corpus_locate",
     "suffix_lcs_doc01",
     "suffix_lcp_partnames",
     "suffix_wavelet_partnames",

@@ -780,6 +780,19 @@ def fm_build_index(
     # n+1 from the single text row — counting the exploded char table
     # would re-run the full explode as a separate job
     n1 = int(s.select(F.length("_s").alias("n")).first()["n"])
+    ctab, cum = _fm_materialize(spark, base, chars, n1, step)
+    _FM_INDEX_CACHE[base] = (n1, ctab, cum)
+    return idx_path, n1, ctab, cum
+
+
+def _fm_materialize(
+    spark: SparkSession, base: str, chars: DataFrame, n1: int, step: int
+) -> tuple[dict[str, int], dict[tuple[str, int], int]]:
+    """Suffix-sort a prepared (pos, ch) char table (last position =
+    sentinel) and write the fused SA+BWT index plus rank samples under
+    `base`; returns the rolled-up (ctab, cum) driver dicts. Shared by
+    the doc0 and corpus builds."""
+    idx_path = os.path.join(base, "idx")
     ranked = A.suffix_array(chars, n1, step=step)
     prev = chars.select((F.col("pos") + 1).alias("pos"), F.col("ch").alias("_prev"))
     idx = ranked.join(prev, "pos", "left").select(
@@ -806,9 +819,7 @@ def fm_build_index(
         .write.mode("overwrite")
         .parquet(smp_path)
     )
-    ctab, cum = _fm_samples_rollup(spark.read.parquet(smp_path).collect(), n1)
-    _FM_INDEX_CACHE[base] = (n1, ctab, cum)
-    return idx_path, n1, ctab, cum
+    return _fm_samples_rollup(spark.read.parquet(smp_path).collect(), n1)
 
 
 def _fm_load_index(
@@ -940,6 +951,236 @@ def q_fm_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p, (lo, hi) in state.items():
         rows.append((f"P:{p}", lo, hi))
     return spark.createDataFrame(rows, "item string, lo long, hi long")
+
+
+# ---------------------------------------------------------------------------
+# Generalized (multi-document) FM index (r13): the corpus-level
+# extension of the doc0 family — one materialized index over the
+# doc_id-ordered concatenation lower(text_i) + sentinel, built once
+# and consumed by count/locate with DOCUMENT ATTRIBUTION. This is the
+# lookup structure a decontamination / attribution pipeline queries
+# ("which training documents contain this eval substring, and
+# where?"): dedup_exact_substr_sa profiles ALL duplicated substrings
+# corpus-wide; this answers arbitrary pattern probes against a
+# persisted index without touching the text. The per-doc sentinel is
+# smaller than every text character, so (a) matches can never span
+# documents and (b) the D sentinel-led suffixes occupy exactly ranks
+# [0, D) — which keeps the backward search AND the SQL oracle's
+# direct per-document suffix comparison exact.
+# ---------------------------------------------------------------------------
+_FM_CORPUS_DOCS = 128
+
+
+def fm_build_corpus_index(
+    spark: SparkSession, sf_dir: str, n_docs: int | None = None,
+    step: int | None = None, force: bool = False,
+) -> tuple[str, str, int, dict[str, int], dict[tuple[str, int], int]]:
+    """Build-once generalized FM index over the doc_id < n_docs corpus:
+    per-doc offsets via a distributed exclusive prefix-sum over
+    sentinel-terminated lengths, chunked char explode (no document
+    funnels through one task), then the shared _fm_materialize
+    (SA+BWT idx parquet + rank samples). Also writes the per-document
+    offset table (doc_id, _off, _len) the locate query attributes
+    matches with. Returns (idx_path, offs_path, n1, ctab, cum);
+    memoized like fm_build_index."""
+    from thrill_spark import ordering as O
+
+    n_docs = _FM_CORPUS_DOCS if n_docs is None else n_docs
+    step = _FM_SA_STEP if step is None else step
+    tag = "fm_corpus_{}_d{}_s{}".format(
+        os.path.basename(os.path.abspath(sf_dir).rstrip("/")), n_docs, step
+    )
+    base = scratch_dir(spark, tag)
+    idx_path = os.path.join(base, "idx")
+    offs_path = os.path.join(base, "offsets")
+    cached = _FM_INDEX_CACHE.get(base)
+    if (
+        cached is not None
+        and not force
+        and os.path.exists(os.path.join(idx_path, "_SUCCESS"))
+    ):
+        return (idx_path, offs_path, *cached)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < n_docs)
+        .select(
+            "doc_id",
+            F.concat(F.lower(F.col("text")), F.lit(_FM_SENTINEL)).alias("_s"),
+        )
+    )
+    lens = docs.select("doc_id", F.length("_s").alias("_slen"))
+    offs = O.prefix_sum(lens, ["doc_id"], "_slen", name="_soff", exclusive=True)
+    chars = A.chunked_chars(
+        docs.join(offs.select("doc_id", "_soff"), "doc_id"),
+        text_col="_s",
+        off_col="_soff",
+    )
+    # total chars from the tiny offsets table (one scalar aggregate),
+    # never a throwaway count over the exploded char table
+    n1 = int(
+        offs.agg(F.max(F.col("_soff") + F.col("_slen")).alias("_n")).first()["_n"]
+        or 0
+    )
+    # offsets for attribution: _off/_len cover the TEXT only (the
+    # sentinel at _off+_len can never be inside a match)
+    (
+        offs.select(
+            "doc_id",
+            F.col("_soff").alias("_off"),
+            (F.col("_slen") - 1).alias("_len"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(offs_path)
+    )
+    ctab, cum = _fm_materialize(spark, base, chars, n1, step)
+    _FM_INDEX_CACHE[base] = (n1, ctab, cum)
+    return idx_path, offs_path, n1, ctab, cum
+
+
+def _fm_load_corpus_index(spark: SparkSession, sf_dir: str):
+    idx_path, offs_path, n1, ctab, cum = fm_build_corpus_index(spark, sf_dir)
+    return (
+        spark.read.parquet(idx_path),
+        spark.read.parquet(offs_path),
+        n1,
+        ctab,
+        cum,
+    )
+
+
+_SQL_FM_CORPUS_POS = f"""
+    d AS (SELECT doc_id, lower(text) AS txt FROM documents
+          WHERE doc_id < {_FM_CORPUS_DOCS}),
+    pos AS (SELECT doc_id, txt, unnest(generate_series(1, length(txt))) AS i
+            FROM d),
+    pats(pattern) AS (VALUES {", ".join(f"('{p}')" for p in _FM_PATTERNS)})
+"""
+
+
+def _sql_fm_corpus_build() -> str:
+    # Same verification surface as the doc0 build, generalized: the D
+    # sentinel-led suffixes occupy ranks [0, D); a text suffix sorts
+    # below pattern P iff its |P|-char in-document slice does (a slice
+    # that is a proper prefix of P continues with the sentinel, which
+    # is smaller than every pattern character — exactly the order the
+    # SQL string comparison assigns the shorter prefix).
+    return f"""
+    WITH {_SQL_FM_CORPUS_POS},
+    nd AS (SELECT COUNT(*) AS d FROM d),
+    freq AS (SELECT substr(txt, i, 1) AS ch, COUNT(*) AS n FROM pos GROUP BY 1),
+    cum AS (SELECT ch, n,
+            (SELECT d FROM nd) + COALESCE(SUM(n) OVER (ORDER BY ch
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+            FROM freq),
+    pr AS (SELECT pattern,
+             (SELECT d FROM nd) +
+             COUNT(CASE WHEN substr(txt, i, length(pattern)) < pattern
+                        THEN 1 END) AS lo,
+             COUNT(CASE WHEN substr(txt, i, length(pattern)) = pattern
+                        THEN 1 END) AS n
+           FROM pos CROSS JOIN pats GROUP BY pattern)
+    SELECT 'C:<s>' AS item, CAST(0 AS BIGINT) AS lo,
+           CAST((SELECT d FROM nd) AS BIGINT) AS hi
+    UNION ALL
+    SELECT 'C:' || ch, CAST(lo AS BIGINT), CAST(lo + n AS BIGINT) FROM cum
+    UNION ALL
+    SELECT 'P:' || pattern, CAST(lo AS BIGINT), CAST(lo + n AS BIGINT) FROM pr
+    UNION ALL
+    SELECT 'N', CAST(0 AS BIGINT),
+           CAST((SELECT SUM(length(txt)) FROM d) + (SELECT d FROM nd)
+                AS BIGINT)
+    """
+
+
+@query("suffix_fm_corpus_build", _sql_fm_corpus_build())
+def q_fm_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the generalized corpus FM index (ALWAYS a fresh
+    build; corpus count/locate consume the parquet it wrote) and emit
+    its search surface: C-table occupancy intervals (sentinel row =
+    [0, D)), per-pattern rank ranges, and the index size row. The
+    oracle re-derives every value by direct per-document suffix
+    comparison, certifying the generalized SA order, the BWT rank
+    samples, and the separator discipline end-to-end."""
+    idx_path, _, n1, ctab, cum = fm_build_corpus_index(spark, sf_dir, force=True)
+    idx_df = spark.read.parquet(idx_path)
+    nblocks = (n1 + _FM_RANK_BLOCK - 1) // _FM_RANK_BLOCK
+    rows: list[tuple[str, int, int]] = [("N", 0, n1)]
+    for ch, lo in ctab.items():
+        label = "<s>" if ch == _FM_SENTINEL else ch
+        rows.append((f"C:{label}", lo, lo + cum[(ch, nblocks)]))
+    state = _fm_backward_search(idx_df, ctab, cum, n1, _FM_PATTERNS)
+    for p, (lo, hi) in state.items():
+        rows.append((f"P:{p}", lo, hi))
+    return spark.createDataFrame(rows, "item string, lo long, hi long")
+
+
+@query(
+    "suffix_fm_corpus_count",
+    f"""
+    WITH {_SQL_FM_CORPUS_POS}
+    SELECT pattern,
+           COUNT(CASE WHEN substr(txt, i, length(pattern)) = pattern
+                      THEN 1 END) AS n_occ
+    FROM pos CROSS JOIN pats GROUP BY pattern
+    """,
+)
+def q_fm_corpus_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide occurrence counts from the materialized generalized
+    index — backward search only, no text scan. The position-scan
+    oracle is exact for ANY pattern (overlapping occurrences have
+    distinct start positions, so no border restriction applies)."""
+    idx_df, _, n1, ctab, cum = _fm_load_corpus_index(spark, sf_dir)
+    state = _fm_backward_search(idx_df, ctab, cum, n1, _FM_PATTERNS)
+    rows = [(p, max(hi - lo, 0)) for p, (lo, hi) in state.items()]
+    return spark.createDataFrame(rows, "pattern string, n_occ long")
+
+
+@query(
+    "suffix_fm_corpus_locate",
+    f"""
+    WITH {_SQL_FM_CORPUS_POS}
+    SELECT pattern, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(i - 1 AS BIGINT) AS pos
+    FROM pos CROSS JOIN pats
+    WHERE substr(txt, i, length(pattern)) = pattern
+    """,
+)
+def q_fm_corpus_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus locate WITH document attribution: backward search over
+    the materialized generalized index narrows each pattern to its
+    rank range, a literal-predicate scan of the rank-sorted index
+    emits the matching global positions, and the chunk-keyed
+    _label_doc equi-join (the same corpus-scale shape ExactSubstr
+    uses — never a broadcast range join over the document table)
+    converts them to (doc_id, in-document position). This is the
+    decontamination probe: 'which documents contain this string, and
+    where'."""
+    from thrill_spark.plans.queries_algo import _label_doc
+
+    idx_df, offs, n1, ctab, cum = _fm_load_corpus_index(spark, sf_dir)
+    ranges = _fm_backward_search(idx_df, ctab, cum, n1, _FM_PATTERNS)
+    live = [(p, lo, hi) for p, (lo, hi) in ranges.items() if hi > lo]
+    if not live:
+        return spark.createDataFrame([], "pattern string, doc_id long, pos long")
+    flt = None
+    for _, lo, hi in live:
+        cnd = (F.col("rank") >= lo) & (F.col("rank") < hi)
+        flt = cnd if flt is None else (flt | cnd)
+    rdf = spark.createDataFrame(live, "pattern string, _lo long, _hi long")
+    hits = (
+        idx_df.filter(flt)
+        .join(
+            F.broadcast(rdf),
+            (F.col("rank") >= F.col("_lo")) & (F.col("rank") < F.col("_hi")),
+        )
+        .select("pattern", "pos")
+    )
+    return _label_doc(hits, offs).select(
+        "pattern",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("pos") - F.col("_off")).cast("long").alias("pos"),
+    )
 
 
 # ---------------------------------------------------------------------------

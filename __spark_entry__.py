@@ -491,6 +491,72 @@ _DRIVER_WINDOW_PRIORITY = (
 )[:50]
 assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
 
+# Round-14 rotation, PRE-STAGED as code (the r8/r10/r12 discipline — a
+# short or zero-turn round must not drop the cadence): the 50 stalest
+# names assuming the r13 window verifies — computed from
+# CORRECTNESS_r01..r12 as max green round per name with the staged r13
+# window counted as 13. That is the r6 tail (the events sketch/stream/
+# funnel family plus the nine names the r13 changed-queries push
+# displaced) and the oldest r8 names. At round-14 start the ONLY
+# required edit is _DRIVER_WINDOW_PRIORITY = <r14-changed names> +
+# _R14_WINDOW fill, recomputed against CORRECTNESS_r13 if the r13
+# gate differed.
+_R14_WINDOW = [
+    # last driver-verified r6
+    "dedup_fuzzy_levenshtein",
+    "dedup_ngram_cover",
+    "dedup_simhash_hamming",
+    "events_ab_experiment",
+    "events_anomaly_mad",
+    "events_attribution_first_touch",
+    "events_attribution_last_touch",
+    "events_attribution_linear",
+    "events_burst_detection",
+    "events_cms_frequency",
+    "events_conversion_latency",
+    "events_decay_counters",
+    "events_funnel_in_session",
+    "events_funnel_view_click_purchase",
+    "events_gap_fill",
+    "events_gaps_and_islands",
+    "events_histogram_quantile",
+    "events_hll_mergeable",
+    "events_incremental_rollup",
+    "events_kmv_sketch",
+    "events_markov_transitions",
+    "events_rolling_hour_counts",
+    "events_seasonality_profile",
+    "events_session_window_builtin",
+    "events_sessionize_capped",
+    "events_sliding_distinct_users",
+    "events_stream_enrich",
+    "events_stream_outer_join",
+    "events_stream_restart_exactly_once",
+    "events_stream_sessionize",
+    "events_stream_upsert",
+    "events_time_weighted_avg",
+    "events_top_types_per_hour",
+    "events_user_retention",
+    "events_watermark_lateness",
+    "fn_generators",
+    "multimodal_silence_segments",
+    "similarity_pq_ann",
+    "text_gopher_gate",
+    # last driver-verified r8
+    "asof_join_next_click",
+    "asof_join_purchase_click",
+    "graph_degree_distribution",
+    "graph_link_prediction",
+    "interval_join_promotions",
+    "io_compact_small_files",
+    "io_csv_corrupt_records",
+    "io_datasource_wordcount",
+    "io_dynamic_partition_pruning",
+    "io_manifest_roundtrip",
+    "io_python_datasource_lines",
+]
+assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
+
 
 def _ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Tolerate priority names that land later in the round; the window

@@ -11,7 +11,8 @@ host noise), and per-arm MIN drops them — the ratio of mins is the
 steady-state scale shape, which is what the 100 TB lens cares about.
 
 Usage: python tools/ratio_ab.py [K] [passes] [targets...]
-       (defaults: K=4, passes=5, targets=dc7 lcs)
+       (defaults: K=4, passes=5, targets=dc7 lcs; also: fmc = the r13
+       corpus FM build at 1x vs Kx documents)
 """
 
 from __future__ import annotations
@@ -61,7 +62,18 @@ def main() -> None:
     def run_lcs(copies: int) -> None:
         _noop(QG.suffix_lcs_core(*_lcs_pair(copies)))
 
-    runners = {"dc7": run_dc7, "lcs": run_lcs}
+    def run_fmc(copies: int) -> None:
+        # Corpus FM build at 1x vs Kx documents (fresh build each
+        # arm: force + distinct n_docs -> distinct scratch path). The
+        # build is the scale-bearing stage of the r13 corpus family;
+        # count/locate are rank probes independent of corpus size.
+        from thrill_spark.plans import queries_analytics as QA
+
+        QA.fm_build_corpus_index(
+            spark, BASE, n_docs=QA._FM_CORPUS_DOCS * copies, force=True
+        )
+
+    runners = {"dc7": run_dc7, "lcs": run_lcs, "fmc": run_fmc}
     for t in targets:
         if t not in runners:
             raise SystemExit(f"unknown target {t!r}; choose from {sorted(runners)}")

@@ -132,3 +132,29 @@ def test_fm_build_index_memo_and_force(spark, tmp_path, monkeypatch):
     nblocks = (n1 + QA._FM_RANK_BLOCK - 1) // QA._FM_RANK_BLOCK
     total = sum(cum[(ch, nblocks)] for ch in ctab)
     assert total == n1
+
+
+def test_fm_empty_range_is_insertion_point(spark):
+    """An absent pattern's [lo, hi) must collapse to its true SA
+    INSERTION POINT (the count of suffixes sorting below it), not
+    freeze at whatever rank the interval died at — L(c.q) = C[c] +
+    rank(c, L(q)) holds for empty intervals too. sf0.1 regression:
+    'the' never occurs in doc0 there, and the frozen value diverged
+    from the build oracle's direct-suffix-scan count."""
+    from thrill_spark.plans.algorithms import chunked_chars
+    from thrill_spark.plans.queries_analytics import (
+        _FM_SENTINEL,
+        fm_backward_ranges,
+    )
+
+    text = "banana"
+    # absent patterns with present prefixes/suffixes, and absent chars
+    patterns = ("bax", "nb", "zz", "ana", "q", "banana")
+    df = spark.createDataFrame([(text + _FM_SENTINEL,)], "_s string")
+    chars = chunked_chars(df, text_col="_s", chunk=4)
+    ranges, _ = fm_backward_ranges(spark, chars, len(text) + 1, patterns)
+    suffixes = sorted(text[i:] + _FM_SENTINEL for i in range(len(text) + 1))
+    for p, (lo, hi) in ranges.items():
+        want_lo = sum(1 for s in suffixes if s < p)
+        want_n = sum(1 for s in suffixes if s.startswith(p))
+        assert (lo, hi) == (want_lo, want_lo + want_n), p

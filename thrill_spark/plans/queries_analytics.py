@@ -646,24 +646,39 @@ def _fm_backward_search(
     aggregate scan whose filter is a pure LITERAL predicate — over the
     materialized parquet index (rank-sorted row groups) that predicate
     prunes to the probed blocks, so a probe reads ~B rows, not the
-    rank-i prefix. Loop length = max pattern length, never data size."""
+    rank-i prefix. Loop length = max pattern length, never data size.
+
+    EMPTY intervals keep stepping: L(c.q) = C[c] + rank(c, L(q)) holds
+    whether or not the interval is empty, so a collapsed [x, x)
+    converges to the pattern's true SA INSERTION POINT — the value the
+    build queries' direct-suffix-scan oracle computes for an absent
+    pattern (freezing at the collapse step emitted whatever rank the
+    range died at, which diverged at sf0.1 where 'the' never occurs in
+    doc0). A character absent from the text collapses the interval to
+    C*(c) = #suffixes starting below c = the next existing char's
+    C-table start."""
+    import bisect
+
     state: dict[str, tuple[int, int]] = {p: (0, n1) for p in patterns}
     max_len = max(len(p) for p in patterns)
     B = _FM_RANK_BLOCK
+    alphabet = sorted(ctab)
     for j in range(1, max_len + 1):
         # Explicit (pattern, char, lo, hi) step tuples — lo/hi stay
         # paired with their pattern end-to-end.
         steps: list[tuple[str, str, int, int]] = []
         for p, (lo, hi) in state.items():
-            if j > len(p) or lo >= hi:
+            if j > len(p):
                 continue
             c = p[len(p) - j]
             if c not in ctab:
-                state[p] = (0, 0)
+                k = bisect.bisect_left(alphabet, c)
+                x = n1 if k == len(alphabet) else ctab[alphabet[k]]
+                state[p] = (x, x)
                 continue
             steps.append((p, c, lo, hi))
         if not steps:
-            break
+            continue
         need: list[tuple[str, int]] = []
         for p, c, lo, hi in steps:
             for i in (lo, hi):

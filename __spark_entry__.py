@@ -481,6 +481,7 @@ _R13_CHANGED: list[str] = [
     "suffix_fm_corpus_build",
     "suffix_fm_corpus_count",
     "suffix_fm_corpus_locate",
+    "suffix_fm_decontaminate",
     "io_lz4_lines_roundtrip",
     "io_snappy_lines_roundtrip",
     "io_deflate_lines_roundtrip",

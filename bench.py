@@ -111,6 +111,7 @@ BENCH_QUERIES_V2 = [
     # attributed locate (the decontamination probe shape).
     "suffix_fm_corpus_build",
     "suffix_fm_corpus_locate",
+    "suffix_fm_decontaminate",
     "suffix_lcs_doc01",
     "suffix_lcp_partnames",
     "suffix_wavelet_partnames",

@@ -1198,6 +1198,96 @@ def q_fm_corpus_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FM_EVAL_LO, _FM_EVAL_HI = 400, 408  # held-out "eval" documents
+_FM_EVAL_LEN = 8  # probe substring length (chars 11..18 of each)
+
+
+@query(
+    "suffix_fm_decontaminate",
+    f"""
+    WITH {_SQL_FM_CORPUS_POS},
+    ev AS (SELECT doc_id AS eval_id, substr(lower(text), 11, {_FM_EVAL_LEN}) AS pat
+           FROM documents
+           WHERE doc_id >= {_FM_EVAL_LO} AND doc_id < {_FM_EVAL_HI}
+             AND length(substr(lower(text), 11, {_FM_EVAL_LEN})) = {_FM_EVAL_LEN}),
+    hits AS (SELECT ev.eval_id, pos.doc_id
+             FROM pos JOIN ev ON substr(pos.txt, pos.i, {_FM_EVAL_LEN}) = ev.pat),
+    cnt AS (SELECT eval_id, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+            FROM hits GROUP BY eval_id)
+    SELECT ev.eval_id,
+           CAST(COALESCE(cnt.n_occ, 0) AS BIGINT) AS n_occ,
+           CAST(COALESCE(cnt.n_docs, 0) AS BIGINT) AS n_docs
+    FROM ev LEFT JOIN cnt USING (eval_id)
+    """,
+)
+def q_fm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination probe with DATA-DRIVEN patterns: substrings of
+    held-out 'eval' documents (doc_id 400-407) are searched against
+    the materialized corpus FM index (the doc_id<128 'training set'),
+    emitting per eval probe its total occurrence count and the number
+    of distinct training documents hit — the contamination report a
+    curation pipeline acts on, answered from the persisted index
+    without scanning the training text. The eval set is bounded by
+    definition (one collect of 8 probe strings); occurrence counts
+    come straight from the backward-search ranges and the distinct-doc
+    counts from one literal-pruned index scan attributed by the
+    chunk-keyed _label_doc equi-join. Zero-hit probes exercise the
+    empty-interval insertion-point path and still emit (eval_id, 0, 0)
+    rows. Oracle: direct substring scan of the same corpus."""
+    from thrill_spark.plans.queries_algo import _label_doc
+
+    idx_df, offs, n1, ctab, cum = _fm_load_corpus_index(spark, sf_dir)
+    ev = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") >= _FM_EVAL_LO) & (F.col("doc_id") < _FM_EVAL_HI)
+        )
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.substring(F.lower(F.col("text")), 11, _FM_EVAL_LEN).alias("pat"),
+        )
+        .filter(F.length("pat") == _FM_EVAL_LEN)
+        .collect()
+    )
+    patterns = tuple({r["pat"] for r in ev})
+    state = (
+        _fm_backward_search(idx_df, ctab, cum, n1, patterns) if patterns else {}
+    )
+    live = [(p, lo, hi) for p, (lo, hi) in state.items() if hi > lo]
+    if live:
+        flt = None
+        for _, lo, hi in live:
+            cnd = (F.col("rank") >= lo) & (F.col("rank") < hi)
+            flt = cnd if flt is None else (flt | cnd)
+        rdf = spark.createDataFrame(live, "pat string, _lo long, _hi long")
+        hits = (
+            idx_df.filter(flt)
+            .join(
+                F.broadcast(rdf),
+                (F.col("rank") >= F.col("_lo")) & (F.col("rank") < F.col("_hi")),
+            )
+            .select("pat", "pos")
+        )
+        ndocs = {
+            r["pat"]: r["nd"]
+            for r in _label_doc(hits, offs)
+            .groupBy("pat")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .collect()
+        }
+    else:
+        ndocs = {}
+    rows = [
+        (
+            r["eval_id"],
+            max(state[r["pat"]][1] - state[r["pat"]][0], 0),
+            ndocs.get(r["pat"], 0),
+        )
+        for r in ev
+    ]
+    return spark.createDataFrame(rows, "eval_id long, n_occ long, n_docs long")
+
+
 # ---------------------------------------------------------------------------
 # A-Priori rung 2: candidate TRIPLES generated from frequent pairs
 # (join L2 with itself on the shared first item, prune by the

@@ -504,6 +504,7 @@ assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
 # gate differed.
 _R14_WINDOW = [
     # last driver-verified r6
+    "corpus_temperature_mix",
     "dedup_fuzzy_levenshtein",
     "dedup_ngram_cover",
     "dedup_simhash_hamming",
@@ -554,7 +555,6 @@ _R14_WINDOW = [
     "io_datasource_wordcount",
     "io_dynamic_partition_pruning",
     "io_manifest_roundtrip",
-    "io_python_datasource_lines",
 ]
 assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
 

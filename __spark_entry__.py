@@ -487,10 +487,10 @@ _R13_CHANGED: list[str] = [
     "io_deflate_lines_roundtrip",
 ]
 
-_DRIVER_WINDOW_PRIORITY = (
+_DRIVER_WINDOW_PRIORITY_R13 = (
     _R13_CHANGED + [n for n in _R13_WINDOW if n not in _R13_CHANGED]
 )[:50]
-assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
+assert len(_DRIVER_WINDOW_PRIORITY_R13) == 50, len(_DRIVER_WINDOW_PRIORITY_R13)
 
 # Round-14 rotation, PRE-STAGED as code (the r8/r10/r12 discipline — a
 # short or zero-turn round must not drop the cadence): the 50 stalest
@@ -557,6 +557,32 @@ _R14_WINDOW = [
     "io_manifest_roundtrip",
 ]
 assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
+
+# Queries whose CODE PATH changes in round 14 lead the window (same
+# discipline as _R12_CHANGED/_R13_CHANGED). The FM family changes via
+# (a) the distributed rank-checkpoint gate + always-written cum
+# parquet in _fm_materialize (VERDICT r13 #3), (b) the set-scale
+# DataFrame backward search that generalizes suffix_fm_decontaminate
+# to 64 probes (VERDICT r13 #4), and (c) the ADVICE cache-key fix
+# (abspath hash in the scratch tag). io_bz2_autosplit_roundtrip is
+# new (VERDICT r13 #5): the oversized-bz2 Hadoop auto-route proven
+# end-to-end as an oracle row, which also re-verifies the ADVICE
+# url-encoded-metadata-path fix in _hadoop_split_lines.
+_R14_CHANGED: list[str] = [
+    "suffix_fm_decontaminate",
+    "suffix_fm_corpus_build",
+    "suffix_fm_corpus_count",
+    "suffix_fm_corpus_locate",
+    "suffix_fm_build",
+    "suffix_fm_count_doc0",
+    "suffix_fm_locate_doc0",
+    "io_bz2_autosplit_roundtrip",
+]
+
+_DRIVER_WINDOW_PRIORITY = (
+    _R14_CHANGED + [n for n in _R14_WINDOW if n not in _R14_CHANGED]
+)[:50]
+assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
 
 
 def _ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

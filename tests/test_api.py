@@ -343,6 +343,83 @@ def test_read_lines_oversized_bz2_autosplits(ctx, tmp_path):
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
 
+def test_read_lines_autosplit_uri_escaped_paths(ctx, tmp_path):
+    """Auto-route input files whose names need URI escaping (space,
+    '%') or that Java leaves raw ('+'): _metadata.file_path is
+    percent-encoded, so the pre-fix abspath equi-join dropped ALL of
+    their lines silently (ADVICE r13). The Python-side keys are now
+    quoted to match, and any residual mismatch raises instead of
+    dropping."""
+    import bz2 as _bz2
+
+    big_lines = [f"esc-{i:06d}" for i in range(120_000)]
+    (tmp_path / "a big %file+x.txt.bz2").write_bytes(
+        _bz2.compress(("\n".join(big_lines) + "\n").encode(), 1)
+    )
+    (tmp_path / "z plain%2.txt").write_text("tail-0\ntail-1\n")
+    spark = ctx.spark
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024))
+    try:
+        d = ctx.ReadLines(str(tmp_path), n_splits=8)
+        assert "_blk" in d.df.schema["_ord"].dataType.fieldNames()
+        got = [r["v"] for r in d.df.orderBy("_ord").collect()]
+        assert got == big_lines + ["tail-0", "tail-1"]
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_codec_probe_per_extension(ctx, tmp_path):
+    """A directory mixing fallback codecs must probe EVERY distinct
+    extension: with lz4 available and zstd native missing, the mix
+    must fail on the zst member at plan time (ADVICE r13)."""
+    import pytest as _pytest
+
+    import thrill_spark.api as api
+
+    (tmp_path / "a.txt.lz4").write_bytes(b"\x04\x22\x4d\x18")
+    (tmp_path / "b.txt.zst").write_bytes(b"\x28\xb5\x2f\xfd")
+    api._HADOOP_CODEC_OK.pop(".zst", None)
+    try:
+        api._require_hadoop_codec(ctx.spark, "probe.zst")
+        _pytest.skip("native zstd available in this runtime")
+    except ValueError:
+        pass
+    with _pytest.raises(ValueError, match="unavailable in this runtime"):
+        ctx.ReadLines(str(tmp_path))
+
+
+def test_codec_probe_does_not_cache_transient_failures(ctx):
+    """Definitive outcomes (codec-missing / native-missing / OK) are
+    cached; any other exception re-probes next call (ADVICE r13)."""
+    import thrill_spark.api as api
+
+    api._HADOOP_CODEC_OK.pop(".lz4", None)
+    real_jvm = ctx.spark._jvm
+
+    class _Boom:
+        def __getattr__(self, name):
+            raise RuntimeError("transient py4j hiccup")
+
+    class _FakeSpark:
+        _jvm = _Boom()
+
+        @property
+        def _jsc(self):
+            raise RuntimeError("transient py4j hiccup")
+
+    try:
+        api._require_hadoop_codec(_FakeSpark(), "probe.lz4")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    assert ".lz4" not in api._HADOOP_CODEC_OK, "transient failure was cached"
+    # a real probe now succeeds and caches the definitive OK
+    api._require_hadoop_codec(ctx.spark, "probe.lz4")
+    assert api._HADOOP_CODEC_OK.get(".lz4", "missing") is None
+    assert real_jvm is ctx.spark._jvm
+
+
 def test_read_lines_small_bz2_keeps_byte_range_source(ctx, tmp_path):
     """A bz2 that does NOT dominate the split plan stays on the
     byte-range source (decompressed-offset order key)."""

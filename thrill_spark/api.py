@@ -55,6 +55,7 @@ def _require_hadoop_codec(spark: SparkSession, sample_path: str) -> None:
     ext = os.path.splitext(sample_path)[1]
     if ext not in _HADOOP_CODEC_OK:
         err: str | None
+        definitive = True
         try:
             jvm = spark._jvm
             factory = jvm.org.apache.hadoop.io.compress.CompressionCodecFactory(
@@ -68,8 +69,15 @@ def _require_hadoop_codec(spark: SparkSession, sample_path: str) -> None:
                 err = None
         except Exception as ex:  # noqa: BLE001 — py4j raises loosely
             err = str(ex).splitlines()[-1][:200]
-        _HADOOP_CODEC_OK[ext] = err
-    err = _HADOOP_CODEC_OK[ext]
+            # Only a missing-native-library failure is a property of
+            # the runtime; any other exception (a transient py4j/JVM
+            # hiccup) must not poison the cache for the process
+            # lifetime (ADVICE r13).
+            definitive = "native" in err.lower()
+        if err is None or definitive:
+            _HADOOP_CODEC_OK[ext] = err
+    else:
+        err = _HADOOP_CODEC_OK[ext]
     if err is not None:
         raise ValueError(
             f"ReadLines: codec for {ext!r} is unavailable in this "
@@ -102,24 +110,58 @@ def _hadoop_split_lines(spark: SparkSession, files: list[str]) -> DataFrame:
     order per file and sorted-path order across files, with NO extra
     shuffle to build the key. Offsets are split-granular rather than
     byte-exact — the trade for intra-file bz2 parallelism."""
+    from urllib.parse import quote
+
+    # _metadata.file_path is URI-percent-encoded (probed on this
+    # runtime: space -> %20, '%' -> %25, '+' stays raw — Java URI
+    # path-component rules). Encode the Python-side keys the same way
+    # (quote with the RFC 3986 path safe set) rather than url_decode
+    # the metadata column: Java URLDecoder semantics would turn a
+    # literal '+' into a space and silently drop that file's lines
+    # (ADVICE r13). The join is a LEFT join from the lines side with a
+    # runtime raise on any unmatched path, so an encoding mismatch can
+    # never silently drop lines again.
     m = spark.createDataFrame(
-        [(os.path.abspath(f), i) for i, f in enumerate(files)],
+        [
+            (quote(os.path.abspath(f), safe="/!$&'()*+,;=:@"), i)
+            for i, f in enumerate(files)
+        ],
         "_fp string, file_idx int",
     )
     return (
         spark.read.text(files)
         .select(
             F.col("value").alias(V),
-            # _metadata.file_path is a URI ('file:/abs' here); join on
-            # the scheme-stripped local path
+            # 'file:/abs' on this runtime; strip the scheme on the
+            # metadata side, keep the percent-encoding.
             F.regexp_replace(
                 F.col("_metadata.file_path"), "^file:(//)?", ""
             ).alias("_fp"),
             F.col("_metadata.file_block_start").alias("_blk"),
             F.monotonically_increasing_id().alias("_seq"),
         )
-        .join(F.broadcast(m), "_fp")
-        .select(F.col(V), F.struct("file_idx", "_blk", "_seq").alias(ORD))
+        .join(F.broadcast(m), "_fp", "left")
+        .select(
+            F.col(V),
+            F.struct(
+                F.when(
+                    F.col("file_idx").isNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "ReadLines bz2 auto-route: metadata path "
+                                "matched no input file (encoding drift): "
+                            ),
+                            F.col("_fp"),
+                        )
+                    ).cast("int"),
+                )
+                .otherwise(F.col("file_idx"))
+                .alias("file_idx"),
+                F.col("_blk"),
+                F.col("_seq"),
+            ).alias(ORD),
+        )
     )
 
 
@@ -188,7 +230,22 @@ class ThrillContext:
         everything to the fallback: multi-split plain files would
         silently lose the defined order (Spark packs text splits
         largest-first), which is exactly the accident this source
-        exists to prevent."""
+        exists to prevent.
+
+        Oversized-bz2 auto-route divergences (ADVICE r13): when any
+        .bz2 file exceeds _BZ2_AUTOSPLIT_FACTOR x the read's average
+        split size, the whole read is served by Hadoop's splittable
+        bz2 scan instead of the byte-range source. On that route (a)
+        an explicit n_splits is ADVISORY ONLY — Hadoop's split
+        planner governs via spark.sql.files.maxPartitionBytes
+        (honoring n_splits through the session conf would be unsafe:
+        the returned DataFrame is lazy and file splits are planned at
+        action time, so a scoped set/restore here would not cover the
+        actual scan); and (b) the _ord schema is struct(file_idx,
+        _blk, _seq) — split-granular stream order — instead of the
+        byte-exact struct(file_idx, offset). Both orders sort to the
+        same line sequence (io_bz2_autosplit_roundtrip proves it
+        end-to-end)."""
         from thrill_spark.sources.linesource import (
             _expand,
             register,
@@ -225,8 +282,14 @@ class ThrillContext:
                 # maps the extension to a codec class even when the
                 # backing native library is absent (zstd in this
                 # image), which would otherwise surface as an opaque
-                # task-time failure mid-scan.
-                _require_hadoop_codec(self.spark, fb[0])
+                # task-time failure mid-scan. One sample per DISTINCT
+                # extension — a directory mixing .lz4 with .zst must
+                # fail on the zst member, not pass on the lz4 one
+                # (ADVICE r13).
+                for ext in sorted({os.path.splitext(f)[1] for f in fb}):
+                    _require_hadoop_codec(
+                        self.spark, next(f for f in fb if f.endswith(ext))
+                    )
             fallback = bool(fb)
         if fallback:
             from thrill_spark.sources.io import read_lines

@@ -752,6 +752,19 @@ def fm_backward_ranges(
 _FM_INDEX_CACHE: dict[str, tuple[int, dict, dict]] = {}
 
 
+def _fm_dir_tag(sf_dir: str) -> str:
+    """Scratch-tag component for an input directory: basename PLUS a
+    short hash of the absolute path, so two different sf_dirs sharing
+    a basename (e.g. /a/sf0.1 and /b/sf0.1) can never serve each
+    other's materialized index within one session (ADVICE r13)."""
+    import hashlib
+
+    ap = os.path.abspath(sf_dir).rstrip("/")
+    return "{}_{}".format(
+        os.path.basename(ap), hashlib.md5(ap.encode()).hexdigest()[:8]
+    )
+
+
 def fm_build_index(
     spark: SparkSession, sf_dir: str, step: int | None = None,
     force: bool = False,
@@ -777,9 +790,7 @@ def fm_build_index(
     cum); memoized per session scratch path, `force=True` rebuilds
     (suffix_fm_build always bears the full build cost)."""
     step = _FM_SA_STEP if step is None else step
-    tag = "fm_index_{}_s{}".format(
-        os.path.basename(os.path.abspath(sf_dir).rstrip("/")), step
-    )
+    tag = "fm_index_{}_s{}".format(_fm_dir_tag(sf_dir), step)
     base = scratch_dir(spark, tag)
     idx_path = os.path.join(base, "idx")
     cached = _FM_INDEX_CACHE.get(base)
@@ -1002,9 +1013,7 @@ def fm_build_corpus_index(
 
     n_docs = _FM_CORPUS_DOCS if n_docs is None else n_docs
     step = _FM_SA_STEP if step is None else step
-    tag = "fm_corpus_{}_d{}_s{}".format(
-        os.path.basename(os.path.abspath(sf_dir).rstrip("/")), n_docs, step
-    )
+    tag = "fm_corpus_{}_d{}_s{}".format(_fm_dir_tag(sf_dir), n_docs, step)
     base = scratch_dir(spark, tag)
     idx_path = os.path.join(base, "idx")
     offs_path = os.path.join(base, "offsets")

@@ -420,6 +420,34 @@ def test_codec_probe_does_not_cache_transient_failures(ctx):
     assert real_jvm is ctx.spark._jvm
 
 
+def test_zst_roundtrip_registration_is_capability_gated():
+    """io_zst_lines_roundtrip registers only where Hadoop's native
+    zstd loads (VERDICT r13 #6): both branches of the probe, plus the
+    sandbox invariant that the probe outcome matches the registry."""
+    from thrill_spark.plans.queries import QUERIES
+    from thrill_spark.plans.queries_algo import (
+        _register_zst_roundtrip,
+        has_hadoop_native_zstd,
+    )
+
+    captured: dict[str, str] = {}
+
+    def fake_register(name, oracle=None):
+        def deco(fn):
+            captured[name] = oracle
+            return fn
+
+        return deco
+
+    assert _register_zst_roundtrip(probe=lambda: False, register=fake_register) is False
+    assert captured == {}
+    assert _register_zst_roundtrip(probe=lambda: True, register=fake_register) is True
+    assert "io_zst_lines_roundtrip" in captured
+    assert "n_lines" in captured["io_zst_lines_roundtrip"]
+    # import-time registration agrees with the real probe
+    assert ("io_zst_lines_roundtrip" in QUERIES) == has_hadoop_native_zstd()
+
+
 def test_read_lines_small_bz2_keeps_byte_range_source(ctx, tmp_path):
     """A bz2 that does NOT dominate the split plan stays on the
     byte-range source (decompressed-offset order key)."""

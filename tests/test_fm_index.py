@@ -134,6 +134,95 @@ def test_fm_build_index_memo_and_force(spark, tmp_path, monkeypatch):
     assert total == n1
 
 
+def test_fm_frame_search_matches_driver_search(spark):
+    """The set-scale DataFrame backward search must agree with the
+    driver search on every pattern class: bordered/overlapping,
+    absent with present prefixes, absent CHARS (insertion-point
+    collapse mid-pattern), single char, whole string, longer than
+    text, and mixed lengths in ONE probe set (the per-step inactive
+    path)."""
+    from pyspark.sql import functions as F
+
+    from thrill_spark.plans.algorithms import chunked_chars
+    from thrill_spark.plans.queries_analytics import (
+        _FM_SENTINEL,
+        _fm_backward_search_frame,
+        _fm_cum_df,
+        _fm_materialize,
+        fm_backward_ranges,
+    )
+    from thrill_spark.catalog import scratch_dir
+
+    text = "abracadabra banana abracadabra"
+    patterns = (
+        "abra", "ana", "a", "q", "zz", "bax", "cad", " b",
+        text, text + "x", "ra a",
+    )
+    df = spark.createDataFrame([(text + _FM_SENTINEL,)], "_s string")
+    n1 = len(text) + 1
+    chars = chunked_chars(df, text_col="_s", chunk=7)
+    want, _ = fm_backward_ranges(spark, chars, n1, patterns)
+
+    base = scratch_dir(spark, "fm_frame_prop")
+    chars2 = chunked_chars(df, text_col="_s", chunk=7)
+    ctab, _cum = _fm_materialize(spark, base, chars2, n1, step=8)
+    idx_df = spark.read.parquet(base + "/idx")
+    probes = spark.createDataFrame([(p,) for p in patterns], "pat string")
+    got_df = _fm_backward_search_frame(
+        idx_df, _fm_cum_df(spark, base + "/idx"), ctab, n1, probes
+    )
+    got = {r["pat"]: (r["lo"], r["hi"]) for r in got_df.collect()}
+    assert got == want
+
+    # the hits helper agrees with a direct rank-range scan
+    from thrill_spark.plans.queries_analytics import _fm_hits_blocks
+
+    hits = sorted(
+        (r["pat"], r["pos"])
+        for r in _fm_hits_blocks(idx_df, got_df).collect()
+    )
+    brute = sorted(
+        (p, i)
+        for p in patterns
+        for i in range(len(text) - len(p) + 1)
+        if text[i : i + len(p)] == p
+    )
+    assert hits == brute
+
+
+def test_fm_distributed_gate_no_driver_rollup(spark, monkeypatch):
+    """Past the checkpoint gate (forced here) the builders must return
+    cum=None and NEVER call the driver rollup — the cum parquet is the
+    only checkpoint store — and the gated corpus query output must
+    hash-match the driver-dict output (VERDICT r13 #3)."""
+    import thrill_spark.plans.queries_analytics as QA
+
+    sf = "/root/testdata/sf0.001"
+    QA._FM_INDEX_CACHE.clear()
+    _, _, _, cum_a = QA.fm_build_index(spark, sf)
+    assert cum_a is not None  # sf0.001 fits the driver gate
+    baseline = {
+        tuple(sorted(r.asDict().items()))
+        for r in QA.q_fm_corpus_build(spark, sf).collect()
+    }
+
+    QA._FM_INDEX_CACHE.clear()
+    monkeypatch.setattr(QA, "_FM_FORCE_DISTRIBUTED", True)
+
+    def _boom(rows, n1):
+        raise AssertionError("driver rollup called on the gated path")
+
+    monkeypatch.setattr(QA, "_fm_samples_rollup", _boom)
+    _, n1, ctab, cum = QA.fm_build_index(spark, sf)
+    assert cum is None and ctab  # C-table stays (alphabet-bounded)
+    gated = {
+        tuple(sorted(r.asDict().items()))
+        for r in QA.q_fm_corpus_build(spark, sf).collect()
+    }
+    assert gated == baseline
+    QA._FM_INDEX_CACHE.clear()
+
+
 def test_fm_empty_range_is_insertion_point(spark):
     """An absent pattern's [lo, hi) must collapse to its true SA
     INSERTION POINT (the count of suffixes sorting below it), not

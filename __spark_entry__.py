@@ -585,6 +585,73 @@ _DRIVER_WINDOW_PRIORITY = (
 assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
 
 
+# Round-15 rotation, PRE-STAGED as code (the r8/r10/r12/r13 discipline
+# — a short or zero-turn round must not drop the cadence): the 50
+# stalest names assuming the r14 window verifies — computed from
+# CORRECTNESS_r01..r13 green rows (max green round per name) with the
+# staged r14 window counted as 14. That is the r8 remainder (the 8
+# names the r14 changed-queries push displaced plus the io/layout/ml/
+# multimodal/profile/salted families) and the oldest r9 names. At
+# round-15 start the ONLY required edit is _DRIVER_WINDOW_PRIORITY =
+# <r15-changed names> + _R15_WINDOW fill, recomputed against
+# CORRECTNESS_r14 if the r14 gate differed.
+_R15_WINDOW = [
+    # last driver-verified r8
+    "graph_degree_distribution",
+    "graph_link_prediction",
+    "interval_join_promotions",
+    "io_compact_small_files",
+    "io_csv_corrupt_records",
+    "io_datasource_wordcount",
+    "io_dynamic_partition_pruning",
+    "io_manifest_roundtrip",
+    "io_python_datasource_lines",
+    "io_schema_evolution",
+    "io_snapshot_diff",
+    "io_xml_roundtrip",
+    "io_xz_lines_roundtrip",
+    "layout_hilbert_stats",
+    "layout_zorder_stats",
+    "merge_upsert_orders",
+    "ml_embedding_quantize",
+    "ml_eval_confusion",
+    "ml_feature_hashing",
+    "ml_feature_label_covariance",
+    "ml_groupwise_ols",
+    "ml_negative_sampling",
+    "ml_pca_power_iteration",
+    "ml_quantile_binning",
+    "ml_random_projection",
+    "multimodal_real_png_decode",
+    "multimodal_real_resize",
+    "multimodal_real_wav_decode",
+    "profile_data_quality",
+    "profile_join_cardinality",
+    "profile_key_skew",
+    "profile_orders",
+    "profile_source_drift",
+    "range_join_price_bands",
+    "salted_agg_events",
+    "salted_join_lineitem_supplier",
+    "scd2_orders_status",
+    # last driver-verified r9
+    "basket_frequent_pairs",
+    "cluster_topic_cards",
+    "corpus_chunk_dedup_pack",
+    "corpus_curation_full",
+    "corpus_dedup_by_source",
+    "corpus_leakage_check",
+    "corpus_length_buckets",
+    "corpus_sft_pairs",
+    "corpus_shuffle_index",
+    "corpus_split_assign",
+    "corpus_stratified_sample",
+    "corpus_token_budget",
+    "corpus_vocab_growth",
+]
+assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)
+
+
 def _ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Tolerate priority names that land later in the round; the window
     # is whatever exists of the priority list, topped up in registry

@@ -863,9 +863,14 @@ def _fm_backward_search_frame(
                 .cast("long")
                 .alias("hi"),
             )
-            # Collapse per-step lineage (8 steps would otherwise stack
-            # joins into one unplannable DAG); the probes frame is the
-            # small side, so the storage pass is negligible.
+            # EAGER checkpoint EVERY step — load-bearing, not just
+            # lineage hygiene: each step consumes `state` in two plan
+            # branches (the rank-lookup path and the final rebuild
+            # join), so an unmaterialized state re-executes the whole
+            # prior-step subtree per branch — measured 6.8 s -> 12.6 s
+            # on the 64-probe decontaminate sweep when checkpointing
+            # every 3rd step instead. The probes frame is tiny; the
+            # per-step storage pass is noise next to that blowup.
             .localCheckpoint()
         )
     return state

@@ -73,7 +73,53 @@ def main() -> None:
             spark, BASE, n_docs=QA._FM_CORPUS_DOCS * copies, force=True
         )
 
-    runners = {"dc7": run_dc7, "lcs": run_lcs, "fmc": run_fmc}
+    def run_dcn(copies: int) -> None:
+        # Set-scale decontamination probe sweep at 64x vs 64*Kx probes
+        # over ONE prebuilt corpus index (r14): the frame search's
+        # per-step work is one checkpoint join + one batched partial
+        # count regardless of probe count, so the wall ratio should
+        # sit near 1 — the claim VERDICT r13 #4 asks the harness to
+        # evidence. Probes are cut from held-out docs at `8*copies`
+        # offsets each.
+        from thrill_spark.plans import queries_analytics as QA
+
+        idx_path, idx_df, offs, n1, ctab, _ = QA._fm_load_corpus_index(
+            spark, BASE
+        )
+        docs = spark.read.parquet(f"{BASE}/documents.parquet")
+        n_offs = len(QA._FM_EVAL_OFFS) * copies
+        probes = (
+            docs.filter(
+                (F.col("doc_id") >= QA._FM_EVAL_LO)
+                & (F.col("doc_id") < QA._FM_EVAL_HI)
+            )
+            .select(
+                F.col("doc_id").alias("eval_id"),
+                F.lower(F.col("text")).alias("_txt"),
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(n_offs - 1))
+                ).alias("k"),
+            )
+            .select(
+                "eval_id",
+                (F.lit(11) + F.col("k") * 3).cast("long").alias("off"),
+                F.expr(f"substr(_txt, 11 + k * 3, {QA._FM_EVAL_LEN})").alias(
+                    "pat"
+                ),
+            )
+            .filter(F.length("pat") == QA._FM_EVAL_LEN)
+        )
+        ranges = QA._fm_backward_search_frame(
+            idx_df,
+            QA._fm_cum_df(spark, idx_path),
+            ctab,
+            n1,
+            probes,
+            max_len=QA._FM_EVAL_LEN,
+        )
+        _noop(ranges)
+
+    runners = {"dc7": run_dc7, "lcs": run_lcs, "fmc": run_fmc, "dcn": run_dcn}
     for t in targets:
         if t not in runners:
             raise SystemExit(f"unknown target {t!r}; choose from {sorted(runners)}")

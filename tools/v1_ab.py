@@ -116,7 +116,9 @@ def main() -> None:
 
     best: dict[str, dict[str, float]] = {a: {} for a, _ in arms}
     for p in range(passes):
-        for arm, root in arms:
+        # Alternate which arm runs first each pass: a fixed order would
+        # hand the second arm any warm-up the first one paid for.
+        for arm, root in (arms if p % 2 == 0 else arms[::-1]):
             qs, rel = _swap_to(root)
             for n in V1_SUBSET:
                 t0 = time.perf_counter()

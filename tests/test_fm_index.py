@@ -190,6 +190,62 @@ def test_fm_frame_search_matches_driver_search(spark):
     assert hits == brute
 
 
+def test_fm_frame_search_fuzz_multiblock(spark):
+    """Seeded fuzz over a multi-block text: 200 random patterns (many
+    absent, some with absent CHARS, lengths 1-12, plus boundary-rank
+    landings by volume) through the DataFrame backward search vs
+    ground truth enumerated from the sorted suffix list. Exercises
+    the batched checkpoint+partial probes at a probe count 3x the
+    decontaminate sweep and on blocks > 0."""
+    import random
+
+    from thrill_spark.catalog import scratch_dir
+    from thrill_spark.plans.algorithms import chunked_chars
+    from thrill_spark.plans.queries_analytics import (
+        _FM_RANK_BLOCK,
+        _FM_SENTINEL,
+        _fm_backward_search_frame,
+        _fm_cum_df,
+        _fm_materialize,
+    )
+
+    rng = random.Random(41)
+    text = "".join(rng.choice("abc ") for _ in range(2 * _FM_RANK_BLOCK + 53))
+    pats = set()
+    while len(pats) < 200:
+        k = rng.randint(1, 12)
+        # half sampled from the text (present-ish), half random (with
+        # chars outside the alphabet at ~10%)
+        if rng.random() < 0.5 and k < len(text):
+            i = rng.randrange(len(text) - k)
+            pats.add(text[i : i + k])
+        else:
+            pats.add(
+                "".join(rng.choice("abcdz ") for _ in range(k))
+            )
+    patterns = sorted(pats)
+
+    n1 = len(text) + 1
+    df = spark.createDataFrame([(text + _FM_SENTINEL,)], "_s string")
+    base = scratch_dir(spark, "fm_frame_fuzz")
+    ctab, _ = _fm_materialize(
+        spark, base, chunked_chars(df, text_col="_s", chunk=257), n1, step=8
+    )
+    idx_df = spark.read.parquet(base + "/idx")
+    probes = spark.createDataFrame([(p,) for p in patterns], "pat string")
+    got = {
+        r["pat"]: (r["lo"], r["hi"])
+        for r in _fm_backward_search_frame(
+            idx_df, _fm_cum_df(spark, base + "/idx"), ctab, n1, probes
+        ).collect()
+    }
+    suffixes = sorted(text[i:] + _FM_SENTINEL for i in range(n1))
+    for p in patterns:
+        lo = sum(1 for s in suffixes if s < p)
+        n = sum(1 for s in suffixes if s.startswith(p))
+        assert got[p] == (lo, lo + n), (p, got[p], (lo, lo + n))
+
+
 def test_fm_distributed_gate_no_driver_rollup(spark, monkeypatch):
     """Past the checkpoint gate (forced here) the builders must return
     cum=None and NEVER call the driver rollup — the cum parquet is the

@@ -916,7 +916,14 @@ def _fm_hits_blocks(idx_df: DataFrame, ranges: DataFrame) -> DataFrame:
     the (ch, blk)-bucketed index with a residual containment filter —
     the same chunk-keyed shape as _label_doc, so probe-set size never
     becomes a broadcast range join over the whole index. Returns the
-    ranges columns + pos."""
+    ranges columns + pos.
+
+    The exploded ranges side is broadcast: sized by #probes x
+    blocks-per-range, which stays small for the n-gram probes a
+    decontamination pipeline issues (>=8 chars => rank ranges far
+    narrower than one B-rank block). A probe set dominated by
+    single-character patterns (range width ~n/alphabet) would need
+    the hint dropped so honest stats pick a shuffle join instead."""
     B = _FM_RANK_BLOCK
     rb = ranges.filter(F.col("hi") > F.col("lo")).withColumn(
         "_rblk",

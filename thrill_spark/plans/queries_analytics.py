@@ -1016,10 +1016,9 @@ def fm_build_index(
       range-partitioned AND sorted by rank so the search's literal
       block probes and locate's [lo, hi) range scans row-group-prune
       to the touched ranks instead of scanning the whole index;
-    - `samples` parquet (ch, blk, n): per-char counts per B-rank
-      block;
     - `cum` parquet (ch, blk, cum): the DENSE rank checkpoints,
-      always written (see _fm_materialize).
+      always written (see _fm_materialize; the raw per-block counts
+      are its consecutive differences, so no separate samples table).
 
     Below the _FM_DRIVER_CUM_MAX gate the checkpoints also roll up
     into driver dicts (fast literal-pruned probes); past it cum is
@@ -1074,13 +1073,16 @@ def _fm_materialize(
 
     - ``idx``: the fused SA+BWT (rank, pos, ch), rank-range-partitioned
       and rank-sorted so literal probes row-group-prune;
-    - ``samples``: per-char counts per B-rank block;
     - ``cum``: the DENSE rank checkpoints (ch, blk, cum) with cum =
       occurrences of ch in BWT ranks < blk*B, for blk in 0..nblocks —
-      computed by one distributed two-phase prefix sum (no per-char
-      window funnel: the global exclusive prefix sum over (ch, blk)
-      order minus C[ch] IS the per-char running count), written always
-      so the probe plan can join it at any corpus size.
+      computed by one distributed two-phase prefix sum over the
+      in-memory per-block counts (no per-char window funnel: the
+      global exclusive prefix sum over (ch, blk) order minus C[ch] IS
+      the per-char running count), written always so the probe plan
+      can join it at any corpus size. (A separate raw `samples`
+      parquet would be redundant — the counts are exactly the cum
+      table's consecutive differences — so r14 dropped it, cutting a
+      write+read chain from every build.)
 
     Returns (ctab, cum): ctab is the alphabet-bounded C-table (always
     a driver dict — |alphabet| entries); cum is the driver checkpoint
@@ -1105,67 +1107,76 @@ def _fm_materialize(
         .parquet(idx_path)
     )
     idx_df = spark.read.parquet(idx_path)
-    smp_path = os.path.join(base, "samples")
     nblocks = (n1 + _FM_RANK_BLOCK - 1) // _FM_RANK_BLOCK
     # checkpoint-table partitioning: ~1M rows per file, capped
     cparts = max(1, min(256, (nblocks + 1) // (1 << 20) + 1))
-    (
+    # Per-(ch, block) counts: small (alphabet x nblocks), consumed by
+    # the totals collect AND the dense-grid join — persist so the idx
+    # aggregation runs once.
+    smp = (
         idx_df.groupBy(
             "ch",
             F.floor(F.col("rank") / _FM_RANK_BLOCK).cast("long").alias("blk"),
         )
         .agg(F.count("*").alias("n"))
-        .repartitionByRange(cparts, "ch", "blk")
-        .sortWithinPartitions("ch", "blk")
-        .write.mode("overwrite")
-        .parquet(smp_path)
+        .persist()
     )
-    smp = spark.read.parquet(smp_path)
-    # C-table from per-char totals: |alphabet| rows — bounded at any
-    # corpus size (unlike the cum rollup).
-    totals = sorted(
-        (r["ch"], int(r["t"]))
-        for r in smp.groupBy("ch").agg(F.sum("n").alias("t")).collect()
-    )
-    ctab: dict[str, int] = {}
-    acc = 0
-    for ch, t in totals:
-        ctab[ch] = acc
-        acc += t
-    # Dense (ch, blk) grid WITHOUT a driver loop or a one-row sequence
-    # explode: distributed range x broadcast alphabet.
-    alpha_df = smp.select("ch").distinct()
-    dense = (
-        spark.range(nblocks + 1)
-        .select(F.col("id").alias("blk"))
-        .crossJoin(F.broadcast(alpha_df))
-        .join(smp, ["ch", "blk"], "left")
-        .select("ch", "blk", F.coalesce("n", F.lit(0)).alias("n"))
-    )
-    # Global exclusive prefix sum over (ch, blk) order = C[ch] +
-    # occurrences of ch before blk*B; subtract the (alphabet-bounded)
-    # C-table to get the per-char checkpoint. Two-phase — no
-    # single-partition window at any size.
-    ps = O.prefix_sum(dense, ["ch", "blk"], "n", name="_ps", exclusive=True)
-    cmap = F.create_map(
-        *[x for ch in ctab for x in (F.lit(ch), F.lit(ctab[ch]))]
-    )
-    cum_path = os.path.join(base, "cum")
-    (
-        ps.select(
-            "ch",
-            F.col("blk").cast("long").alias("blk"),
-            (F.col("_ps") - cmap[F.col("ch")]).cast("long").alias("cum"),
+    try:
+        # C-table from per-char totals: |alphabet| rows — bounded at
+        # any corpus size (unlike the cum rollup).
+        totals = sorted(
+            (r["ch"], int(r["t"]))
+            for r in smp.groupBy("ch").agg(F.sum("n").alias("t")).collect()
         )
-        .repartitionByRange(cparts, "ch", "blk")
-        .sortWithinPartitions("ch", "blk")
-        .write.mode("overwrite")
-        .parquet(cum_path)
-    )
+        ctab: dict[str, int] = {}
+        acc = 0
+        for ch, t in totals:
+            ctab[ch] = acc
+            acc += t
+        # Dense (ch, blk) grid WITHOUT a driver loop or a one-row
+        # sequence explode: distributed range x broadcast alphabet
+        # (the alphabet frame comes straight from the bounded totals —
+        # no extra distinct job).
+        alpha_df = spark.createDataFrame([(ch,) for ch in ctab], "ch string")
+        dense = (
+            spark.range(nblocks + 1)
+            .select(F.col("id").alias("blk"))
+            .crossJoin(F.broadcast(alpha_df))
+            .join(smp, ["ch", "blk"], "left")
+            .select("ch", "blk", F.coalesce("n", F.lit(0)).alias("n"))
+        )
+        # Global exclusive prefix sum over (ch, blk) order = C[ch] +
+        # occurrences of ch before blk*B; subtract the (alphabet-
+        # bounded) C-table to get the per-char checkpoint. Two-phase —
+        # no single-partition window at any size.
+        ps = O.prefix_sum(dense, ["ch", "blk"], "n", name="_ps", exclusive=True)
+        cmap = F.create_map(
+            *[x for ch in ctab for x in (F.lit(ch), F.lit(ctab[ch]))]
+        )
+        cum_path = os.path.join(base, "cum")
+        (
+            ps.select(
+                "ch",
+                F.col("blk").cast("long").alias("blk"),
+                (F.col("_ps") - cmap[F.col("ch")]).cast("long").alias("cum"),
+            )
+            .repartitionByRange(cparts, "ch", "blk")
+            .sortWithinPartitions("ch", "blk")
+            .write.mode("overwrite")
+            .parquet(cum_path)
+        )
+    finally:
+        smp.unpersist()
     entries = len(totals) * (nblocks + 1)
     if _FM_FORCE_DISTRIBUTED or entries > _FM_DRIVER_CUM_MAX:
         return ctab, None
-    return _fm_samples_rollup(smp.collect(), n1)
+    # Driver-gate rollup straight from the written checkpoints — the
+    # same dict _fm_samples_rollup derives, without a samples table.
+    cum = {
+        (r["ch"], int(r["blk"])): int(r["cum"])
+        for r in spark.read.parquet(cum_path).collect()
+    }
+    return ctab, cum
 
 
 def _fm_load_index(

@@ -428,7 +428,11 @@ def q_io_bz2_autosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, f in enumerate(sorted(_glob.glob(os.path.join(stage_a, "part-*")))):
         os.replace(f, os.path.join(out, f"a-{i:05d}.txt"))
     shutil.rmtree(stage_a, ignore_errors=True)
-    # group B: ONE giant bz2 in doc_id order
+    # group B: ONE giant bz2 in doc_id order. The single-partition
+    # write is FIXTURE FABRICATION, not a data-path pattern: the
+    # query exists to prove the read side copes with an adversarial
+    # input (one huge bz2 member, as produced by external uploaders),
+    # which by definition is a single stream.
     stage_b = os.path.join(out, "_stage_b")
     (
         docs.filter(F.col("doc_id") % 8 != 0)

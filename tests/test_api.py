@@ -448,6 +448,62 @@ def test_zst_roundtrip_registration_is_capability_gated():
     assert ("io_zst_lines_roundtrip" in QUERIES) == has_hadoop_native_zstd()
 
 
+def test_codec_probe_classifies_multiline_java_errors():
+    """Py4JJavaError.__str__ appends the Java stack trace, so the
+    probe must classify on the FULL text: a native-library failure
+    whose last line is a '\tat ...' frame is DEFINITIVE (cached), a
+    transient error with a nativeio stack frame is NOT."""
+    import thrill_spark.api as api
+
+    class _JavaStyleError(Exception):
+        def __init__(self, text):
+            self._text = text
+
+        def __str__(self):
+            return self._text
+
+    def fake_spark(exc):
+        class _Boom:
+            def __getattr__(self, name):
+                raise exc
+
+        class _FakeSpark:
+            _jvm = _Boom()
+
+        return _FakeSpark()
+
+    native_err = _JavaStyleError(
+        "An error occurred while calling o12.createOutputStream.\n"
+        ": java.lang.RuntimeException: native zStandard library not "
+        "available: this version of libhadoop was built without zstd "
+        "support.\n"
+        "\tat org.apache.hadoop.io.compress.ZStandardCodec.check(...)\n"
+        "\tat java.base/java.lang.Thread.run(Thread.java:840)\n"
+    )
+    api._HADOOP_CODEC_OK.pop(".zst", None)
+    try:
+        api._require_hadoop_codec(fake_spark(native_err), "probe.zst")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "native zStandard library" in str(e)
+        assert "Thread.run" not in str(e)  # message lines, not the trace
+    assert ".zst" in api._HADOOP_CODEC_OK, "definitive failure not cached"
+    api._HADOOP_CODEC_OK.pop(".zst", None)
+
+    transient_err = _JavaStyleError(
+        "An error occurred while calling o12.createOutputStream.\n"
+        ": java.io.IOException: Connection reset\n"
+        "\tat org.apache.hadoop.io.nativeio.NativeIO.chmod(...)\n"
+    )
+    api._HADOOP_CODEC_OK.pop(".lz4", None)
+    try:
+        api._require_hadoop_codec(fake_spark(transient_err), "probe.lz4")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    assert ".lz4" not in api._HADOOP_CODEC_OK, "transient failure was cached"
+
+
 def test_read_lines_small_bz2_keeps_byte_range_source(ctx, tmp_path):
     """A bz2 that does NOT dominate the split plan stays on the
     byte-range source (decompressed-offset order key)."""

@@ -265,10 +265,10 @@ def test_fm_distributed_gate_no_driver_rollup(spark, monkeypatch):
     QA._FM_INDEX_CACHE.clear()
     monkeypatch.setattr(QA, "_FM_FORCE_DISTRIBUTED", True)
 
-    def _boom(rows, n1):
-        raise AssertionError("driver rollup called on the gated path")
+    def _boom(spark, cum_path):
+        raise AssertionError("driver cum rollup called on the gated path")
 
-    monkeypatch.setattr(QA, "_fm_samples_rollup", _boom)
+    monkeypatch.setattr(QA, "_fm_driver_cum_rollup", _boom)
     _, n1, ctab, cum = QA.fm_build_index(spark, sf)
     assert cum is None and ctab  # C-table stays (alphabet-bounded)
     gated = {

@@ -68,12 +68,26 @@ def _require_hadoop_codec(spark: SparkSession, sample_path: str) -> None:
                 codec.createOutputStream(jvm.java.io.ByteArrayOutputStream())
                 err = None
         except Exception as ex:  # noqa: BLE001 — py4j raises loosely
-            err = str(ex).splitlines()[-1][:200]
+            # Py4JJavaError.__str__ appends the whole Java stack trace,
+            # so classify on the FULL text (the last line is a '\tat'
+            # frame) and report the message lines, not the trace.
+            full = str(ex)
+            msg_lines = [
+                ln.strip()
+                for ln in full.splitlines()
+                if ln.strip() and not ln.strip().startswith("at ")
+            ]
+            err = " ".join(msg_lines[:2])[:200] or full[:200]
             # Only a missing-native-library failure is a property of
-            # the runtime; any other exception (a transient py4j/JVM
-            # hiccup) must not poison the cache for the process
-            # lifetime (ADVICE r13).
-            definitive = "native" in err.lower()
+            # the runtime (Hadoop's wording: 'native <codec> library
+            # not available' / '... was built without ... support');
+            # any other exception (a transient py4j/JVM hiccup) must
+            # not poison the cache for the process lifetime
+            # (ADVICE r13). Require both words so a stray
+            # 'org.apache.hadoop.io.nativeio' stack frame in a
+            # transient error does not get cached as definitive.
+            low = full.lower()
+            definitive = "native" in low and "library" in low
         if err is None or definitive:
             _HADOOP_CODEC_OK[ext] = err
     else:

@@ -464,13 +464,20 @@ def q_io_bz2_autosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at large SF — the Python-written level-1 bz2 in
     # tests/test_api.py covers that case with 3+ real blocks).
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(2048))
+    # One decompression pass for both actions below (the split-count
+    # certification and the indexed write would otherwise each re-scan
+    # and re-decompress the giant bz2 member).
+    from thrill_spark.api import DIA
+
+    cached = dia.df.persist()
+    dia = DIA(cached)
     try:
         # bounded scalars: distinct (file, split) pairs vs file count —
         # strictly more pairs than files proves the rebuilt order
         # spanned real split boundaries inside at least one file
         n_files = len(_glob.glob(os.path.join(out, "a-*.txt"))) + 1
         npairs = (
-            dia.df.agg(
+            cached.agg(
                 F.count_distinct(
                     F.col(f"{ORD}.file_idx"), F.col(f"{ORD}._blk")
                 ).alias("n")
@@ -488,6 +495,7 @@ def q_io_bz2_autosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        cached.unpersist()
     return spark.read.parquet(outp).select(
         "seq", "h", F.lit(bool(nblk > 1)).alias("was_split")
     )

@@ -617,10 +617,23 @@ def _fm_samples_rollup(
 def _fm_rank_samples(
     bwt: DataFrame, n1: int
 ) -> tuple[dict[str, int], dict[tuple[str, int], int]]:
-    """C-table + rank checkpoints from a (rank, ch) BWT frame: one
-    alphabet x nblocks aggregate (the `samples` side of the
-    materialized index, computed in-memory for the chars entry
-    point)."""
+    """C-table + rank checkpoints from a (rank, ch) BWT frame,
+    computed in-memory for the one-shot chars entry point
+    (fm_backward_ranges — unit tests and scale harnesses). This path
+    has no materialized cum parquet to fall back on, so past the
+    driver gate it REFUSES loudly instead of quietly growing a
+    multi-GB driver dict: corpus-scale searches go through
+    fm_build_index / fm_build_corpus_index, whose gated path serves
+    probes from the distributed checkpoint frame."""
+    nblocks = (n1 + _FM_RANK_BLOCK - 1) // _FM_RANK_BLOCK
+    if nblocks + 1 > _FM_DRIVER_CUM_MAX:  # pre-aggregate upper-bound probe
+        raise ValueError(
+            f"fm in-memory search: text of {n1} chars needs {nblocks + 1} "
+            "rank checkpoints per character — past the driver gate. "
+            "Build a materialized index (fm_build_index / "
+            "fm_build_corpus_index) and search via "
+            "_fm_backward_search_frame instead."
+        )
     rows = (
         bwt.groupBy(
             "ch",
@@ -629,6 +642,11 @@ def _fm_rank_samples(
         .agg(F.count("*").alias("n"))
         .collect()
     )
+    if len({r["ch"] for r in rows}) * (nblocks + 1) > _FM_DRIVER_CUM_MAX:
+        raise ValueError(
+            "fm in-memory search: alphabet x checkpoint count exceeds the "
+            "driver gate; use the materialized index path."
+        )
     return _fm_samples_rollup(rows, n1)
 
 
@@ -1108,8 +1126,6 @@ def _fm_materialize(
     )
     idx_df = spark.read.parquet(idx_path)
     nblocks = (n1 + _FM_RANK_BLOCK - 1) // _FM_RANK_BLOCK
-    # checkpoint-table partitioning: ~1M rows per file, capped
-    cparts = max(1, min(256, (nblocks + 1) // (1 << 20) + 1))
     # Per-(ch, block) counts: small (alphabet x nblocks), consumed by
     # the totals collect AND the dense-grid join — persist so the idx
     # aggregation runs once.
@@ -1133,6 +1149,14 @@ def _fm_materialize(
         for ch, t in totals:
             ctab[ch] = acc
             acc += t
+        # checkpoint-table partitioning: ~1M ROWS per file over the
+        # FULL |alphabet| x (nblocks+1) grid (not per-char blocks —
+        # omitting the alphabet factor would pack ~alphabet-times too
+        # many rows per file in exactly the past-the-gate regime this
+        # table exists for), capped.
+        cparts = max(
+            1, min(256, len(totals) * (nblocks + 1) // (1 << 20) + 1)
+        )
         # Dense (ch, blk) grid WITHOUT a driver loop or a one-row
         # sequence explode: distributed range x broadcast alphabet
         # (the alphabet frame comes straight from the bounded totals —
@@ -1170,13 +1194,21 @@ def _fm_materialize(
     entries = len(totals) * (nblocks + 1)
     if _FM_FORCE_DISTRIBUTED or entries > _FM_DRIVER_CUM_MAX:
         return ctab, None
-    # Driver-gate rollup straight from the written checkpoints — the
-    # same dict _fm_samples_rollup derives, without a samples table.
-    cum = {
+    return ctab, _fm_driver_cum_rollup(spark, cum_path)
+
+
+def _fm_driver_cum_rollup(
+    spark: SparkSession, cum_path: str
+) -> dict[tuple[str, int], int]:
+    """The ONLY below-gate driver materialization of the checkpoint
+    table: collect the written cum parquet into the probe dict (the
+    same dict _fm_samples_rollup derives from raw counts). Kept as a
+    named seam so tests/test_fm_index.py can assert the gated path
+    never calls it."""
+    return {
         (r["ch"], int(r["blk"])): int(r["cum"])
         for r in spark.read.parquet(cum_path).collect()
     }
-    return ctab, cum
 
 
 def _fm_load_index(

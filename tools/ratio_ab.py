@@ -73,6 +73,8 @@ def main() -> None:
             spark, BASE, n_docs=QA._FM_CORPUS_DOCS * copies, force=True
         )
 
+    _dcn_counts: dict[int, int] = {}
+
     def run_dcn(copies: int) -> None:
         # Set-scale decontamination probe sweep at 64x vs 64*Kx probes
         # over ONE prebuilt corpus index (r14): the frame search's
@@ -102,13 +104,24 @@ def main() -> None:
             )
             .select(
                 "eval_id",
-                (F.lit(11) + F.col("k") * 3).cast("long").alias("off"),
-                F.expr(f"substr(_txt, 11 + k * 3, {QA._FM_EVAL_LEN})").alias(
+                (F.lit(11) + F.col("k")).cast("long").alias("off"),
+                F.expr(f"substr(_txt, 11 + k, {QA._FM_EVAL_LEN})").alias(
                     "pat"
                 ),
             )
             .filter(F.length("pat") == QA._FM_EVAL_LEN)
         )
+        # No silent caps: offsets past a doc's end are length-filtered,
+        # so report the EFFECTIVE probe count per arm — if the Kx arm
+        # stops growing, the ratio is saturation, not scale shape.
+        # Counted once per arm (warmup), outside the timed passes.
+        if copies not in _dcn_counts:
+            _dcn_counts[copies] = probes.count()
+            print(
+                f"dcn effective probes at {copies}x: {_dcn_counts[copies]} "
+                f"(requested {n_offs} offsets x 8 docs)",
+                file=sys.stderr,
+            )
         ranges = QA._fm_backward_search_frame(
             idx_df,
             QA._fm_cum_df(spark, idx_path),

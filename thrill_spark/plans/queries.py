@@ -106,7 +106,7 @@ def q_reduce_by_key_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     orders = load_table(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
     joined = J.inner_join(li, orders.select("l_orderkey", "o_orderpriority"), on=["l_orderkey"])
     one = F.lit(1).cast("decimal(18,4)")
@@ -346,7 +346,7 @@ def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    orders = load_table(spark, sf_dir, "orders", spread=True).select("o_orderkey")
     return O.with_index(orders, ["o_orderkey"]).select("_idx", "o_orderkey")
 
 
@@ -383,7 +383,7 @@ def q_zip_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_prefix_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select(
+    orders = load_table(spark, sf_dir, "orders", spread=True).select(
         "o_orderkey", _dec("o_totalprice").alias("p")
     )
     out = O.prefix_sum(orders, ["o_orderkey"], "p", name="running_total")
@@ -473,7 +473,7 @@ def q_window_sliding_partial_tail(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def q_window_disjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select(
+    orders = load_table(spark, sf_dir, "orders", spread=True).select(
         "o_orderkey", _dec("o_totalprice").alias("p")
     )
     out = O.disjoint_window(

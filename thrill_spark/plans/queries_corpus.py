@@ -81,7 +81,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return C.repetition_scores(docs)
 
 

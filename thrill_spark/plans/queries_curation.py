@@ -50,7 +50,7 @@ from thrill_spark.plans.queries_llm import SQL_TOKS
     """,
 )
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return TX.bigram_surprisal(docs)
 
 
@@ -96,7 +96,7 @@ _COVER_N = 8
     """,
 )
 def q_ngram_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return D.duplicated_ngram_cover(docs, n=_COVER_N)
 
 
@@ -516,7 +516,7 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thrill_spark.operators.join import interval_overlap_join
 
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem", spread=True).select(
         "l_orderkey",
         F.col("l_shipdate").alias("s"),
         F.expr(

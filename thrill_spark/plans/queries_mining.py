@@ -942,7 +942,7 @@ def q_fuzzy_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thrill_spark.functions.text import tokens
     from thrill_spark.ordering import _persist
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     sig = D.minhash_signatures(docs, num_hashes=_MH_K)
     cand = _persist(D.lsh_candidate_pairs(sig, num_hashes=_MH_K, bands=_MH_BANDS))
     cand.count()

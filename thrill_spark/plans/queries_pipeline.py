@@ -78,7 +78,7 @@ _SEG_WORDS = 16
     """,
 )
 def q_paragraph_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return TX.segment_boilerplate(docs, seg_words=_SEG_WORDS, min_docs=2)
 
 
@@ -551,7 +551,7 @@ _CDC_D = 16
     """,
 )
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return D.cdc_dup_report(docs, window=_CDC_W, divisor=_CDC_D)
 
 

@@ -66,7 +66,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
 )
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").filter(
+    li = load_table(spark, sf_dir, "lineitem", spread=True).filter(
         F.col("l_shipdate") <= F.lit("2001-09-02").cast("date")
     )
     cnt = F.count(F.lit(1)).cast("double")
@@ -555,7 +555,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("_sq"))

@@ -779,119 +779,147 @@ def _fm_backward_search_frame(
             e = e.when(c <= F.lit(ch), F.lit(ctab[ch]))
         return e.otherwise(F.lit(n1)).cast("long")
 
-    idx_blk = idx_df.select(
-        "ch",
-        F.col("rank"),
-        F.floor(F.col("rank") / B).cast("long").alias("blk"),
+    # Combined rank-WEIGHT table (r14 optimization): one row per index
+    # position (weight 1) plus one BOUNDARY row per dense (ch, blk)
+    # grid cell (weight = cum = occurrences of ch before the block
+    # start). Then rank(c, i) = SUM of weights over rows with ch = c,
+    # blk = i div B and (_bnd OR rank < i):
+    #   - i on a block boundary: only the boundary row matches (its
+    #     block's idx ranks all start at i) -> cum(c, i div B) alone,
+    #     exactly the old boundary fast path;
+    #   - otherwise: cum + #in-block occurrences below i.
+    # This fuses the old per-step PAIR of joins (checkpoint lookup +
+    # partial-count aggregation, each with its own broadcast build and
+    # shuffle) into ONE equi-join + ONE pivot aggregation per step —
+    # measured 93 -> 48 jobs / 9.1 -> ~5.5 s on the 64-probe
+    # decontaminate sweep. Persisted across steps so each step reads
+    # cached blocks instead of re-scanning two parquets.
+    aug = (
+        idx_df.select(
+            "ch",
+            F.floor(F.col("rank") / B).cast("long").alias("blk"),
+            F.col("rank").cast("long").alias("rank"),
+            F.lit(1).cast("long").alias("_w"),
+            F.lit(False).alias("_bnd"),
+        )
+        .unionByName(
+            cum_df.select(
+                "ch",
+                F.col("blk").cast("long").alias("blk"),
+                F.lit(None).cast("long").alias("rank"),
+                F.col("cum").cast("long").alias("_w"),
+                F.lit(True).alias("_bnd"),
+            )
+        )
+        .persist()
     )
     state = probes.select(
         *pids, pat_col,
         F.lit(0).cast("long").alias("lo"),
         F.lit(n1).cast("long").alias("hi"),
     )
-    for j in range(1, max_len + 1):
-        c = F.expr(f"substr({pat_col}, length({pat_col}) - {j} + 1, 1)")
-        st = state.withColumn("_c", c).withColumn(
-            "_act", F.length(pat_col) >= F.lit(j)
-        )
-        live = st.filter(F.col("_act") & F.element_at(cmap, F.col("_c")).isNotNull())
-        # Unpivot the two interval bounds into rank lookups
-        # (pid, _b in {lo, hi}, _c, _i, _blk).
-        pts = live.select(
-            *keys, "_c",
-            F.explode(
-                F.array(
-                    F.struct(F.lit("lo").alias("_b"), F.col("lo").alias("_i")),
-                    F.struct(F.lit("hi").alias("_b"), F.col("hi").alias("_i")),
-                )
-            ).alias("_e"),
-        ).select(
-            *keys, "_c",
-            F.col("_e._b").alias("_b"),
-            F.col("_e._i").alias("_i"),
-            F.floor(F.col("_e._i") / B).cast("long").alias("_blk"),
-        )
-        # Checkpoint join: rank(c, i) base = cum[c, i div B]. The cum
-        # parquet is dense over the (ch, 0..nblocks) grid, so a miss
-        # is a build defect — raise loudly instead of nulling.
-        ck = pts.join(
-            cum_df,
-            (pts["_c"] == cum_df["ch"]) & (pts["_blk"] == cum_df["blk"]),
-            "left",
-        ).select(
-            *keys, "_c", "_b", "_i",
-            F.when(
-                F.col("cum").isNull(),
-                F.raise_error(
-                    F.concat(
-                        F.lit("fm frame search: missing cum checkpoint for ch="),
-                        F.col("_c"),
-                        F.lit(" blk="),
-                        F.col("_blk").cast("string"),
+    # AQE off for the step loop only (restored in finally): each step
+    # is an eager checkpoint of a small fixed-shape plan, and AQE
+    # materializes every exchange of every step as its own job — pure
+    # scheduling overhead at pattern-length granularity (measured
+    # below). The loop's shuffles carry probe-count-bounded rows after
+    # map-side partial aggregation, so runtime re-planning has nothing
+    # to win here at any scale; consumers of the returned state run
+    # under the session's normal AQE setting.
+    sess = idx_df.sparkSession
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_was = sess.conf.get(aqe_key)
+    try:
+        sess.conf.set(aqe_key, "false")
+        for j in range(1, max_len + 1):
+            c = F.expr(f"substr({pat_col}, length({pat_col}) - {j} + 1, 1)")
+            st = state.withColumn("_c", c).withColumn(
+                "_act", F.length(pat_col) >= F.lit(j)
+            )
+            live = st.filter(
+                F.col("_act") & F.element_at(cmap, F.col("_c")).isNotNull()
+            )
+            # Unpivot the two interval bounds into rank lookups
+            # (pid, _b in {lo, hi}, _c, _i, _blk).
+            pts = live.select(
+                *keys, "_c",
+                F.explode(
+                    F.array(
+                        F.struct(F.lit("lo").alias("_b"), F.col("lo").alias("_i")),
+                        F.struct(F.lit("hi").alias("_b"), F.col("hi").alias("_i")),
                     )
-                ).cast("long"),
+                ).alias("_e"),
+            ).select(
+                *keys, "_c",
+                F.col("_e._b").alias("_b"),
+                F.col("_e._i").alias("_i"),
+                F.floor(F.col("_e._i") / B).cast("long").alias("_blk"),
             )
-            .otherwise(F.col("cum"))
-            .alias("_ck"),
-            pts["_blk"],
-        )
-        # Batched partial counts: ONE broadcast equi-join on (ch, blk)
-        # against the bucketed index + residual rank < i, aggregated
-        # per (probe, bound). Boundary probes (i % B == 0) skip it.
-        need = ck.filter(F.col("_i") % B != 0).select(*keys, "_b", "_c", "_blk", "_i")
-        part = (
-            idx_blk.join(
-                F.broadcast(need),
-                (idx_blk["ch"] == need["_c"])
-                & (idx_blk["blk"] == need["_blk"])
-                & (idx_blk["rank"] < need["_i"]),
+            # ONE broadcast equi-join on (ch, blk) + residual weight
+            # filter, pivot-aggregated straight to per-probe bounds
+            # (sum and the lo/hi pivot commute).
+            newb = (
+                aug.join(
+                    F.broadcast(pts),
+                    (aug["ch"] == pts["_c"])
+                    & (aug["blk"] == pts["_blk"])
+                    & (F.col("_bnd") | (aug["rank"] < pts["_i"])),
+                )
+                .groupBy(*keys)
+                .agg(
+                    F.sum(F.when(F.col("_b") == "lo", F.col("_w"))).alias("_slo"),
+                    F.sum(F.when(F.col("_b") == "hi", F.col("_w"))).alias("_shi"),
+                )
             )
-            .groupBy(*keys, "_b")
-            .agg(F.count("*").alias("_pc"))
-        )
-        newb = (
-            ck.join(part, [*keys, "_b"], "left")
-            .select(
-                *keys, "_b",
-                (
-                    F.element_at(cmap, F.col("_c"))
-                    + F.col("_ck")
-                    + F.coalesce(F.col("_pc"), F.lit(0))
-                ).cast("long").alias("_nb"),
+            ceil_e = _ceil(F.col("_c"))
+            exists_e = F.element_at(cmap, F.col("_c")).isNotNull()
+            # The cum grid is dense over (alphabet x 0..nblocks), so a
+            # live probe ALWAYS matches at least its boundary row — a
+            # null sum after the left join is a build defect: raise
+            # loudly instead of propagating a wrong interval.
+            missing = F.raise_error(
+                F.concat(
+                    F.lit("fm frame search: missing cum checkpoint for ch="),
+                    F.col("_c"),
+                )
+            ).cast("long")
+            state = (
+                st.join(newb, keys, "left")
+                .select(
+                    *pids, pat_col,
+                    F.when(~F.col("_act"), F.col("lo"))
+                    .when(
+                        exists_e,
+                        F.element_at(cmap, F.col("_c"))
+                        + F.coalesce(F.col("_slo"), missing),
+                    )
+                    .otherwise(ceil_e)
+                    .cast("long")
+                    .alias("lo"),
+                    F.when(~F.col("_act"), F.col("hi"))
+                    .when(
+                        exists_e,
+                        F.element_at(cmap, F.col("_c"))
+                        + F.coalesce(F.col("_shi"), missing),
+                    )
+                    .otherwise(ceil_e)
+                    .cast("long")
+                    .alias("hi"),
+                )
+                # EAGER checkpoint EVERY step — load-bearing, not just
+                # lineage hygiene: each step consumes `state` in two
+                # plan branches (the rank-lookup path and the final
+                # rebuild join), so an unmaterialized state re-executes
+                # the whole prior-step subtree per branch — measured
+                # 6.8 s -> 12.6 s on the 64-probe decontaminate sweep
+                # when checkpointing every 3rd step instead. The probes
+                # frame is tiny; the per-step storage pass is noise
+                # next to that blowup.
+                .localCheckpoint()
             )
-            .groupBy(*keys)
-            .agg(
-                F.max(F.when(F.col("_b") == "lo", F.col("_nb"))).alias("_nlo"),
-                F.max(F.when(F.col("_b") == "hi", F.col("_nb"))).alias("_nhi"),
-            )
-        )
-        ceil_e = _ceil(F.col("_c"))
-        exists_e = F.element_at(cmap, F.col("_c")).isNotNull()
-        state = (
-            st.join(newb, keys, "left")
-            .select(
-                *pids, pat_col,
-                F.when(~F.col("_act"), F.col("lo"))
-                .when(exists_e, F.col("_nlo"))
-                .otherwise(ceil_e)
-                .cast("long")
-                .alias("lo"),
-                F.when(~F.col("_act"), F.col("hi"))
-                .when(exists_e, F.col("_nhi"))
-                .otherwise(ceil_e)
-                .cast("long")
-                .alias("hi"),
-            )
-            # EAGER checkpoint EVERY step — load-bearing, not just
-            # lineage hygiene: each step consumes `state` in two plan
-            # branches (the rank-lookup path and the final rebuild
-            # join), so an unmaterialized state re-executes the whole
-            # prior-step subtree per branch — measured 6.8 s -> 12.6 s
-            # on the 64-probe decontaminate sweep when checkpointing
-            # every 3rd step instead. The probes frame is tiny; the
-            # per-step storage pass is noise next to that blowup.
-            .localCheckpoint()
-        )
+    finally:
+        sess.conf.set(aqe_key, aqe_was)
+        aug.unpersist()
     return state
 
 

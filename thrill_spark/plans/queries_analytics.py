@@ -1109,6 +1109,14 @@ _FM_DRIVER_CUM_MAX = 1 << 22
 # Test hook: force the distributed-checkpoint path regardless of size
 # (tests/test_fm_index.py verifies gate-on hashes match gate-off).
 _FM_FORCE_DISTRIBUTED = False
+# BUILD-side driver gate (r14, much smaller than _FM_DRIVER_CUM_MAX):
+# below |alphabet| x (nblocks+1) = this many grid entries the cum
+# parquet is rolled up and written from the driver (one collect + one
+# createDataFrame), replacing the dense-grid join + distributed
+# prefix sum + rollup read-back. Past it the distributed prefix-sum
+# path runs unchanged — the ceiling keeps the collect and the
+# createDataFrame both trivially driver-sized.
+_FM_BUILD_DRIVER_MAX = 1 << 16
 
 
 def _fm_materialize(
@@ -1182,9 +1190,32 @@ def _fm_materialize(
         # omitting the alphabet factor would pack ~alphabet-times too
         # many rows per file in exactly the past-the-gate regime this
         # table exists for), capped.
-        cparts = max(
-            1, min(256, len(totals) * (nblocks + 1) // (1 << 20) + 1)
-        )
+        entries = len(totals) * (nblocks + 1)
+        cparts = max(1, min(256, entries // (1 << 20) + 1))
+        cum_path = os.path.join(base, "cum")
+        if not _FM_FORCE_DISTRIBUTED and entries <= _FM_BUILD_DRIVER_MAX:
+            # Below the (small) BUILD gate the whole dense cum grid is
+            # driver-trivial: roll the collected per-block counts up
+            # with the same arithmetic the distributed path encodes
+            # (_fm_samples_rollup == exclusive prefix sum minus C) and
+            # write the identical parquet from the driver — this
+            # replaces the dense-grid join + two-phase distributed
+            # prefix sum + rollup read-back (~7 jobs of fixed overhead
+            # per build at any n where the grid is this small). The
+            # collect is entries-bounded by the gate test itself.
+            ctab2, cum = _fm_samples_rollup(smp.collect(), n1)
+            assert ctab2 == ctab
+            (
+                spark.createDataFrame(
+                    [(ch, blk, v) for (ch, blk), v in sorted(cum.items())],
+                    "ch string, blk long, cum long",
+                )
+                .repartitionByRange(cparts, "ch", "blk")
+                .sortWithinPartitions("ch", "blk")
+                .write.mode("overwrite")
+                .parquet(cum_path)
+            )
+            return ctab, cum
         # Dense (ch, blk) grid WITHOUT a driver loop or a one-row
         # sequence explode: distributed range x broadcast alphabet
         # (the alphabet frame comes straight from the bounded totals —
@@ -1205,7 +1236,6 @@ def _fm_materialize(
         cmap = F.create_map(
             *[x for ch in ctab for x in (F.lit(ch), F.lit(ctab[ch]))]
         )
-        cum_path = os.path.join(base, "cum")
         (
             ps.select(
                 "ch",
@@ -1219,7 +1249,6 @@ def _fm_materialize(
         )
     finally:
         smp.unpersist()
-    entries = len(totals) * (nblocks + 1)
     if _FM_FORCE_DISTRIBUTED or entries > _FM_DRIVER_CUM_MAX:
         return ctab, None
     return ctab, _fm_driver_cum_rollup(spark, cum_path)

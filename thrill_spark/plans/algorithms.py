@@ -1030,7 +1030,15 @@ def k_core(
         # rows ARE (node, core_deg) — returning the converged round's
         # checkpointed frame skips rebuilding the double join + degree
         # re-aggregation the r11 version paid at the boundary
-        nxt = _loop_ckpt(deg.filter(F.col("d") >= k), i)
+        # Lazy checkpoint fused with the fixpoint count (r14): the
+        # count() is the materializing action, so the round's plan
+        # runs ONCE instead of eager-checkpoint-job + count-job. The
+        # every-8th honest reset stays eager (it must materialize the
+        # cache before capturing stats).
+        if (i + 1) % 8 == 0:
+            nxt = _honest_ckpt(deg.filter(F.col("d") >= k))
+        else:
+            nxt = deg.filter(F.col("d") >= k).localCheckpoint(eager=False)
         c = nxt.count()
         nodes = nxt.select("n")
         if prev is not None and c == prev:
@@ -1070,11 +1078,16 @@ def sssp(
             dist.join(edges, dist["node"] == edges[src])
             .select(F.col(dst).alias("node"), (F.col("dist") + F.col(w)).alias("dist"))
         )
-        merged = _loop_ckpt(
+        # lazy checkpoint + fixpoint aggregate in ONE job (see k_core)
+        merged = (
             dist.unionByName(cand)
             .groupBy("node")
-            .agg(F.min("dist").alias("dist")),
-            i,
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = (
+            _honest_ckpt(merged)
+            if (i + 1) % 8 == 0
+            else merged.localCheckpoint(eager=False)
         )
         row = merged.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dist").alias("t")

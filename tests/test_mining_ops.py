@@ -303,3 +303,29 @@ def test_sssp_weighted_planted(spark):
     )
     out = {r["node"]: r["dist"] for r in sssp(edges, 1).collect()}
     assert out == {1: 0, 2: 3, 3: 1}
+
+
+def test_sssp_long_chain_crosses_honest_reset(spark):
+    from thrill_spark.plans.algorithms import sssp
+
+    # Bellman-Ford relaxes one hop per round, so a 12-edge chain needs
+    # >8 rounds — exercising the r14 lazy-checkpoint loop ACROSS the
+    # every-8th eager _honest_ckpt stats reset (rounds 1-7 lazy, round
+    # 8 honest, then lazy again to the fixpoint).
+    n = 13
+    edges = spark.createDataFrame(
+        [(i, i + 1, i + 1) for i in range(n - 1)], ["src", "dst", "w"]
+    )
+    out = {r["node"]: r["dist"] for r in sssp(edges, 0).collect()}
+    assert out == {i: i * (i + 1) // 2 for i in range(n)}
+
+
+def test_k_core_long_path_crosses_honest_reset(spark):
+    from thrill_spark.plans import algorithms as A
+
+    # A 41-node path peels two endpoints per round under k=2, so the
+    # fixpoint takes >8 rounds — same honest-reset crossing as above,
+    # ending at the empty core (a path has no 2-core).
+    chain = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(chain, ["u", "v"])
+    assert A.k_core(df, 2, max_iters=60).count() == 0

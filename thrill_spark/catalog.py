@@ -47,8 +47,16 @@ def scratch_dir(spark: SparkSession, tag: str) -> str:
     hard-killed process leaves its dir for the OS temp policy."""
     import tempfile
 
+    from thrill_spark.session import scratch_local_dir
+
     app = spark.sparkContext.applicationId
-    root = os.path.join(tempfile.gettempdir(), f"thrill_spark_scratch-{app}")
+    # Prefer the same fast scratch tier as spark.local.dir (RAM-backed
+    # /dev/shm locally, SPARK_GRAFT_LOCAL_DIR in deployments): scratch
+    # holds per-session write-then-read-back artifacts only — private
+    # per applicationId, removed at exit — so this changes WHERE temp
+    # bytes live, never what any query computes.
+    base = scratch_local_dir() or tempfile.gettempdir()
+    root = os.path.join(base, f"thrill_spark_scratch-{app}")
     if app not in _scratch_cleanup_registered:
         import atexit
         import shutil

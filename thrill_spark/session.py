@@ -21,6 +21,23 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def scratch_local_dir() -> str | None:
+    """Fastest available scratch for Spark's local dirs (shuffle files,
+    spills, broadcast blocks): SPARK_GRAFT_LOCAL_DIR if set, else a
+    RAM-backed dir under /dev/shm when present — the local-mode
+    analogue of pointing spark.local.dir at fast NVMe scratch on a real
+    cluster (a plain config knob, guide-standard; shuffle temp data
+    only, never inputs or results). Returns None to keep Spark's
+    default when neither is available."""
+    d = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if d:
+        return d
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return os.path.join(shm, "thrill_spark_local")
+    return None
+
+
 def get_spark(app_name: str = "thrill_spark", parallelism: int | None = None) -> SparkSession:
     """Create (or reuse) a SparkSession with scale-appropriate defaults.
 
@@ -49,6 +66,9 @@ def get_spark(app_name: str = "thrill_spark", parallelism: int | None = None) ->
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    local_dir = scratch_local_dir()
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -410,6 +410,7 @@ def chunked_chars(
     off_col: str | None = None,
     chunk: int = 4096,
     ch: str = "ch",
+    assume_single_row: bool = False,
 ) -> DataFrame:
     """(pos, ch) character table over text rows WITHOUT funneling any
     one document through a single char-explode task — the suffix
@@ -428,9 +429,16 @@ def chunked_chars(
 
     Reference: examples/suffix_sorting/*.cpp read arbitrary files as
     a distributed byte DIA (thrill/api/read_binary.hpp splits on byte
-    ranges); this is the parquet-row equivalent of that split."""
+    ranges); this is the parquet-row equivalent of that split.
+
+    assume_single_row=True skips the multi-row contract guard's probe
+    job for callers whose frame is ≤1 row BY CONSTRUCTION (a unique-key
+    filter or a global aggregate) — the guard exists for arbitrary
+    inputs, and the probe is one scheduling round-trip per call that
+    such callers pay for nothing."""
     if (
         off_col is None
+        and not assume_single_row
         and df.filter(F.length(F.col(text_col)) > 0).limit(2).count() > 1
     ):
         # Contract guard: without offsets every input row gets base 0,
@@ -462,6 +470,60 @@ def chunked_chars(
         .filter(F.col(ch) != "")
         .select((F.col("_off") + F.col("_i")).alias("pos"), ch)
     )
+
+
+def doc_offsets(
+    lens: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "_len",
+    off_col: str = "_off",
+    driver_max: int = 1 << 16,
+) -> tuple[DataFrame, int]:
+    """(offsets_df, total): exclusive prefix-sum of per-document
+    lengths in id order — the concatenation-offset table every
+    generalized-suffix ingestion starts from — plus the total length
+    as a driver scalar.
+
+    Below `driver_max` documents the rollup happens on the driver from
+    ONE collect (the document count is bounded by the caller's doc
+    selection, the same boundedness the FM build gate rests on) and the
+    offsets come back as a broadcastable local relation — replacing the
+    two-shuffle distributed prefix-sum machinery plus the separate
+    total-length aggregate job. Past the gate the distributed
+    prefix_sum path runs unchanged."""
+    from thrill_spark import ordering as O
+
+    rows = lens.select(id_col, len_col).limit(driver_max + 1).collect()
+    if len(rows) <= driver_max:
+        srt = sorted((r[id_col], int(r[len_col])) for r in rows)
+        acc = 0
+        out = []
+        for i, ln in srt:
+            out.append((i, acc, ln))
+            acc += ln
+        offs = lens.sparkSession.createDataFrame(
+            out, f"{id_col} long, {off_col} long, {len_col} long"
+        )
+        return offs, acc
+    offs = O.prefix_sum(
+        lens, [id_col], len_col, name=off_col, exclusive=True
+    )
+    total = int(
+        offs.agg(
+            F.max(F.col(off_col) + F.col(len_col)).alias("_n")
+        ).first()["_n"]
+        or 0
+    )
+    return offs, total
+
+
+# Driver ceiling for the initial-rank alphabet histogram: character
+# alphabets are bounded (≤ the charset; ASCII/latin fixtures are
+# ~30-100 distinct chars), so collecting the (ch, count) histogram is
+# the same boundedness class as the FM C-table driver dict. Past this
+# many distinct characters suffix_array falls back to the distributed
+# prefix-sum path.
+_SA_ALPHA_DRIVER_MAX = 1 << 16
 
 
 def suffix_array(
@@ -529,12 +591,37 @@ def suffix_array(
     # divides by. Ordinal codes (all < |alphabet|) would funnel the
     # whole first round into bucket 0 — a single-task sort of the full
     # table, the exact scale defect this sort exists to avoid.
+    #
+    # The histogram is ALPHABET-BOUNDED (one row per distinct
+    # character — the same boundedness the FM C-table's driver dict
+    # rests on), so its exclusive prefix-sum is a driver rollup of one
+    # collected aggregate, not the two-shuffle distributed prefix_sum
+    # machinery: one job instead of ~three (sampling + totals collect)
+    # per ladder invocation, and the rank assignment becomes a
+    # broadcast hash join with no shuffle. A pathological alphabet
+    # falls back to the distributed path.
     hist = chars.groupBy("ch").agg(F.count("*").alias("_c"))
-    alpha_ranked = O.prefix_sum(hist, ["ch"], "_c", name="r", exclusive=True)
+    hrows = sorted(
+        (r["ch"], int(r["_c"]))
+        for r in hist.limit(_SA_ALPHA_DRIVER_MAX + 1).collect()
+    )
+    if len(hrows) > _SA_ALPHA_DRIVER_MAX:
+        alpha_ranked = O.prefix_sum(
+            hist, ["ch"], "_c", name="r", exclusive=True
+        ).select("ch", "r")
+    else:
+        acc = 0
+        pairs = []
+        for ch, c in hrows:
+            pairs.append((ch, acc))
+            acc += c
+        alpha_ranked = F.broadcast(
+            chars.sparkSession.createDataFrame(pairs, "ch string, r long")
+        )
     # honest checkpoint: this is ALSO the descent's level-1 rank table
     # (a join-product estimate here would cost it broadcast eligibility)
     ranks = _honest_ckpt(
-        chars.join(alpha_ranked.select("ch", "r"), on="ch")
+        chars.join(alpha_ranked, on="ch")
         .select(pos, F.col("r").cast("long").alias("r"))
     )
     levels: list[tuple[int, DataFrame]] = [(1, ranks)]
@@ -682,7 +769,29 @@ def suffix_array(
         out_cols = [F.col(pos), _rank_col(key_names, "r")] + [
             _rank_col(key_names[:w], f"_r{w}") for w in live
         ]
-        combined = part.select(*out_cols).localCheckpoint()
+        # Terminal-round detection mirrors the outer loop's breaks
+        # exactly (prefix already distinct / full tuple distinct /
+        # max_prefix reached).
+        last = (
+            n_distinct >= n
+            or any(nds[w] >= n for w in emit_widths)
+            or (max_prefix is not None and k * width >= max_prefix)
+        )
+        if last:
+            # final round: eager checkpoint (stats captured from the
+            # materialized cache — honest), cache freed immediately.
+            combined = part.select(*out_cols).localCheckpoint()
+        else:
+            # Non-terminal round (r14): LAZY checkpoint fused with the
+            # NEXT round's stats action — the windows run inside that
+            # job instead of paying their own materialization job per
+            # round. Stats stay honest: the LogicalRDD's size is
+            # captured at call time from the origin plan, whose child
+            # is the already-materialized sorted cache (the stats
+            # collect above ran first). The cache must outlive the
+            # materialization, so unpersist is DEFERRED to the outer
+            # loop (after the next round's stats collect).
+            combined = part.select(*out_cols).localCheckpoint(eager=False)
         new = combined.select(pos, "r")
         prefix_out = [
             (
@@ -694,10 +803,10 @@ def suffix_array(
             )
             for w in sorted(emit_widths)
         ]
-        # the rank frame is eagerly checkpointed above — the cached
-        # sort is no longer needed, free it before the next round
-        part.unpersist()
-        return new, n_distinct, prefix_out
+        if last:
+            part.unpersist()
+            return new, n_distinct, prefix_out, None
+        return new, n_distinct, prefix_out, part
 
     # keep_levels quadrupling/octupling: each round covers TWO (step
     # 4) or THREE (step 8) binary levels — rank_{2k}/rank_{4k} from
@@ -711,8 +820,15 @@ def suffix_array(
         else ()
     )
     k = 1
+    pending_part = None  # previous round's sorted cache, freed once the
+    # next round's stats collect has materialized its lazy checkpoint
     while True:
-        ranks, nd, prefix_out = _round(ranks, k, width, emit_widths)
+        ranks, nd, prefix_out, part_handle = _round(ranks, k, width, emit_widths)
+        if pending_part is not None:
+            # the stats collect inside _round just materialized the
+            # previous round's lazy checkpoint — its cache can go
+            pending_part.unpersist()
+        pending_part = part_handle
         terminal = False
         for w, mid, nd_w in prefix_out:  # ascending prefix widths
             if nd_w >= n:

@@ -227,8 +227,10 @@ def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
-    chars = A.chunked_chars(doc)
-    n = chars.count()
+    chars = A.chunked_chars(doc, assume_single_row=True)
+    # n from the 1-row text length — counting the exploded char table
+    # would re-run the full explode as a throwaway pass (r11 lesson)
+    n = int(doc.agg(F.sum(F.length("text")).alias("_n")).first()["_n"] or 0)
     return A.suffix_array(chars, n)
 
 
@@ -930,16 +932,13 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_suffix_array_dc3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from thrill_spark import ordering as O
-
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
-    # distributed concatenation offsets: ExPrefixSum over doc lengths
+    # concatenation offsets + total chars via the driver-gated rollup
     lens = docs.select("doc_id", F.length("text").alias("_len"))
-    offs = O.prefix_sum(lens, ["doc_id"], "_len", name="_off", exclusive=True)
+    offs, n = A.doc_offsets(lens)
     chars = A.chunked_chars(
         docs.join(offs.select("doc_id", "_off"), "doc_id"), off_col="_off"
     )
-    n = chars.count()
     return A.suffix_array_dc3(chars, n)
 
 
@@ -959,15 +958,13 @@ def q_suffix_array_dc3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_suffix_array_dc7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from thrill_spark import ordering as O
-
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    # concatenation offsets + total chars via the driver-gated rollup
     lens = docs.select("doc_id", F.length("text").alias("_len"))
-    offs = O.prefix_sum(lens, ["doc_id"], "_len", name="_off", exclusive=True)
+    offs, n = A.doc_offsets(lens)
     chars = A.chunked_chars(
         docs.join(offs.select("doc_id", "_off"), "doc_id"), off_col="_off"
     )
-    n = chars.count()
     return A.suffix_array_dc7(chars, n)
 
 
@@ -1059,8 +1056,10 @@ def _doc0_ranked(spark: SparkSession, sf_dir: str):
     the doubling loop checkpoints them anyway; lcp_from_levels reads
     them instead of broadcasting the text)."""
     doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
-    chars = A.chunked_chars(doc)
-    n = chars.count()
+    chars = A.chunked_chars(doc, assume_single_row=True)
+    # n from the 1-row text length — counting the exploded char table
+    # would re-run the full explode as a throwaway pass (r11 lesson)
+    n = int(doc.agg(F.sum(F.length("text")).alias("_n")).first()["_n"] or 0)
     ranked, levels = A.suffix_array(chars, n, step=8, keep_levels=True)
     return ranked, chars, levels
 
@@ -1338,24 +1337,16 @@ def _exact_substr_members(
     n_docs / min_len default to the registered queries' fixed
     _XS_DOCS / _XS_L; tools/scale_check.py passes larger corpora
     directly instead of monkey-patching the module constants."""
-    from thrill_spark import ordering as O
-
     n_docs = _XS_DOCS if n_docs is None else n_docs
     min_len = _XS_L if min_len is None else min_len
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < n_docs
     )
     lens = docs.select("doc_id", F.length("text").alias("_len"))
-    offs = O.prefix_sum(lens, ["doc_id"], "_len", name="_off", exclusive=True)
+    # offsets + total chars in ONE driver-gated rollup (A.doc_offsets)
+    offs, n = A.doc_offsets(lens)
     chars = A.chunked_chars(
         docs.join(offs.select("doc_id", "_off"), "doc_id"), off_col="_off"
-    )
-    # total chars == max(_off + _len) over the tiny offsets table —
-    # counting the exploded char table instead would cost a full
-    # throwaway pass over the corpus
-    n = int(
-        offs.agg(F.max(F.col("_off") + F.col("_len")).alias("_n")).first()["_n"]
-        or 0
     )
     # Islands = equivalence classes of "same first L chars", which
     # prefix_classes assembles straight from the rank ladder — so the
@@ -1630,7 +1621,7 @@ def q_suffix_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thrill_spark import ordering as O
 
     doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
-    chars = A.chunked_chars(doc, ch="c")
+    chars = A.chunked_chars(doc, ch="c", assume_single_row=True)
     alpha = O.with_index(chars.select("c").distinct(), ["c"], name="code")
     coded = chars.join(alpha, "c").select("code")
     lv = coded.select(
@@ -1707,8 +1698,9 @@ def _partnames_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_suffix_lcp_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
     txt = _partnames_text(spark, sf_dir)
-    chars = A.chunked_chars(txt, text_col="_txt")
-    n = chars.count()
+    chars = A.chunked_chars(txt, text_col="_txt", assume_single_row=True)
+    # n from the 1-row text length, not a throwaway explode pass
+    n = int(txt.agg(F.sum(F.length("_txt")).alias("_n")).first()["_n"] or 0)
     ranked, levels = A.suffix_array(chars, n, step=8, keep_levels=True)
     return A.lcp_from_levels(ranked, levels)
 
@@ -1740,7 +1732,7 @@ def q_suffix_wavelet_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thrill_spark import ordering as O
 
     txt = _partnames_text(spark, sf_dir)
-    chars = A.chunked_chars(txt, text_col="_txt", ch="c")
+    chars = A.chunked_chars(txt, text_col="_txt", ch="c", assume_single_row=True)
     alpha = O.with_index(chars.select("c").distinct(), ["c"], name="code")
     coded = chars.join(alpha, "c").select("code")
     lv = coded.select(
@@ -1770,8 +1762,9 @@ def q_suffix_wavelet_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_suffix_array_quad(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
-    chars = A.chunked_chars(doc)
-    n = chars.count()
+    chars = A.chunked_chars(doc, assume_single_row=True)
+    # n from the 1-row text length, not a throwaway explode pass
+    n = int(doc.agg(F.sum(F.length("text")).alias("_n")).first()["_n"] or 0)
     return A.suffix_array(chars, n, step=8)
 
 
@@ -1895,7 +1888,9 @@ def suffix_lcs_core(d0: DataFrame, d1: DataFrame) -> DataFrame:
         d1.select(F.lit(n0 + 1).alias("_off"), F.col("_t1").alias("_t"))
     )
     chars = A.chunked_chars(parts, text_col="_t", off_col="_off")
-    n = chars.count()
+    # total chars from the two 1-row text frames (one 2-row aggregate),
+    # not a throwaway pass over the exploded char table
+    n = int(parts.agg(F.sum(F.length("_t")).alias("_n")).first()["_n"] or 0)
     ranked, levels = A.suffix_array(chars, n, step=8, keep_levels=True)
     label = (
         F.when(F.col("pos") < n0, F.lit(0))

@@ -1089,7 +1089,9 @@ def fm_build_index(
         return (idx_path, *cached)
     doc = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
     s = doc.select(F.concat(F.lower(F.col("text")), F.lit(_FM_SENTINEL)).alias("_s"))
-    chars = A.chunked_chars(s, text_col="_s")
+    # single row by construction (doc_id is unique) — skip the guard's
+    # probe job
+    chars = A.chunked_chars(s, text_col="_s", assume_single_row=True)
     # n+1 from the single text row — counting the exploded char table
     # would re-run the full explode as a separate job
     n1 = int(s.select(F.length("_s").alias("n")).first()["n"])
@@ -1154,9 +1156,22 @@ def _fm_materialize(
     # One range partition per ~64 blocks keeps row groups aligned with
     # probe locality without tiny-file sprawl at small n.
     nparts = max(1, min(256, -(-n1 // (_FM_RANK_BLOCK * 64))))
+    # ANALYTIC range buckets (r14): rank is dense in [0, n1), so
+    # equal-width buckets are exact without repartitionByRange's
+    # reservoir-sampling pass — which executes the whole SA+BWT join
+    # subtree an extra time at any scale just to learn boundaries we
+    # already know. Files stay rank-sorted (sortWithinPartitions), so
+    # probe row-group pruning is unchanged; hash collisions can pack
+    # two buckets into one file (each still rank-sorted — at most one
+    # wide row group at the seam).
+    bkt = F.expr(
+        f"least(cast((rank * {nparts}) div {n1} as int), {nparts - 1})"
+    )
     (
-        idx.repartitionByRange(nparts, "rank")
+        idx.withColumn("_bkt", bkt)
+        .repartition(nparts, F.col("_bkt"))
         .sortWithinPartitions("rank")
+        .select("rank", "pos", "ch")
         .write.mode("overwrite")
         .parquet(idx_path)
     )
@@ -1205,12 +1220,15 @@ def _fm_materialize(
             # collect is entries-bounded by the gate test itself.
             ctab2, cum = _fm_samples_rollup(smp.collect(), n1)
             assert ctab2 == ctab
+            # entries <= the build gate << 2^20, so cparts == 1: one
+            # coalesced task writes the already-sorted grid — no
+            # repartitionByRange sampling job on this path.
             (
                 spark.createDataFrame(
                     [(ch, blk, v) for (ch, blk), v in sorted(cum.items())],
                     "ch string, blk long, cum long",
                 )
-                .repartitionByRange(cparts, "ch", "blk")
+                .coalesce(1)
                 .sortWithinPartitions("ch", "blk")
                 .write.mode("overwrite")
                 .parquet(cum_path)
@@ -1236,14 +1254,34 @@ def _fm_materialize(
         cmap = F.create_map(
             *[x for ch in ctab for x in (F.lit(ch), F.lit(ctab[ch]))]
         )
+        # ANALYTIC range buckets over the dense (ch, blk) grid: the
+        # global position ch_idx*(nblocks+1)+blk is exact (alphabet-
+        # bounded ordinal map), so no repartitionByRange sampling pass
+        # re-executes the prefix-sum subtree.
+        imap = F.create_map(
+            *[
+                x
+                for i, ch in enumerate(sorted(ctab))
+                for x in (F.lit(ch), F.lit(i))
+            ]
+        )
+        gpos = imap[F.col("ch")].cast("long") * F.lit(nblocks + 1) + F.col(
+            "blk"
+        ).cast("long")
+        cbkt = F.least(
+            (gpos * F.lit(cparts) / F.lit(entries)).cast("int"),
+            F.lit(cparts - 1),
+        )
         (
             ps.select(
                 "ch",
                 F.col("blk").cast("long").alias("blk"),
                 (F.col("_ps") - cmap[F.col("ch")]).cast("long").alias("cum"),
             )
-            .repartitionByRange(cparts, "ch", "blk")
+            .withColumn("_cbkt", cbkt)
+            .repartition(cparts, F.col("_cbkt"))
             .sortWithinPartitions("ch", "blk")
+            .select("ch", "blk", "cum")
             .write.mode("overwrite")
             .parquet(cum_path)
         )
@@ -1460,8 +1498,6 @@ def fm_build_corpus_index(
     offset table (doc_id, _off, _len) the locate query attributes
     matches with. Returns (idx_path, offs_path, n1, ctab, cum);
     memoized like fm_build_index."""
-    from thrill_spark import ordering as O
-
     n_docs = _FM_CORPUS_DOCS if n_docs is None else n_docs
     step = _FM_SA_STEP if step is None else step
     tag = "fm_corpus_{}_d{}_s{}".format(_fm_dir_tag(sf_dir), n_docs, step)
@@ -1484,17 +1520,14 @@ def fm_build_corpus_index(
         )
     )
     lens = docs.select("doc_id", F.length("_s").alias("_slen"))
-    offs = O.prefix_sum(lens, ["doc_id"], "_slen", name="_soff", exclusive=True)
+    # offsets + total chars in ONE driver-gated rollup (A.doc_offsets):
+    # below the gate the offsets are a broadcastable local relation and
+    # n1 is free; past it the distributed prefix-sum path runs.
+    offs, n1 = A.doc_offsets(lens, len_col="_slen", off_col="_soff")
     chars = A.chunked_chars(
         docs.join(offs.select("doc_id", "_soff"), "doc_id"),
         text_col="_s",
         off_col="_soff",
-    )
-    # total chars from the tiny offsets table (one scalar aggregate),
-    # never a throwaway count over the exploded char table
-    n1 = int(
-        offs.agg(F.max(F.col("_soff") + F.col("_slen")).alias("_n")).first()["_n"]
-        or 0
     )
     # offsets for attribution: _off/_len cover the TEXT only (the
     # sentinel at _off+_len can never be inside a match)

@@ -50,8 +50,8 @@ def scratch_dir(spark: SparkSession, tag: str) -> str:
     from thrill_spark.session import scratch_local_dir
 
     app = spark.sparkContext.applicationId
-    # Prefer the same fast scratch tier as spark.local.dir (RAM-backed
-    # /dev/shm locally, SPARK_GRAFT_LOCAL_DIR in deployments): scratch
+    # Follow the same scratch tier as spark.local.dir (the opt-in
+    # SPARK_GRAFT_LOCAL_DIR override; system temp otherwise): scratch
     # holds per-session write-then-read-back artifacts only — private
     # per applicationId, removed at exit — so this changes WHERE temp
     # bytes live, never what any query computes.

@@ -22,20 +22,25 @@ def default_parallelism() -> int:
 
 
 def scratch_local_dir() -> str | None:
-    """Fastest available scratch for Spark's local dirs (shuffle files,
-    spills, broadcast blocks): SPARK_GRAFT_LOCAL_DIR if set, else a
-    RAM-backed dir under /dev/shm when present — the local-mode
-    analogue of pointing spark.local.dir at fast NVMe scratch on a real
-    cluster (a plain config knob, guide-standard; shuffle temp data
-    only, never inputs or results). Returns None to keep Spark's
-    default when neither is available."""
-    d = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if d:
-        return d
-    shm = "/dev/shm"
-    if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        return os.path.join(shm, "thrill_spark_local")
-    return None
+    """Scratch override for Spark's local dirs (shuffle files, spills,
+    broadcast blocks): SPARK_GRAFT_LOCAL_DIR when set, else None =
+    Spark's stock temp dir.
+
+    r15: the r14 default of RAM-backed /dev/shm is now OPT-IN
+    (SPARK_GRAFT_LOCAL_DIR=/dev/shm/... on hosts with a measured slow
+    disk). Reverted per VERDICT r14 #1/#2 and the ADVICE free-space
+    gate: (a) an unbounded tmpfs default is a deployment hazard — the
+    moment shuffle/spill exceeds RAM the job dies with ENOSPC where a
+    disk would survive, the exact 100 TB regime this engine targets,
+    and containers commonly cap /dev/shm far below the host's RAM;
+    (b) it was the sole global knob in the round whose driver bench
+    regressed, and the r15 bisect could not verify any benefit
+    (alternating fresh-JVM passes were dominated by ±10x ambient host
+    spikes on identical code/config, with the /tmp arm never faster —
+    see OPTIMIZATION_r15.md); (c) an empty-string override previously
+    could not disable the behavior. Unset/empty now always means
+    Spark's default."""
+    return os.environ.get("SPARK_GRAFT_LOCAL_DIR") or None
 
 
 def get_spark(app_name: str = "thrill_spark", parallelism: int | None = None) -> SparkSession:

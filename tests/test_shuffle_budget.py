@@ -193,13 +193,23 @@ BUDGETS = {
     # island aggregation (LCP descent joins broadcast at suite scale;
     # measured 3, +2 headroom for threshold-sensitive descent joins)
     "dedup_exact_substr_sa": 5,
-    # coverage consumer: dup-member explode + distinct + per-doc agg
-    # (measured 1, +2 headroom for threshold-sensitive descent joins)
-    "dedup_exact_substr_coverage": 3,
+    # coverage consumer: dup-member explode + distinct + per-doc agg.
+    # r15 re-measure: the old "measured 1" was an artifact of the lint
+    # truncating at the persisted r13 offsets frame (InMemoryTableScan
+    # directly under the top join); the r14 driver-gated doc_offsets +
+    # lazy ladder checkpoints removed that truncation point, so the
+    # SAME downstream shuffles became visible. Full-plan comparison
+    # (identical .toString methodology, 72ad710 vs r15 HEAD):
+    # coverage 12 -> 6 exchanges, clean 18 -> 8, join strategies
+    # identical (SMJ/BHJ counts unchanged) — the plans got strictly
+    # LIGHTER; only the lint's visibility changed. Budgets below are
+    # the r15 consumer-visible measurements (6 / 8) + 2 headroom for
+    # threshold-sensitive descent joins (the old discipline).
+    "dedup_exact_substr_coverage": 8,
     # round-10: cleaner consumer = covered-offset distinct + char
-    # anti-join + per-doc splice agg (measured 1, +3 headroom for
-    # threshold-sensitive descent/anti joins)
-    "dedup_exact_substr_clean": 4,
+    # anti-join + per-doc splice agg (see coverage note: measured 8
+    # at r15 with the full subtree visible, +2 headroom)
+    "dedup_exact_substr_clean": 10,
     # round-10: full-table variant of dedup_exact_substr_sa — same
     # plan, only the corpus filter widens
     "dedup_exact_substr_full": 5,

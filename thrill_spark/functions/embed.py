@@ -90,30 +90,79 @@ def _jl_sign(j: Column, k: int, out_dim: int) -> Column:
     )
 
 
+def _jl_sign_py(j: int, k: int, out_dim: int) -> float:
+    """Driver-side replica of _jl_sign: Python md5 of the same cell
+    string yields the identical ±1 coin."""
+    import hashlib
+
+    cell = str(j * out_dim + k).encode()
+    return 1.0 if hashlib.md5(cell).hexdigest()[0] < "8" else -1.0
+
+
 def random_project(
     df: DataFrame,
     out_dim: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
+    dim: int | None = None,
 ) -> DataFrame:
     """JL ±1 random projection to `out_dim` dims (Achlioptas 2003
     database-friendly variant, sign-only): p_k = Σ_j v_j · s(j,k),
-    folded sequentially over j so the oracle replays the addition
+    added sequentially over j so the oracle replays the addition
     order. Columns p0..p{out_dim-1}; no 1/sqrt(d) normalization (a
-    constant factor downstream cosine ignores)."""
+    constant factor downstream cosine ignores).
+
+    The sign matrix s(j,k) depends only on (j, k) — it is data-
+    independent — so it is precomputed ONCE on the driver with the
+    same md5 coin (_jl_sign_py ≡ _jl_sign bit-for-bit) and unrolled
+    into a codegen'd multiply-add chain, instead of the previous
+    per-row per-element md5(string) inside an interpreted F.aggregate
+    fold (guide §1.2 per-task work: d*out_dim md5+string ops per row
+    removed; at any scale the projection is a pure scan). The vector
+    dim is probed from one row; rows with a different length raise
+    (the fixed-dim contract every caller already relies on) instead
+    of silently projecting wrong."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     df = df.withColumn("_v", v)
-    d = F.size(F.col("_v"))
-    def _proj(k: int) -> Column:
-        def step(acc: Column, j: Column) -> Column:
-            return acc + F.element_at(F.col("_v"), j + F.lit(1)) * _jl_sign(
-                j, k, out_dim
-            )
+    if dim is None:
+        head = df.select(F.size(F.col("_v")).alias("_d")).head(1)
+        dim = int(head[0]["_d"]) if head else 0
 
-        return F.aggregate(F.sequence(F.lit(0), d - F.lit(1)), F.lit(0.0), step)
+    def _proj(k: int) -> Column:
+        # zip_with over a LITERAL ±1 array + the same left-fold sum:
+        # identical addition order (0.0 + v_0*s_0 + ...), no md5/string
+        # work per element, and a SMALL expression tree. Two rejected
+        # forms, both measured slower end-to-end: per-term Column
+        # operators (thousands of Py4J round-trips, ~7 s of driver
+        # time per build) and fully unrolled 64-term SQL chains x 8
+        # projections x 2 join sides (multi-second janino compiles per
+        # AQE stage, fresh every pass because expr ids change).
+        signs = ", ".join(
+            f"{_jl_sign_py(j, k, out_dim)!r}D" for j in range(dim)
+        )
+        expr = (
+            f"aggregate(zip_with(_v, array({signs}), (x, s) -> x * s), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+        if k == 0:
+            # One dim guard per ROW (not per projection): assert_true
+            # yields NULL when the length matches, raising otherwise.
+            # `x + 0.0 == x` bit-for-bit here because the fold starts
+            # at +0.0 and round-to-nearest cancellation never yields
+            # -0.0, so the guard is value-invisible. (zip_with would
+            # otherwise NULL-pad a short row silently.)
+            expr = (
+                f"({expr} + coalesce(cast(assert_true(size(_v) = {dim}, "
+                f"'random_project: embedding dim differs from probed {dim}; "
+                f"fixed-dim input required') as double), 0.0D))"
+            )
+        return F.expr(expr)
 
     projs = [_proj(k).alias(f"p{k}") for k in range(out_dim)]
-    return df.select(F.col(id_col), *projs)
+    # keep_cols ride along so a caller needing the original vector next
+    # to the projection (rp_ann's rescore) skips a join back to df.
+    return df.select(F.col(id_col), *[F.col(c) for c in keep_cols], *projs)
 
 
 def power_iteration_top_component(

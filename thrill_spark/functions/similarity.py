@@ -82,6 +82,20 @@ def cosine_fixed(a: str, b: str, dim: int) -> Column:
     return F.expr(_cosine_sql(a, b, dim))
 
 
+def dot_fixed(a: str, b: str, dim: int) -> Column:
+    """dot() for a statically-known dimension — bit-identical left-fold
+    order, codegen'd."""
+    return F.expr(_dot_sql(a, b, dim))
+
+
+def norm_fixed(a: str, dim: int) -> Column:
+    """norm() for a statically-known dimension — bit-identical left-fold
+    order, codegen'd. Computing it once per ROW before a pair join (norm
+    is pair-invariant) instead of per pair is value-identical: the same
+    fold over the same doubles yields the same bits wherever it runs."""
+    return F.expr(_norm_sql(a, dim))
+
+
 def cosine_topk_for_query(
     df: DataFrame,
     query_vec: list[float],
@@ -285,6 +299,24 @@ def cosine_near_dup_pairs(
     total = df.count()
     n_blocks = max(1, -(-total // block_rows))
     spark = df.sparkSession
+    # Scale-adaptive grid: block_rows bounds per-task MEMORY, but when
+    # n is small the memory-bound grid (e.g. 1 block for 2k rows) puts
+    # the whole quadratic matmul in ONE task while the rest of the
+    # cluster idles. Split finer until the i<=j grid has ~parallelism
+    # cells, floored at 256-row blocks so per-task matmuls stay
+    # BLAS-worthy. Results are blocking-invariant: every unordered id
+    # pair lands in exactly one grid cell, cos_sim is recomputed
+    # exactly per candidate pair, and the same-block dedup handles the
+    # double orientation — so any n_blocks yields the identical pair
+    # set. At production sizes total//block_rows already exceeds the
+    # grid target and this branch is a no-op.
+    import math
+
+    p = spark.sparkContext.defaultParallelism
+    grid_target = math.ceil((math.sqrt(8 * p + 1) - 1) / 2)
+    if n_blocks < grid_target:
+        n_blocks = min(grid_target, max(n_blocks, total // 256))
+        n_blocks = max(1, n_blocks)
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     tagged = df.select(F.col(id_col), F.col(vec_col)).withColumn("_blk", blk)
     grid = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]

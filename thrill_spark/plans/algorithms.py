@@ -40,6 +40,37 @@ def _honest_ckpt(df: DataFrame) -> DataFrame:
     return out
 
 
+def _ckpt_with_sig(df: DataFrame, *sig_cols: str):
+    """_honest_ckpt plus a (count, bit_xor(xxhash64(sig_cols))) set
+    signature computed BY the checkpoint's own materialization job via
+    Dataset.observe (accumulator-backed CollectMetrics) — the signature
+    costs ZERO extra jobs/scheduler barriers, where the previous
+    per-round `agg(...).first()` paid one full job per fixpoint round
+    (the "signature-from-checkpoint-write" mechanism, guide §5.4).
+
+    Ordering matters: the observe node sits ABOVE the persist (so the
+    CollectMetricsExec is in THIS action's executed plan, not hidden
+    inside the InMemoryRelation where execution-end metric collection
+    cannot see it) and BELOW the checkpoint (CollectMetrics is a row
+    pass-through, so the checkpointed rows and their honest
+    InMemoryRelation-backed stats are unchanged).
+
+    Returns (checkpointed_df, (n, h)); h is None for an empty set
+    (bit_xor over zero rows), matching the old agg semantics."""
+    from pyspark.sql import Observation
+
+    cached = df.persist()
+    obs = Observation()
+    out = cached.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*sig_cols)).alias("h"),
+    ).localCheckpoint()
+    cached.unpersist()
+    m = obs.get
+    return out, (m["n"], m["h"])
+
+
 def _loop_ckpt(df: DataFrame, rnd: int, every: int = 8) -> DataFrame:
     """Collapse for LONG fixpoint loops: plain localCheckpoint per
     round (one storage pass), with an _honest_ckpt stats reset every
@@ -334,31 +365,29 @@ def _cc_star(edges: DataFrame, a: str, b: str, max_iters: int) -> DataFrame:
     and u itself to m = min of that in-neighborhood.
 
     Convergence test: the (count, bit_xor(xxhash64)) signature of the
-    edge set is compared between rounds — one scalar aggregation, no
-    edge-set diff shuffle (xor is overflow-free and order-independent;
+    edge set is compared between rounds — computed by the round's own
+    checkpoint job via Dataset.observe (_ckpt_with_sig), so it costs no
+    extra job and no edge-set diff shuffle (xor is overflow-free and
+    order-independent;
     edges are distinct so self-cancellation cannot occur). A signature
     collision on inequal sets is ~2^-64; acceptable for a termination
     check whose false-positive merely stops one round early on an
     already-star-shaped graph."""
     # honest init checkpoint: the caller's edge plan may carry
     # join-product size estimates (e.g. the LSH verify chain), which a
-    # plain checkpoint would copy — costing round 1 its broadcasts
-    e = _honest_ckpt(
+    # plain checkpoint would copy — costing round 1 its broadcasts.
+    # The signature rides the checkpoint job itself (_ckpt_with_sig):
+    # no separate per-round scalar aggregation job.
+    e, prev_sig = _ckpt_with_sig(
         edges.select(F.col(a).cast("long").alias("u"), F.col(b).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )  # orient large -> small
-        .distinct()
+        .distinct(),
+        "u",
+        "v",
     )
-
-    def signature(df: DataFrame):
-        row = df.agg(
-            F.count("*").alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
-        ).first()
-        return (row["n"], row["h"])
-
-    prev_sig = signature(e)
     for _ in range(max_iters):
         # -- large-star: symmetrize, group by u, link larger neighbors to min
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -384,8 +413,7 @@ def _cc_star(edges: DataFrame, a: str, b: str, max_iters: int) -> DataFrame:
             .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
             .distinct()
         )
-        e = _honest_ckpt(small)
-        sig = signature(e)
+        e, sig = _ckpt_with_sig(small, "u", "v")
         if sig == prev_sig:
             break
         prev_sig = sig
@@ -491,18 +519,46 @@ def doc_offsets(
     two-shuffle distributed prefix-sum machinery plus the separate
     total-length aggregate job. Past the gate the distributed
     prefix_sum path runs unchanged."""
+    from pyspark.sql.types import IntegralType
+
     from thrill_spark import ordering as O
 
-    rows = lens.select(id_col, len_col).limit(driver_max + 1).collect()
-    if len(rows) <= driver_max:
+    # The driver rollup Python-sorts ids and writes the offsets back
+    # with a hard-coded `long` schema; a non-integral id column (valid
+    # for the distributed prefix_sum fallback, which uses Spark's own
+    # ordering) would raise or diverge in collation only on the gated
+    # path (ADVICE r14) — route those to the distributed path instead.
+    id_integral = isinstance(
+        lens.schema[id_col].dataType, IntegralType
+    )
+    rows = (
+        lens.select(id_col, len_col).limit(driver_max + 1).collect()
+        if id_integral
+        else []
+    )
+    if id_integral and len(rows) <= driver_max:
         srt = sorted((r[id_col], int(r[len_col])) for r in rows)
         acc = 0
         out = []
         for i, ln in srt:
             out.append((i, acc, ln))
             acc += ln
-        offs = lens.sparkSession.createDataFrame(
-            out, f"{id_col} long, {off_col} long, {len_col} long"
+        # PySpark createDataFrame parallelizes to an RDD-backed plan
+        # (LogicalRDD) whose default size statistic is Long.Max; that
+        # estimate MULTIPLIES through every downstream join, so the
+        # whole consumer cascade silently loses broadcast eligibility
+        # (the r15 full-suite shuffle-budget failure on
+        # dedup_exact_substr_clean/coverage: 3 -> 6 wide shuffles, SMJ
+        # where r13 broadcast). One tiny honest checkpoint (coalesce(1)
+        # so the materialization is a single task over ≤ driver_max
+        # rows) restores actual-bytes stats; the broadcast hint makes
+        # the intent explicit where offs sits on a broadcastable side.
+        offs = F.broadcast(
+            _honest_ckpt(
+                lens.sparkSession.createDataFrame(
+                    out, f"{id_col} long, {off_col} long, {len_col} long"
+                ).coalesce(1)
+            )
         )
         return offs, acc
     offs = O.prefix_sum(
@@ -601,9 +657,15 @@ def suffix_array(
     # broadcast hash join with no shuffle. A pathological alphabet
     # falls back to the distributed path.
     hist = chars.groupBy("ch").agg(F.count("*").alias("_c"))
+    # Sort with the SAME collation Spark's distributed fallback uses
+    # (UTF-8 binary order): Python's default code-point sort agrees for
+    # well-formed strings, but split(text,'') can yield lone UTF-16
+    # surrogates on astral-plane text, where the two gated paths would
+    # rank characters differently (ADVICE r14).
     hrows = sorted(
-        (r["ch"], int(r["_c"]))
-        for r in hist.limit(_SA_ALPHA_DRIVER_MAX + 1).collect()
+        ((r["ch"], int(r["_c"]))
+         for r in hist.limit(_SA_ALPHA_DRIVER_MAX + 1).collect()),
+        key=lambda t: t[0].encode("utf-8", "surrogatepass"),
     )
     if len(hrows) > _SA_ALPHA_DRIVER_MAX:
         alpha_ranked = O.prefix_sum(
@@ -822,35 +884,45 @@ def suffix_array(
     k = 1
     pending_part = None  # previous round's sorted cache, freed once the
     # next round's stats collect has materialized its lazy checkpoint
-    while True:
-        ranks, nd, prefix_out, part_handle = _round(ranks, k, width, emit_widths)
-        if pending_part is not None:
-            # the stats collect inside _round just materialized the
-            # previous round's lazy checkpoint — its cache can go
-            pending_part.unpersist()
-        pending_part = part_handle
-        terminal = False
-        for w, mid, nd_w in prefix_out:  # ascending prefix widths
-            if nd_w >= n:
-                # distinct already at this PREFIX length: every wider
-                # table of this round (and all later rounds) assigns
-                # identical singleton ranks — all terminal, exclude.
-                terminal = True
+    try:
+        while True:
+            ranks, nd, prefix_out, part_handle = _round(
+                ranks, k, width, emit_widths
+            )
+            if pending_part is not None:
+                # the stats collect inside _round just materialized the
+                # previous round's lazy checkpoint — its cache can go
+                pending_part.unpersist()
+            pending_part = part_handle
+            terminal = False
+            for w, mid, nd_w in prefix_out:  # ascending prefix widths
+                if nd_w >= n:
+                    # distinct already at this PREFIX length: every wider
+                    # table of this round (and all later rounds) assigns
+                    # identical singleton ranks — all terminal, exclude.
+                    terminal = True
+                    break
+                levels.append((k * w, mid))
+            if terminal:
                 break
-            levels.append((k * w, mid))
-        if terminal:
-            break
-        plen = k * width
-        if nd >= n:
-            # Terminal table: ranks fully distinct, so no two suffixes
-            # can ever rank-match at this prefix length — keeping it
-            # in the levels would cost lcp_from_levels joins that
-            # provably never match.
-            break
-        levels.append((plen, ranks))
-        if max_prefix is not None and plen >= max_prefix:
-            break
-        k = plen
+            plen = k * width
+            if nd >= n:
+                # Terminal table: ranks fully distinct, so no two suffixes
+                # can ever rank-match at this prefix length — keeping it
+                # in the levels would cost lcp_from_levels joins that
+                # provably never match.
+                break
+            levels.append((plen, ranks))
+            if max_prefix is not None and plen >= max_prefix:
+                break
+            k = plen
+    except BaseException:
+        # deferred-unpersist protocol: a mid-round failure (e.g. a
+        # stats-collect error) must not leak the previous round's
+        # persisted sort for the session's lifetime (ADVICE r14)
+        if pending_part is not None:
+            pending_part.unpersist()
+        raise
     ranked = ranks.select(F.col(pos), F.col("r").cast("long").alias("rank"))
     if keep_levels:
         return ranked, levels

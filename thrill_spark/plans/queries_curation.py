@@ -597,23 +597,38 @@ def q_rp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from thrill_spark.functions import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
-    proj = E.random_project(emb, out_dim=_JL_DIM)
+    dim = emb.select(F.size("embedding").alias("_d")).head()["_d"]
+    # keep_cols carries the embedding through the projection, so the
+    # bucket code and the rescore vector come out of ONE scan — the
+    # previous join back to emb (an extra exchange/broadcast) is gone.
+    proj = E.random_project(
+        emb, out_dim=_JL_DIM, keep_cols=("embedding",), dim=dim
+    )
     code = sum(
         (F.when(F.col(f"p{k}") > 0.0, F.lit(1 << k)).otherwise(F.lit(0)))
         for k in range(_JL_DIM)
     )
-    c = proj.select("vec_id", code.alias("code")).join(emb, "vec_id").select(
-        "vec_id", "code", "embedding"
+    # Per-row norm BEFORE the bucket self-join (norm is pair-invariant
+    # and the same fold gives the same bits wherever it runs): n norms
+    # instead of 2 per candidate pair; fixed-dim kernels keep the whole
+    # rescore codegen'd instead of interpreted HOF folds.
+    c = proj.select(
+        "vec_id",
+        code.alias("code"),
+        "embedding",
+        S.norm_fixed("embedding", dim).alias("_nrm"),
     )
     a = c.select(
         F.col("vec_id").alias("query_id"),
         F.col("code"),
         F.col("embedding").alias("_qa"),
+        F.col("_nrm").alias("_na"),
     )
     b = c.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("code"),
         F.col("embedding").alias("_qb"),
+        F.col("_nrm").alias("_nb"),
     )
     pairs = (
         a.join(b, "code")
@@ -621,7 +636,10 @@ def q_rp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            S.cosine(F.col("_qa"), F.col("_qb")).alias("_cs"),
+            (
+                S.dot_fixed("_qa", "_qb", dim)
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("_cs"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("neighbor_id").asc())

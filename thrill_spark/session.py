@@ -43,6 +43,27 @@ def scratch_local_dir() -> str | None:
     return os.environ.get("SPARK_GRAFT_LOCAL_DIR") or None
 
 
+def _cap_native_thread_pools() -> None:
+    """Pin BLAS/OpenMP pools to one thread per process (overridable via
+    the env). Spark's parallelism unit is the TASK: under local[32] up
+    to 32 Python workers run numpy kernels concurrently, and each
+    OpenBLAS/OMP pool defaulting to nproc threads yields up to 32x32
+    oversubscribed threads — measured as inverse core scaling on the
+    numpy-heavy queries (r14 PERF: dedup_embedding_cosine 8c/32c ratio
+    0.72). One BLAS thread per task is the standard Spark+numpy
+    deployment discipline (spark.task.cpus=1 ⇒ single-threaded
+    kernels); in local mode the Python daemon inherits this process's
+    environment, and on a cluster the same variables belong in
+    spark.executorEnv.* (set below for non-local masters)."""
+    for var in (
+        "OPENBLAS_NUM_THREADS",
+        "OMP_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+    ):
+        os.environ.setdefault(var, "1")
+
+
 def get_spark(app_name: str = "thrill_spark", parallelism: int | None = None) -> SparkSession:
     """Create (or reuse) a SparkSession with scale-appropriate defaults.
 
@@ -54,9 +75,16 @@ def get_spark(app_name: str = "thrill_spark", parallelism: int | None = None) ->
     - UTC session timezone so timestamp semantics match the DuckDB
       oracle and are deployment-independent.
     """
+    _cap_native_thread_pools()
     p = parallelism or default_parallelism()
     builder = (
         SparkSession.builder.master(f"local[{p}]")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS",
+                os.environ["OPENBLAS_NUM_THREADS"])
+        .config("spark.executorEnv.OMP_NUM_THREADS",
+                os.environ["OMP_NUM_THREADS"])
+        .config("spark.executorEnv.MKL_NUM_THREADS",
+                os.environ["MKL_NUM_THREADS"])
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(p))
         .config("spark.default.parallelism", str(p))

@@ -579,10 +579,10 @@ _R14_CHANGED: list[str] = [
     "io_bz2_autosplit_roundtrip",
 ]
 
-_DRIVER_WINDOW_PRIORITY = (
+_DRIVER_WINDOW_PRIORITY_R14 = (
     _R14_CHANGED + [n for n in _R14_WINDOW if n not in _R14_CHANGED]
 )[:50]
-assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
+assert len(_DRIVER_WINDOW_PRIORITY_R14) == 50, len(_DRIVER_WINDOW_PRIORITY_R14)
 
 
 # Round-15 rotation, PRE-STAGED as code (the r8/r10/r12/r13 discipline
@@ -650,6 +650,65 @@ _R15_WINDOW = [
     "corpus_vocab_growth",
 ]
 assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)
+
+# Queries whose CODE PATH changed in rounds 14-15's optimization
+# sessions lead the r15 window (VERDICT r14 #2: the r14 optimizer's 25
+# changed queries were never in a driver window — first-time driver
+# verification of changed paths outranks re-verification of stale
+# ones). r15-changed first (doc_offsets honest-stats broadcast fix →
+# the ExactSubstr/suffix family; _cc_star observe-fused signatures →
+# the CC consumers; random_project literal-sign rewrite → rp/JL;
+# adaptive cosine block grid), then the r14 spread/ladder/fixpoint
+# set, then _R15_WINDOW staleness fill.
+_R15_CHANGED: list[str] = [
+    # r15: doc_offsets stats fix (broadcast restored) + ladder advice
+    "dedup_exact_substr_coverage",
+    "dedup_exact_substr_clean",
+    "dedup_exact_substr_sa",
+    "dedup_exact_substr_full",
+    "suffix_array_dc3",
+    "suffix_array_dc7",
+    # r15: _cc_star signature-from-checkpoint (Dataset.observe)
+    "dedup_pipeline_survivors",
+    "dedup_quality_survivors",
+    "dedup_cluster_assign",
+    "dedup_cluster_histogram",
+    "er_customer_linkage",
+    "corpus_build_e2e",
+    # r15: random_project literal signs + rp_ann codegen rescore
+    "ml_random_projection",
+    "similarity_rp_ann",
+    # r15: adaptive block grid
+    "dedup_embedding_cosine",
+    # r14 optimizer set never driver-verified (13 spread + ladder/fixpoint)
+    "text_repetition_scores",
+    "dedup_ngram_cover",
+    "dedup_cdc_chunks",
+    "dedup_paragraph_boilerplate",
+    "dedup_fuzzy_levenshtein",
+    "text_bigram_lm",
+    "tpch_q1_pricing_summary",
+    "tpch_q18_large_volume_customers",
+    "inner_join_lineitem_orders",
+    "interval_join_promotions",
+    "prefix_sum_totalprice",
+    "window_disjoint_blocks",
+    "zip_with_index_orders",
+    "suffix_fm_build",
+    "suffix_fm_corpus_build",
+    "suffix_lcs_doc01",
+    "suffix_longest_repeat_doc0",
+    "suffix_lcp_partnames",
+    "suffix_array_doc0",
+    "suffix_array_quadrupling_doc0",
+    "k_core_orders",
+    "sssp_weighted_dag",
+]
+
+_DRIVER_WINDOW_PRIORITY = (
+    _R15_CHANGED + [n for n in _R15_WINDOW if n not in _R15_CHANGED]
+)[:50]
+assert len(_DRIVER_WINDOW_PRIORITY) == 50, len(_DRIVER_WINDOW_PRIORITY)
 
 
 def _ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
